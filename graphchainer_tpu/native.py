@@ -1,0 +1,158 @@
+"""ctypes bindings for the C++ host runtime (native/graphchainer_native.cpp).
+
+The shared library is compiled on first use with g++ -O3 and cached next to
+the source.  All array arguments are numpy int64 arrays.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native", "graphchainer_native.cpp")
+_SO = os.path.join(os.path.dirname(_SRC), "graphchainer_native.so")
+
+_lock = threading.Lock()
+_lib = None
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+
+
+def _ptr(a: np.ndarray):
+    assert a.dtype == np.int64 and a.flags.c_contiguous
+    return a.ctypes.data_as(_I64P)
+
+
+def _build():
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        lib.topo_order.restype = ctypes.c_int
+        lib.connected_components.restype = ctypes.c_int64
+        lib.mpc_build.restype = ctypes.c_void_p
+        lib.mpc_sizes.argtypes = [ctypes.c_void_p, _I64P]
+        lib.mpc_copy.argtypes = [ctypes.c_void_p] + [_I64P] * 8
+        lib.mpc_free.argtypes = [ctypes.c_void_p]
+        lib.chain_paths.restype = ctypes.c_void_p
+        lib.paths_sizes.argtypes = [ctypes.c_void_p, _I64P]
+        lib.paths_copy.argtypes = [ctypes.c_void_p, _I64P, _I64P]
+        lib.paths_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def topo_order(n: int, src: np.ndarray, dst: np.ndarray):
+    """Topological order of a DAG.  Returns (order, rank).
+
+    Raises ValueError on a directed cycle (the engine requires a DAG, like
+    the reference: src/AlignmentGraph.cpp:1298-1302).
+    """
+    lib = get_lib()
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    order = np.empty(n, dtype=np.int64)
+    rank = np.empty(n, dtype=np.int64)
+    rc = lib.topo_order(ctypes.c_int64(n), ctypes.c_int64(len(src)),
+                        _ptr(src), _ptr(dst), _ptr(order), _ptr(rank))
+    if rc != 0:
+        raise ValueError(
+            "The input sequence graph has a directed cycle; "
+            "only DAGs are supported for chaining.")
+    return order, rank
+
+
+def connected_components(n: int, src: np.ndarray, dst: np.ndarray):
+    """Weakly connected components.  Returns (ncomp, comp_ids)."""
+    lib = get_lib()
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    comp = np.empty(n, dtype=np.int64)
+    ncomp = lib.connected_components(
+        ctypes.c_int64(n), ctypes.c_int64(len(src)), _ptr(src), _ptr(dst),
+        _ptr(comp))
+    return int(ncomp), comp
+
+
+def mpc_build(n: int, src: np.ndarray, dst: np.ndarray, comp: np.ndarray,
+              ncomp: int):
+    """Minimum path cover + last2reach index for a DAG.
+
+    Returns a dict with:
+      path_offsets (npaths+1,), path_nodes (flat), path_comp (npaths,),
+      path_k (npaths,): per-component path index;
+      back_offsets (n+1,), back_node (pairs,), back_k (pairs,):
+        per-node last2reach pointers (u, k);
+      nodepath_offsets (n+1,), nodepath_k (flat): path ids through each node.
+    """
+    lib = get_lib()
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    comp = np.ascontiguousarray(comp, dtype=np.int64)
+    h = lib.mpc_build(ctypes.c_int64(n), ctypes.c_int64(len(src)), _ptr(src),
+                      _ptr(dst), _ptr(comp), ctypes.c_int64(ncomp))
+    if not h:
+        raise ValueError("mpc_build failed (graph has a cycle?)")
+    sizes = np.empty(4, dtype=np.int64)
+    lib.mpc_sizes(h, _ptr(sizes))
+    npaths, nnodes, npairs, nnp = (int(x) for x in sizes)
+    path_offsets = np.empty(npaths + 1, dtype=np.int64)
+    path_nodes = np.empty(nnodes, dtype=np.int64)
+    path_comp = np.empty(npaths, dtype=np.int64)
+    path_k = np.empty(npaths, dtype=np.int64)
+    back_offsets = np.empty(n + 1, dtype=np.int64)
+    back_data = np.empty(npairs * 2, dtype=np.int64)
+    nodepath_offsets = np.empty(n + 1, dtype=np.int64)
+    nodepath_k = np.empty(nnp, dtype=np.int64)
+    lib.mpc_copy(h, _ptr(path_offsets), _ptr(path_nodes), _ptr(path_comp),
+                 _ptr(path_k), _ptr(back_offsets), _ptr(back_data),
+                 _ptr(nodepath_offsets), _ptr(nodepath_k))
+    lib.mpc_free(h)
+    back = back_data.reshape(-1, 2)
+    return dict(path_offsets=path_offsets, path_nodes=path_nodes,
+                path_comp=path_comp, path_k=path_k,
+                back_offsets=back_offsets, back_node=back[:, 0].copy(),
+                back_k=back[:, 1].copy(),
+                nodepath_offsets=nodepath_offsets, nodepath_k=nodepath_k)
+
+
+def chain_paths(n: int, src: np.ndarray, dst: np.ndarray,
+                node_len: np.ndarray, qs: np.ndarray, qt: np.ndarray,
+                qlimit: np.ndarray):
+    """Batched bounded-BFS s->t node paths (reference getChainPath,
+    src/AlignmentGraph.cpp:1866-1916).  Returns list of node-id lists
+    (empty list where t unreachable within the limit)."""
+    lib = get_lib()
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    node_len = np.ascontiguousarray(node_len, dtype=np.int64)
+    qs = np.ascontiguousarray(qs, dtype=np.int64)
+    qt = np.ascontiguousarray(qt, dtype=np.int64)
+    qlimit = np.ascontiguousarray(qlimit, dtype=np.int64)
+    h = lib.chain_paths(ctypes.c_int64(n), ctypes.c_int64(len(src)),
+                        _ptr(src), _ptr(dst), _ptr(node_len),
+                        ctypes.c_int64(len(qs)), _ptr(qs), _ptr(qt),
+                        _ptr(qlimit))
+    sizes = np.empty(2, dtype=np.int64)
+    lib.paths_sizes(h, _ptr(sizes))
+    nq, ndata = int(sizes[0]), int(sizes[1])
+    offsets = np.empty(nq + 1, dtype=np.int64)
+    data = np.empty(ndata, dtype=np.int64)
+    lib.paths_copy(h, _ptr(offsets), _ptr(data))
+    lib.paths_free(h)
+    return [data[offsets[i]:offsets[i + 1]] for i in range(nq)]

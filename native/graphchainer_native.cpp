@@ -1,0 +1,465 @@
+// graphchainer_tpu native host runtime.
+//
+// C++17 host-side graph algorithms for the TPU-native aligner: topological
+// order, connected components, minimum path cover construction (greedy cover
+// + min-flow shrink + last2reach index), and bounded BFS path stitching.
+//
+// These are offline/index-build and per-read host steps that are inherently
+// sequential graph traversals (reference: src/AlignmentGraph.cpp:1008-1491,
+// 1866-1916); the device (Pallas/XLA) handles the batched DP compute.
+//
+// Exposed via a C ABI for ctypes.  Ragged results use an opaque-handle
+// two-phase protocol: build -> query sizes -> copy out -> free.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <queue>
+#include <utility>
+#include <vector>
+
+namespace {
+
+using std::int32_t;
+using std::int64_t;
+using std::size_t;
+using std::vector;
+
+struct RaggedResult {
+  // Generic ragged int64 payload: `offsets` has num_rows+1 entries into
+  // `data`.  `extra` carries algorithm-specific flat metadata.
+  vector<int64_t> offsets;
+  vector<int64_t> data;
+  vector<int64_t> extra;
+};
+
+struct CSR {
+  int64_t n;
+  vector<int64_t> ptr;
+  vector<int64_t> idx;
+};
+
+CSR build_csr(int64_t n, int64_t m, const int64_t* src, const int64_t* dst) {
+  CSR g;
+  g.n = n;
+  g.ptr.assign(n + 1, 0);
+  for (int64_t e = 0; e < m; e++) g.ptr[src[e] + 1]++;
+  for (int64_t i = 0; i < n; i++) g.ptr[i + 1] += g.ptr[i];
+  g.idx.resize(m);
+  vector<int64_t> cur(g.ptr.begin(), g.ptr.end() - 1);
+  for (int64_t e = 0; e < m; e++) g.idx[cur[src[e]]++] = dst[e];
+  return g;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Topological order (Kahn).  Returns 0 on success, -1 if the graph has a
+// directed cycle (the engine, like the reference, requires a DAG for
+// chaining; reference src/AlignmentGraph.cpp:1298-1302).
+// out_order[i] = node at topo position i; out_rank[v] = topo position of v.
+int topo_order(int64_t n, int64_t m, const int64_t* src, const int64_t* dst,
+               int64_t* out_order, int64_t* out_rank) {
+  CSR g = build_csr(n, m, src, dst);
+  vector<int64_t> indeg(n, 0);
+  for (int64_t e = 0; e < m; e++) indeg[dst[e]]++;
+  int64_t qhead = 0, qtail = 0;
+  for (int64_t v = 0; v < n; v++)
+    if (indeg[v] == 0) out_order[qtail++] = v;
+  while (qhead < qtail) {
+    int64_t v = out_order[qhead++];
+    for (int64_t e = g.ptr[v]; e < g.ptr[v + 1]; e++) {
+      if (--indeg[g.idx[e]] == 0) out_order[qtail++] = g.idx[e];
+    }
+  }
+  if (qtail != n) return -1;
+  for (int64_t i = 0; i < n; i++) out_rank[out_order[i]] = i;
+  return 0;
+}
+
+// Undirected connected components.  Returns the number of components;
+// out_comp[v] = component id (components numbered by smallest member).
+int64_t connected_components(int64_t n, int64_t m, const int64_t* src,
+                             const int64_t* dst, int64_t* out_comp) {
+  // Union-find with path halving.
+  vector<int64_t> parent(n);
+  for (int64_t v = 0; v < n; v++) parent[v] = v;
+  auto find = [&](int64_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    return x;
+  };
+  for (int64_t e = 0; e < m; e++) {
+    int64_t a = find(src[e]), b = find(dst[e]);
+    if (a != b) parent[std::max(a, b)] = std::min(a, b);
+  }
+  int64_t ncomp = 0;
+  vector<int64_t> label(n, -1);
+  for (int64_t v = 0; v < n; v++) {
+    int64_t r = find(v);
+    if (label[r] == -1) label[r] = ncomp++;
+    out_comp[v] = label[r];
+  }
+  return ncomp;
+}
+
+// ---------------------------------------------------------------------------
+// Minimum path cover.
+//
+// Reference algorithm (src/AlignmentGraph.cpp:1267-1391): per weakly
+// connected component of the DAG,
+//   1. greedy cover: repeatedly take the path covering the most uncovered
+//      nodes (one topo DP sweep per path),
+//   2. shrink to minimum width via a min-flow reduction with lower bound 1
+//      on node through-edges, solved by BFS augmentation on the residual,
+//   3. last2reach index: for each node v and cover path k, the last node of
+//      path k that reaches v (strictly before v), propagated over topo order.
+//
+// This implementation works on the whole graph at once: a "virtual
+// component" structure is implied because paths can never cross component
+// boundaries.  Path ids k are assigned per component (k indexes restart at 0
+// for each component), matching the reference's per-component MPC.
+
+struct MPCResult {
+  // paths: ragged list of paths (global node ids, topo order along path).
+  vector<int64_t> path_offsets;  // npaths+1
+  vector<int64_t> path_nodes;
+  vector<int64_t> path_comp;     // component id per path
+  vector<int64_t> path_k;        // per-component path index k
+  // backwards index: per node v, pairs (u, k): last node u of component-path
+  // k (global node id) that reaches v strictly before v.
+  vector<int64_t> back_offsets;  // n+1
+  vector<int64_t> back_data;     // flattened (u, k) pairs
+  // node -> list of per-component path ids k through it
+  vector<int64_t> nodepath_offsets;  // n+1
+  vector<int64_t> nodepath_data;     // k values
+};
+
+static MPCResult* mpc_build_impl(int64_t n, int64_t m, const int64_t* src,
+                                 const int64_t* dst, const int64_t* comp,
+                                 int64_t ncomp) {
+  CSR out = build_csr(n, m, src, dst);
+
+  // Global topo order (valid within each component too).
+  vector<int64_t> order(n), rank(n);
+  if (topo_order(n, m, src, dst, order.data(), rank.data()) != 0) return nullptr;
+
+  // Group nodes by component, keeping topo order within each group.
+  vector<vector<int64_t>> comp_nodes(ncomp);
+  for (int64_t i = 0; i < n; i++) comp_nodes[comp[order[i]]].push_back(order[i]);
+
+  auto* res = new MPCResult();
+  res->path_offsets.push_back(0);
+  vector<vector<std::pair<int64_t, int64_t>>> backwards(n);
+  vector<vector<int64_t>> nodepaths(n);
+
+  for (int64_t c = 0; c < ncomp; c++) {
+    const vector<int64_t>& nodes = comp_nodes[c];  // topo-sorted
+    int64_t N = (int64_t)nodes.size();
+    // local index within component
+    // (reuse a global map array to avoid per-component hashing)
+    static thread_local vector<int64_t> lidx;
+    if ((int64_t)lidx.size() < n) lidx.resize(n, -1);
+    for (int64_t i = 0; i < N; i++) lidx[nodes[i]] = i;
+
+    // --- 1. Greedy cover ---------------------------------------------------
+    vector<vector<int64_t>> pc;  // local indices
+    vector<int64_t> covered(N, 0);
+    int64_t covered_cnt = 0;
+    vector<int64_t> gain(N), pred(N);
+    for (int64_t i = 0; i < N; i++) { gain[i] = 0; pred[i] = -1; }
+    while (covered_cnt < N) {
+      // One topo DP sweep: longest path by number of uncovered nodes.
+      int64_t best = -1;
+      for (int64_t i = 0; i < N; i++) {
+        int64_t v = nodes[i];
+        gain[i] += (covered[i] == 0) ? 1 : 0;
+        if (best == -1 || gain[i] > gain[best]) best = i;
+        for (int64_t e = out.ptr[v]; e < out.ptr[v + 1]; e++) {
+          int64_t j = lidx[out.idx[e]];
+          if (gain[j] < gain[i]) {
+            gain[j] = gain[i];
+            pred[j] = i;
+          }
+        }
+      }
+      // Backtrack path, trim covered prefix/suffix (reference
+      // AlignmentGraph.cpp:1303-1320).
+      vector<int64_t> tmp;
+      for (int64_t i = best; i != -1; i = pred[i]) tmp.push_back(i);
+      std::reverse(tmp.begin(), tmp.end());
+      int64_t l = 0, r = (int64_t)tmp.size() - 1;
+      while (l <= r && covered[tmp[l]]) l++;
+      while (r >= l && covered[tmp[r]]) r--;
+      vector<int64_t> path;
+      for (int64_t i = l; i <= r; i++) {
+        path.push_back(tmp[i]);
+        if (covered[tmp[i]] == 0) covered_cnt++;
+        covered[tmp[i]]++;
+      }
+      pc.push_back(path);
+      // Reset DP state for next sweep.
+      for (int64_t i = 0; i < N; i++) { gain[i] = 0; pred[i] = -1; }
+    }
+
+    // --- 2. Min-flow shrink ------------------------------------------------
+    // Residual flow network (reference AlignmentGraph.cpp:1157-1264):
+    // nodes: v_in = i, v_out = i + N, S = 2N, T = 2N+1.
+    // Edge with capacity cap, lower bound l, current flow f becomes
+    // residual arcs (i->j: f - l) and (j->i: cap - f).
+    int64_t K = (int64_t)pc.size();
+    if (K > 1) {
+      int64_t FN = 2 * N + 2, S = 2 * N, T = 2 * N + 1;
+      int64_t inf = K;
+      // adjacency: head/next/to/cap arrays, arcs paired (e, e^1)
+      vector<int64_t> head(FN, -1), nxt, to, cap;
+      auto add_arc = [&](int64_t a, int64_t b, int64_t ccap) {
+        to.push_back(b); cap.push_back(ccap); nxt.push_back(head[a]);
+        head[a] = (int64_t)to.size() - 1;
+      };
+      auto add = [&](int64_t a, int64_t b, int64_t ccap, int64_t l, int64_t f) {
+        add_arc(a, b, f - l);        // forward residual (can reduce flow)
+        add_arc(b, a, ccap - f);     // backward residual (can add flow)
+      };
+      // count flows from greedy cover
+      vector<int64_t> cov(N, 0), starts(N, 0), ends(N, 0);
+      std::map<std::pair<int64_t, int64_t>, int64_t> ecov;
+      for (auto& path : pc) {
+        for (size_t i = 0; i < path.size(); i++) {
+          cov[path[i]]++;
+          if (i > 0) ecov[{path[i - 1], path[i]}]++;
+        }
+        starts[path[0]]++;
+        ends[path.back()]++;
+      }
+      for (int64_t i = 0; i < N; i++) {
+        int64_t v = nodes[i];
+        for (int64_t e = out.ptr[v]; e < out.ptr[v + 1]; e++) {
+          int64_t j = lidx[out.idx[e]];
+          auto it = ecov.find({i, j});
+          int64_t f = (it == ecov.end()) ? 0 : it->second;
+          add(i + N, j, inf, 0, f);
+        }
+      }
+      for (int64_t i = 0; i < N; i++) {
+        add(i, i + N, inf, 1, cov[i]);
+        add(S, i, inf, 0, starts[i]);
+        add(i + N, T, inf, 0, ends[i]);
+      }
+      // BFS augmentation: reduce total flow while S->T residual path exists.
+      int64_t total = inf;
+      vector<int64_t> pre(FN), seen(FN), Q(FN);
+      while (true) {
+        std::fill(seen.begin(), seen.end(), 0);
+        std::fill(pre.begin(), pre.end(), -1);
+        int64_t qh = 0, qt = 0;
+        Q[qt++] = S;
+        seen[S] = 1;
+        while (qh < qt && !seen[T]) {
+          int64_t u = Q[qh++];
+          for (int64_t e = head[u]; e != -1; e = nxt[e]) {
+            if (cap[e] > 0 && !seen[to[e]]) {
+              seen[to[e]] = 1;
+              pre[to[e]] = e;
+              Q[qt++] = to[e];
+            }
+          }
+        }
+        if (!seen[T]) break;
+        int64_t flow = INT64_MAX;
+        for (int64_t u = T; pre[u] != -1; u = to[pre[u] ^ 1])
+          flow = std::min(flow, cap[pre[u]]);
+        for (int64_t u = T; pre[u] != -1; u = to[pre[u] ^ 1]) {
+          cap[pre[u]] -= flow;
+          cap[pre[u] ^ 1] += flow;
+        }
+        if (flow == 0) break;
+        total -= flow;
+      }
+      // Decompose the final flow back into `total` paths
+      // (reference AlignmentGraph.cpp:1241-1263): walk S->T consuming
+      // forward-arc flow.  Forward arc e (even) carries flow
+      // cap[e] (+1 for the in->out arcs whose lower bound is 1).
+      vector<vector<int64_t>> shrunk;
+      for (int64_t it = 0; it < total; it++) {
+        vector<int64_t> path;
+        int64_t u = S;
+        bool ok = true;
+        while (u != T) {
+          if (u >= 0 && u < N) path.push_back(u);
+          int64_t found = -1;
+          for (int64_t e = head[u]; e != -1; e = nxt[e]) {
+            if (e & 1) continue;  // only even (forward residual) arcs
+            int64_t f = cap[e] + ((u < N && to[e] == u + N) ? 1 : 0);
+            if (f > 0) {
+              found = to[e];
+              cap[e]--;
+              break;
+            }
+          }
+          if (found == -1) { ok = false; break; }
+          u = found;
+        }
+        if (ok && !path.empty()) shrunk.push_back(path);
+      }
+      if (!shrunk.empty()) pc = shrunk;
+    }
+
+    // --- 3. last2reach index ----------------------------------------------
+    K = (int64_t)pc.size();
+    vector<vector<int64_t>> l2r(N, vector<int64_t>(K, -1));
+    for (int64_t k = 0; k < K; k++)
+      for (size_t j = 0; j < pc[k].size(); j++) {
+        l2r[pc[k][j]][k] = (int64_t)j;
+        nodepaths[nodes[pc[k][j]]].push_back(k);
+      }
+    for (int64_t i = 0; i < N; i++) {
+      int64_t v = nodes[i];
+      for (int64_t e = out.ptr[v]; e < out.ptr[v + 1]; e++) {
+        int64_t j = lidx[out.idx[e]];
+        for (int64_t k = 0; k < K; k++)
+          if (l2r[j][k] < l2r[i][k]) l2r[j][k] = l2r[i][k];
+      }
+    }
+    for (int64_t i = 0; i < N; i++) {
+      for (int64_t k = 0; k < K; k++) {
+        int64_t idx = l2r[i][k];
+        // "strictly before v": step back if the pointer is v itself
+        // (reference AlignmentGraph.cpp:1373-1384).
+        if (idx != -1 && pc[k][idx] == i) idx--;
+        if (idx != -1)
+          backwards[nodes[i]].push_back({nodes[pc[k][idx]], k});
+      }
+    }
+
+    for (int64_t k = 0; k < K; k++) {
+      for (int64_t li : pc[k]) res->path_nodes.push_back(nodes[li]);
+      res->path_offsets.push_back((int64_t)res->path_nodes.size());
+      res->path_comp.push_back(c);
+      res->path_k.push_back(k);
+    }
+  }
+
+  res->back_offsets.push_back(0);
+  for (int64_t v = 0; v < n; v++) {
+    for (auto& p : backwards[v]) {
+      res->back_data.push_back(p.first);
+      res->back_data.push_back(p.second);
+    }
+    res->back_offsets.push_back((int64_t)res->back_data.size() / 2);
+  }
+  res->nodepath_offsets.push_back(0);
+  for (int64_t v = 0; v < n; v++) {
+    for (int64_t k : nodepaths[v]) res->nodepath_data.push_back(k);
+    res->nodepath_offsets.push_back((int64_t)res->nodepath_data.size());
+  }
+  return res;
+}
+
+void* mpc_build(int64_t n, int64_t m, const int64_t* src, const int64_t* dst,
+                const int64_t* comp, int64_t ncomp) {
+  return (void*)mpc_build_impl(n, m, src, dst, comp, ncomp);
+}
+
+// sizes: [npaths, total_path_nodes, total_back_pairs, total_nodepath]
+void mpc_sizes(void* h, int64_t* sizes) {
+  auto* r = (MPCResult*)h;
+  sizes[0] = (int64_t)r->path_comp.size();
+  sizes[1] = (int64_t)r->path_nodes.size();
+  sizes[2] = (int64_t)r->back_data.size() / 2;
+  sizes[3] = (int64_t)r->nodepath_data.size();
+}
+
+void mpc_copy(void* h, int64_t* path_offsets, int64_t* path_nodes,
+              int64_t* path_comp, int64_t* path_k, int64_t* back_offsets,
+              int64_t* back_data, int64_t* nodepath_offsets,
+              int64_t* nodepath_data) {
+  auto* r = (MPCResult*)h;
+  std::memcpy(path_offsets, r->path_offsets.data(),
+              r->path_offsets.size() * 8);
+  std::memcpy(path_nodes, r->path_nodes.data(), r->path_nodes.size() * 8);
+  std::memcpy(path_comp, r->path_comp.data(), r->path_comp.size() * 8);
+  std::memcpy(path_k, r->path_k.data(), r->path_k.size() * 8);
+  std::memcpy(back_offsets, r->back_offsets.data(),
+              r->back_offsets.size() * 8);
+  std::memcpy(back_data, r->back_data.data(), r->back_data.size() * 8);
+  std::memcpy(nodepath_offsets, r->nodepath_offsets.data(),
+              r->nodepath_offsets.size() * 8);
+  std::memcpy(nodepath_data, r->nodepath_data.data(),
+              r->nodepath_data.size() * 8);
+}
+
+void mpc_free(void* h) { delete (MPCResult*)h; }
+
+// ---------------------------------------------------------------------------
+// Bounded BFS chain paths (reference getChainPath,
+// src/AlignmentGraph.cpp:1866-1916): for each query (s, t), find an
+// unweighted-BFS s->t node path, expanding only nodes whose accumulated
+// path length (sum of node lengths) is <= limit.  Batched over queries.
+
+struct PathsResult {
+  vector<int64_t> offsets;  // nq+1
+  vector<int64_t> data;     // concatenated node paths (empty if unreachable)
+};
+
+void* chain_paths(int64_t n, int64_t m, const int64_t* src, const int64_t* dst,
+                  const int64_t* node_len, int64_t nq, const int64_t* qs,
+                  const int64_t* qt, const int64_t* qlimit) {
+  CSR g = build_csr(n, m, src, dst);
+  auto* res = new PathsResult();
+  res->offsets.push_back(0);
+  vector<int64_t> vis(n, 0), dis(n), pre(n), Q;
+  Q.reserve(1024);
+  int64_t flag = 0;
+  for (int64_t q = 0; q < nq; q++) {
+    int64_t S = qs[q], T = qt[q], lim = qlimit[q];
+    flag++;
+    Q.clear();
+    Q.push_back(S);
+    vis[S] = flag;
+    dis[S] = 0;
+    for (size_t i = 0; i < Q.size() && vis[T] != flag; i++) {
+      int64_t s = Q[i];
+      if (dis[s] > lim) continue;
+      for (int64_t e = g.ptr[s]; e < g.ptr[s + 1]; e++) {
+        int64_t t = g.idx[e];
+        if (vis[t] != flag) {
+          vis[t] = flag;
+          dis[t] = dis[s] + node_len[t];
+          pre[t] = s;
+          Q.push_back(t);
+        }
+      }
+    }
+    if (vis[T] == flag) {
+      vector<int64_t> tmp;
+      for (int64_t i = T; i != S; i = pre[i]) tmp.push_back(i);
+      tmp.push_back(S);
+      for (auto it = tmp.rbegin(); it != tmp.rend(); ++it)
+        res->data.push_back(*it);
+    }
+    res->offsets.push_back((int64_t)res->data.size());
+  }
+  return (void*)res;
+}
+
+void paths_sizes(void* h, int64_t* sizes) {
+  auto* r = (PathsResult*)h;
+  sizes[0] = (int64_t)r->offsets.size() - 1;
+  sizes[1] = (int64_t)r->data.size();
+}
+
+void paths_copy(void* h, int64_t* offsets, int64_t* data) {
+  auto* r = (PathsResult*)h;
+  std::memcpy(offsets, r->offsets.data(), r->offsets.size() * 8);
+  std::memcpy(data, r->data.data(), r->data.size() * 8);
+}
+
+void paths_free(void* h) { delete (PathsResult*)h; }
+
+}  // extern "C"

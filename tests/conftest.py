@@ -1,0 +1,41 @@
+"""Test config: force an 8-device virtual CPU mesh before JAX initializes.
+
+Multi-chip sharding is validated on virtual CPU devices (the real
+environment has a single TPU chip); Pallas kernels run in interpret mode on
+CPU (handled inside the ops modules).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12345)
+
+
+@pytest.fixture(scope="session")
+def toy_gfa(tmp_path_factory):
+    """The reference's 4-node bubble toy graph (test/graph.gfa)."""
+    p = tmp_path_factory.mktemp("data") / "graph.gfa"
+    p.write_text(
+        "S\t1\tACGTCATGCAGTCGTAACGTAGTCGTCACAGTCAGTCGTAGCTA\n"
+        "S\t2\tA\n"
+        "S\t3\tT\n"
+        "S\t4\tGTAGCGTCAGTCAGTCAGTCGTAGCGTAACGTCGTAGTCAGT\n"
+        "L\t1\t+\t2\t+\t0M\n"
+        "L\t1\t+\t3\t+\t0M\n"
+        "L\t2\t+\t4\t+\t0M\n"
+        "L\t3\t+\t4\t+\t0M\n")
+    return str(p)
+
+
+TOY_READ = ("TCATCCACGTCGTAACGTAGTCGTCACAGTCAGTCGTAGCTAAGTACGTCAAGTCAGACAGT"
+            "CGTAGCGTA")
