@@ -1,0 +1,211 @@
+"""Fragment anchoring: host job assembly around seeds + anchor extraction.
+
+Re-design of the reference's fragment loop (src/Aligner.cpp:656-733): each
+long read is split into fragments of `colinear_split_len` every
+`colinear_split_gap` bases; each fragment is aligned around a seed hit with
+the banded bitvector DP, producing an Anchor (split-node path + read
+interval [x, y]) for the co-linear chaining stage.
+
+A fragment with a seed at read row r0 and graph position (v, o) becomes two
+kernel jobs sharing one batch:
+  forward:  rows read[r0 : frag_end)  on the forward graph, band grown from
+            node v trimmed to start at offset o;
+  backward: rows reversed(read[frag_start : r0)) on the edge-reversed graph
+            (node sequences reversed, NOT complemented), band grown from
+            node v trimmed to its first o bases (reversed).
+The two half-alignments are joined at the seed into one anchor path.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from graphchainer_tpu import native
+from graphchainer_tpu.constants import MAX_IN_DEGREE
+from graphchainer_tpu.graph.alignment_graph import AlignmentGraph
+from graphchainer_tpu.ops import frag_align
+from graphchainer_tpu.utils.bits import reverse_eq_planes
+from graphchainer_tpu.utils.seq import match_masks
+
+W = 32
+
+
+@dataclass
+class Anchor:
+    """Co-linear chaining anchor (reference src/AlignmentGraph.h:112-115)."""
+    path: List[int]          # split-node ids, consecutive along edges
+    x: int                   # read interval start (inclusive)
+    y: int                   # read interval end (inclusive)
+    score: int = 0           # DP edit cost of the fragment alignment
+
+
+@dataclass
+class GraphTensors:
+    """Device/host-side tensors derived from the AlignmentGraph once."""
+    g: AlignmentGraph
+    node_eq_rev: np.ndarray      # uint32 [N,4] reversed-sequence planes
+    out_ptr: np.ndarray
+    out_idx: np.ndarray
+    in_ptr: np.ndarray
+    in_idx: np.ndarray
+    node_len64: np.ndarray
+
+    @staticmethod
+    def build(g: AlignmentGraph) -> "GraphTensors":
+        return GraphTensors(
+            g=g,
+            node_eq_rev=reverse_eq_planes(g.node_eq, g.node_len),
+            out_ptr=g.out_ptr.astype(np.int64),
+            out_idx=g.out_idx.astype(np.int64),
+            in_ptr=g.in_ptr.astype(np.int64),
+            in_idx=g.in_idx.astype(np.int64),
+            node_len64=g.node_len.astype(np.int64))
+
+
+@dataclass
+class FragJob:
+    rmm: np.ndarray      # (rows,) uint8 read-row match masks (bwd: reversed)
+    seed_node: int
+    seed_trim_len: int   # seed slot length after trimming
+    reverse: bool
+
+
+def build_jobs(read_mm: np.ndarray, frag_start: int, frag_end: int,
+               seed_node: int, seed_offset: int, seed_row: int,
+               g: AlignmentGraph) -> Tuple[FragJob, FragJob]:
+    """Make the (forward, backward) job pair for one fragment+seed."""
+    node_len = int(g.node_len[seed_node])
+    fwd = FragJob(rmm=read_mm[seed_row:frag_end], seed_node=seed_node,
+                  seed_trim_len=node_len - seed_offset, reverse=False)
+    bwd = FragJob(rmm=read_mm[frag_start:seed_row][::-1],
+                  seed_node=seed_node, seed_trim_len=seed_offset,
+                  reverse=True)
+    return fwd, bwd
+
+
+def assemble_batch(gx: GraphTensors, jobs: Sequence[FragJob], B: int,
+                   max_in: int = MAX_IN_DEGREE, slack: int = 8):
+    """Build kernel input tensors for a batch of jobs.
+
+    Returns (band_nodes [F,B] int64, band_eq, band_len, band_in, req,
+    frag_len, n_slices)."""
+    g = gx.g
+    F = len(jobs)
+    rows = np.array([max(1, len(j.rmm)) for j in jobs], dtype=np.int32)
+    S = int(max(1, -(-int(rows.max()) // W)))
+
+    # band selection, forward and backward seeds in separate native calls
+    band_nodes = np.full((F, B), -1, dtype=np.int64)
+    band_in = np.full((F, B, max_in), -1, dtype=np.int64)
+    for rev in (False, True):
+        sel = [i for i, j in enumerate(jobs) if j.reverse == rev]
+        if not sel:
+            continue
+        seeds = np.array([jobs[i].seed_node for i in sel], dtype=np.int64)
+        slens = np.array([jobs[i].seed_trim_len for i in sel],
+                         dtype=np.int64)
+        max_bp = int(rows[sel].max()) + slack
+        ptr, idx = (gx.in_ptr, gx.in_idx) if rev else (gx.out_ptr, gx.out_idx)
+        bn, bi = native.band_build(g.n_nodes, ptr, idx, gx.node_len64,
+                                   seeds, slens, B, max_bp, max_in, rev)
+        band_nodes[sel] = bn
+        band_in[sel] = bi
+
+    # gather eq planes / lengths; trim seed slots
+    safe = np.clip(band_nodes, 0, g.n_nodes - 1)
+    eq_fwd = g.node_eq[safe]              # (F,B,4)
+    eq_bwd = gx.node_eq_rev[safe]
+    is_rev = np.array([j.reverse for j in jobs], dtype=bool)
+    band_eq = np.where(is_rev[:, None, None], eq_bwd, eq_fwd)
+    band_len = np.where(band_nodes >= 0, g.node_len[safe], 0).astype(np.int32)
+    # seed trimming: drop (len - trim_len) columns from the start
+    trim_len = np.array([j.seed_trim_len for j in jobs], dtype=np.int32)
+    shift = (band_len[:, 0] - trim_len).astype(np.uint32)
+    band_eq = band_eq.copy()
+    band_eq[:, 0, :] = band_eq[:, 0, :] >> shift[:, None]
+    band_len[:, 0] = trim_len
+
+    # read-row match planes
+    req = np.zeros((F, S, 4), dtype=np.uint32)
+    for i, j in enumerate(jobs):
+        mm = j.rmm
+        for s in range(S):
+            chunk = mm[s * W:(s + 1) * W]
+            if len(chunk) == 0:
+                continue
+            bits = np.arange(len(chunk), dtype=np.uint32)
+            for b in range(4):
+                req[i, s, b] = np.bitwise_or.reduce(
+                    (((chunk >> b) & 1).astype(np.uint32)) << bits)
+
+    return (band_nodes, band_eq.astype(np.uint32), band_len,
+            band_in.astype(np.int32), req, rows, S)
+
+
+def backwalk(best_in: np.ndarray, band_nodes: np.ndarray, end_slot: int,
+             end_slice: int) -> Optional[List[int]]:
+    """Walk best_in pointers from (end_slot, end_slice) to the seed slot.
+    Returns the slot sequence [end ... seed] or None on a broken walk."""
+    B, S = best_in.shape
+    slot, s = int(end_slot), int(end_slice)
+    out = [slot]
+    for _ in range(B * S + 4):
+        e = int(best_in[slot, s])
+        if e == frag_align.IN_SEED:
+            return out
+        if e == frag_align.IN_VERT:
+            s -= 1
+            if s < 0:
+                return None
+            continue
+        if e < 0:
+            return None
+        slot = e
+        out.append(slot)
+    return None
+
+
+def extract_anchor(g: AlignmentGraph, jobs: Sequence[FragJob],
+                   band_nodes: np.ndarray, res, fi_fwd: int, fi_bwd: int,
+                   frag_start: int, frag_end: int, seed_node: int,
+                   rows: np.ndarray) -> Optional[Anchor]:
+    """Join the forward and backward half-walks of one fragment into an
+    Anchor.  fi_bwd < 0 means no backward half (seed at fragment start)."""
+    best_in = np.asarray(res.best_in)
+    end_slot_f = int(res.best_slot[fi_fwd])
+    sc_f = int(res.best_score[fi_fwd])
+    end_slice_f = (int(rows[fi_fwd]) - 1) // W
+    walk_f = backwalk(best_in[fi_fwd], band_nodes[fi_fwd], end_slot_f,
+                      end_slice_f)
+    if walk_f is None or sc_f >= frag_align.BIG:
+        return None
+    path_f = [int(band_nodes[fi_fwd][s]) for s in reversed(walk_f)]
+
+    score = sc_f
+    path_b: List[int] = []
+    if fi_bwd >= 0 and len(jobs[fi_bwd].rmm) > 0:
+        sc_b = int(res.best_score[fi_bwd])
+        end_slice_b = (int(rows[fi_bwd]) - 1) // W
+        walk_b = backwalk(best_in[fi_bwd], band_nodes[fi_bwd],
+                          int(res.best_slot[fi_bwd]), end_slice_b)
+        if walk_b is None or sc_b >= frag_align.BIG:
+            return None
+        score += sc_b
+        # bwd walk [end ... seed] is already in original path order
+        path_b = [int(band_nodes[fi_bwd][s]) for s in walk_b]
+
+    # join at the seed node (slot 0 on both sides == seed_node)
+    assert path_f[0] == seed_node
+    if path_b:
+        assert path_b[-1] == seed_node
+        path = path_b[:-1] + path_f
+    else:
+        path = path_f
+    # drop consecutive duplicates (paranoia)
+    dedup = [path[0]]
+    for p in path[1:]:
+        if p != dedup[-1]:
+            dedup.append(p)
+    return Anchor(path=dedup, x=frag_start, y=frag_end - 1, score=score)

@@ -1,0 +1,127 @@
+"""Scalar reference oracle: textbook sequence-to-DAG edit distance DP.
+
+Slow but exact (NumPy, per-character vertices).  This is the ground truth
+that every device kernel is validated against (SURVEY.md §7.2 step 2); it
+mirrors what the reference validates with EXTRACORRECTNESSASSERTIONS
+cell-recomputation checks (reference src/GraphAlignerBitvectorBanded.h:147).
+
+Recurrence (Navarro 2000 sequence-to-graph edit distance), for character
+vertex v with predecessors pred(v), read R (rows j = 1..|R|):
+
+  D[v, j] = min( D[u, j-1] + (R[j] matches base(v) ? 0 : 1)   for u in pred(v),
+                 D[v, j-1] + 1,
+                 D[u, j]   + 1                                for u in pred(v),
+                 inject[v] + (j-1) + (R[j] matches base(v) ? 0 : 1),
+                 inject[v] + j + 1 )
+
+`inject[v]` is the cost of a virtual boundary column sitting just BEFORE
+char v (its row-j score is inject[v] + j): the uniform way to express
+"alignment may start at graph position v with cost inject[v]".  A seed
+exact-start is inject[seed]=0, everything else BIG.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from graphchainer_tpu.graph.alignment_graph import AlignmentGraph
+from graphchainer_tpu.utils.seq import match_masks
+
+BIG = np.int64(1 << 28)
+
+
+@dataclass
+class CharGraph:
+    """Per-character expansion of (a sub-DAG of) the alignment graph."""
+    n: int
+    # CSR of predecessor char-vertices; vertex ids are topo-ordered
+    pred_ptr: np.ndarray
+    pred_idx: np.ndarray
+    match_mask: np.ndarray       # uint8 [n]: 4-bit base match mask
+    node_of: np.ndarray          # int64 [n]: split node id
+    offset_of: np.ndarray        # int64 [n]: offset within split node
+
+    def char_id(self, node: int, offset: int) -> int:
+        hit = np.nonzero((self.node_of == node) & (self.offset_of == offset))[0]
+        assert len(hit) == 1
+        return int(hit[0])
+
+
+def build_char_graph(g: AlignmentGraph,
+                     nodes: Optional[np.ndarray] = None) -> CharGraph:
+    """Expand split nodes (default: all) into one vertex per base.
+
+    `nodes` must be sorted split node ids (global ids are topo ranks, so
+    sorted == topo-sorted).  Edges from nodes outside the subset are
+    dropped (out-of-band boundary, as in the banded kernel).
+    """
+    if nodes is None:
+        nodes = np.arange(g.n_nodes, dtype=np.int64)
+    nodes = np.asarray(nodes, dtype=np.int64)
+    sel = {int(v): i for i, v in enumerate(nodes)}
+    first_char = np.zeros(len(nodes) + 1, dtype=np.int64)
+    np.cumsum(g.node_len[nodes], out=first_char[1:])
+    n = int(first_char[-1])
+    node_of = np.repeat(nodes, g.node_len[nodes])
+    offset_of = np.concatenate(
+        [np.arange(g.node_len[v], dtype=np.int64) for v in nodes]) \
+        if len(nodes) else np.zeros(0, dtype=np.int64)
+    mm = np.concatenate([match_masks(g.node_seq(int(v))) for v in nodes]) \
+        if len(nodes) else np.zeros(0, dtype=np.uint8)
+
+    preds: List[List[int]] = [[] for _ in range(n)]
+    for i, v in enumerate(nodes):
+        base = int(first_char[i])
+        ln = int(g.node_len[v])
+        for o in range(1, ln):
+            preds[base + o].append(base + o - 1)
+        # incoming node edges attach to the node's first char
+        for u in g.in_neighbors(int(v)):
+            if int(u) in sel:
+                iu = sel[int(u)]
+                preds[base].append(int(first_char[iu])
+                                   + int(g.node_len[int(u)]) - 1)
+    pred_ptr = np.zeros(n + 1, dtype=np.int64)
+    pred_ptr[1:] = np.cumsum([len(p) for p in preds])
+    pred_idx = np.concatenate([np.asarray(p, dtype=np.int64)
+                               for p in preds]) if n else np.zeros(0, np.int64)
+    return CharGraph(n=n, pred_ptr=pred_ptr, pred_idx=pred_idx,
+                     match_mask=mm, node_of=node_of, offset_of=offset_of)
+
+
+def dag_dp(cg: CharGraph, read: str, inject: np.ndarray) -> np.ndarray:
+    """Full DP table D[v, j], j=0..len(read), from per-vertex boundary
+    injection costs (see module docstring)."""
+    R = len(read)
+    rmm = match_masks(read)
+    idx = np.arange(R + 1, dtype=np.int64)
+    D = np.empty((cg.n, R + 1), dtype=np.int64)
+    for v in range(cg.n):
+        bound = np.minimum(inject[v] + idx, BIG)   # virtual column before v
+        ps = cg.pred_idx[cg.pred_ptr[v]:cg.pred_ptr[v + 1]]
+        if len(ps):
+            inc = np.minimum(np.min(D[ps], axis=0), bound)
+        else:
+            inc = bound
+        sub = ((rmm.astype(np.int64) & int(cg.match_mask[v])) == 0).astype(np.int64)
+        t = np.empty(R + 1, dtype=np.int64)
+        t[0] = inc[0] + 1
+        t[1:] = np.minimum(inc[:-1] + sub, inc[1:] + 1)
+        # vertical closure: D[v,j] = min_{p<=j} t[p] + (j - p)
+        D[v] = np.minimum.accumulate(t - idx) + idx
+        np.minimum(D[v], BIG, out=D[v])
+    return D
+
+
+def extend_from_seed(g: AlignmentGraph, read: str, seed_node: int,
+                     seed_offset: int, nodes: Optional[np.ndarray] = None
+                     ) -> Tuple[CharGraph, np.ndarray]:
+    """Oracle extension DP: align `read` forward with the alignment forced
+    to start exactly at graph position (seed_node, seed_offset): read[0]
+    consumes that char diagonally (or is inserted before it)."""
+    cg = build_char_graph(g, nodes)
+    inject = np.full(cg.n, BIG, dtype=np.int64)
+    inject[cg.char_id(seed_node, seed_offset)] = 0
+    return cg, dag_dp(cg, read, inject)

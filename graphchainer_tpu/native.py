@@ -49,6 +49,9 @@ def get_lib() -> ctypes.CDLL:
         lib.mpc_sizes.argtypes = [ctypes.c_void_p, _I64P]
         lib.mpc_copy.argtypes = [ctypes.c_void_p] + [_I64P] * 8
         lib.mpc_free.argtypes = [ctypes.c_void_p]
+        lib.band_build.argtypes = ([ctypes.c_int64, _I64P, _I64P, _I64P,
+                                    ctypes.c_int64, _I64P, _I64P]
+                                   + [ctypes.c_int64] * 4 + [_I64P, _I64P])
         lib.chain_paths.restype = ctypes.c_void_p
         lib.paths_sizes.argtypes = [ctypes.c_void_p, _I64P]
         lib.paths_copy.argtypes = [ctypes.c_void_p, _I64P, _I64P]
@@ -129,6 +132,32 @@ def mpc_build(n: int, src: np.ndarray, dst: np.ndarray, comp: np.ndarray,
                 back_offsets=back_offsets, back_node=back[:, 0].copy(),
                 back_k=back[:, 1].copy(),
                 nodepath_offsets=nodepath_offsets, nodepath_k=nodepath_k)
+
+
+def band_build(n: int, ptr: np.ndarray, idx: np.ndarray,
+               node_len: np.ndarray, seed_nodes: np.ndarray,
+               seed_lens: np.ndarray, B: int, max_bp: int, max_in: int,
+               descending: bool):
+    """Per-seed DP band selection (see native band_build).  `ptr`/`idx` is
+    the CSR of the traversal direction (out-edges for forward extension,
+    in-edges for backward).  Returns (nodes [S,B], in_edges [S,B,max_in]),
+    -1 padded, slot 0 = seed."""
+    lib = get_lib()
+    ptr = np.ascontiguousarray(ptr, dtype=np.int64)
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    node_len = np.ascontiguousarray(node_len, dtype=np.int64)
+    seed_nodes = np.ascontiguousarray(seed_nodes, dtype=np.int64)
+    seed_lens = np.ascontiguousarray(seed_lens, dtype=np.int64)
+    ns = len(seed_nodes)
+    out_nodes = np.empty(ns * B, dtype=np.int64)
+    out_in = np.empty(ns * B * max_in, dtype=np.int64)
+    lib.band_build(ctypes.c_int64(n), _ptr(ptr), _ptr(idx), _ptr(node_len),
+                   ctypes.c_int64(ns), _ptr(seed_nodes), _ptr(seed_lens),
+                   ctypes.c_int64(B), ctypes.c_int64(max_bp),
+                   ctypes.c_int64(max_in), ctypes.c_int64(int(descending)),
+                   _ptr(out_nodes), _ptr(out_in))
+    return (out_nodes.reshape(ns, B),
+            out_in.reshape(ns, B, max_in))
 
 
 def chain_paths(n: int, src: np.ndarray, dst: np.ndarray,

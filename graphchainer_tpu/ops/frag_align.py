@@ -1,0 +1,309 @@
+"""Banded fragment-to-graph extension kernel (the flagship DP).
+
+TPU re-design of the reference's GraphAlignerBitvectorBanded
+(src/GraphAlignerBitvectorBanded.h) + bitvector common kernel
+(src/GraphAlignerBitvectorCommon.h:243-263,885-1030):
+
+* The reference discovers the band per 64-row slice with a priority-queue
+  flood fill and re-queues nodes whose values improve.  Here the band is a
+  FIXED set of B node slots selected around the seed by the host band
+  builder (bounded-bp BFS), topologically sorted, and each slice is computed
+  in ONE pass over slots: on a DAG, in-band dependencies only point to
+  earlier slots, so no re-queueing is needed.
+
+* Exactness argument (in-band cells): all candidate words are monotone
+  overestimates of the true DP, and for every true shortest path each cell
+  is reached by at least one exact candidate:
+    - the in-edge advance with hin = sign(prev_col0_bottom - boundary(u))
+      is exact for the contributing edge (the true horizontal boundary
+      delta is always >= -1 impossible... see ops docstrings) and an
+      overestimate otherwise,
+    - an explicit vertical candidate source_word(prev_col0_bottom) carries
+      the own-column insertion path across slices,
+    - within-node columns use the exact recorded HP/HN horizontal deltas.
+
+* Everything is vectorized over (fragments x band slots): the sequential
+  dimensions are slots (topo chain) and the <=32 columns of each node.
+
+State per (fragment, slot): end-column word (evp, evn, esb), column-0
+bottom score (ssb), horizontal boundary masks (hp, hn), per-slice best
+incoming edge for path backwalk.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from graphchainer_tpu.ops import myers
+from graphchainer_tpu.ops.myers import advance_word, merge_words, source_word
+
+BIG = jnp.int32(1 << 28)
+W = 32
+
+# best_in codes (values >= 0 are band slot indices)
+IN_NONE = -1      # no incoming candidate won (inactive slot)
+IN_SEED = -2      # seed boundary injection (path starts here)
+IN_VERT = -3      # vertical continuation from previous slice, same slot
+
+
+class FragResult(NamedTuple):
+    end_score: jax.Array   # (F, B) int32: score at the fragment's last row,
+                           # minimized over the slot's columns
+    end_col: jax.Array     # (F, B) int32: argmin column
+    best_in: jax.Array     # (F, B, S) int32: winning incoming candidate
+    best_score: jax.Array  # (F,) int32 overall best end score
+    best_slot: jax.Array   # (F,) int32 argmin slot
+
+
+def _above_mask(r):
+    """uint32 mask of bits strictly above row r."""
+    return jnp.where(r < W - 1,
+                     (jnp.uint32(0xFFFFFFFF) << (r.astype(jnp.uint32) + 1)),
+                     jnp.uint32(0))
+
+
+def _score_at_row(vp, vn, sb, r_mask):
+    pc = jax.lax.population_count
+    return (sb - pc(vp & r_mask).astype(jnp.int32)
+            + pc(vn & r_mask).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("n_slices", "max_in"))
+def align_fragments(band_eq: jax.Array, band_len: jax.Array,
+                    band_in: jax.Array, req: jax.Array, frag_len: jax.Array,
+                    n_slices: int, max_in: int) -> FragResult:
+    """Run the banded DP.
+
+    band_eq:  (F, B, 4) uint32  per-slot Eq bitplanes over node columns
+                                 (seed slot pre-trimmed by the host)
+    band_len: (F, B) int32      columns per slot (0 = empty; slot 0 with
+                                 len 0 = pure-boundary seed)
+    band_in:  (F, B, max_in) int32  in-edge slot ids (< slot), -1 = none
+    req:      (F, S, 4) uint32  read-row match planes per slice
+    frag_len: (F,) int32        fragment rows (1..S*32)
+    """
+    F, B, _ = band_eq.shape
+    S = n_slices
+
+    end_slice = (frag_len - 1) // W          # (F,)
+    end_row_mask = _above_mask((frag_len - 1) % W)
+
+    active = band_len > 0                    # (F, B)
+    is_seed = jnp.arange(B) == 0             # (B,)
+
+    # Per-slot per-column Eq words: eq_cols[f, b, c] = OR_base
+    # req[f, s, base] where column c of slot b matches base.  Computed per
+    # slice inside the loop (depends on s through req).
+
+    def eq_for_col(req_s, col_bits):
+        # req_s: (F, 4) uint32; col_bits: (F, B, 4) 0/1 of column c
+        return (req_s[:, None, 0] * col_bits[..., 0]
+                | req_s[:, None, 1] * col_bits[..., 1]
+                | req_s[:, None, 2] * col_bits[..., 2]
+                | req_s[:, None, 3] * col_bits[..., 3])
+
+    zero32 = jnp.zeros((F, B), jnp.uint32)
+    state = dict(
+        evp=zero32, evn=zero32, esb=jnp.full((F, B), BIG, jnp.int32),
+        ssb=jnp.full((F, B), BIG, jnp.int32),
+        hp=zero32, hn=zero32,
+        end_score=jnp.full((F, B), BIG, jnp.int32),
+        end_col=jnp.zeros((F, B), jnp.int32),
+        best_in=jnp.full((F, B, S), IN_NONE, jnp.int32),
+    )
+
+    # The seed boundary word B0: score_before_start 0, all-insertion column.
+    b0_vp, b0_vn, b0_sb = source_word(jnp.zeros((F,), jnp.int32))
+
+    for s in range(S):
+        req_s = req[:, s]                     # (F, 4)
+        prev_ssb = state["ssb"]
+        prev_hp, prev_hn = state["hp"], state["hn"]
+        prev_exists = (s > 0)
+
+        evp_all, evn_all, esb_all = state["evp"], state["evn"], state["esb"]
+        new_ssb = jnp.full((F, B), BIG, jnp.int32)
+        new_hp = jnp.zeros((F, B), jnp.uint32)
+        new_hn = jnp.zeros((F, B), jnp.uint32)
+        new_end_score = state["end_score"]
+        new_end_col = state["end_col"]
+        best_in_s = jnp.full((F, B), IN_NONE, jnp.int32)
+
+        carry = (evp_all, evn_all, esb_all, new_ssb, new_hp, new_hn,
+                 new_end_score, new_end_col, best_in_s)
+
+        def slot_body(b, carry):
+            (evp_all, evn_all, esb_all, new_ssb, new_hp, new_hn,
+             new_end_score, new_end_col, best_in_s) = carry
+
+            slot_eq = jax.lax.dynamic_slice_in_dim(band_eq, b, 1, 1)[:, 0]
+            slot_len = jax.lax.dynamic_slice_in_dim(band_len, b, 1, 1)[:, 0]
+            slot_in = jax.lax.dynamic_slice_in_dim(band_in, b, 1, 1)[:, 0]
+            slot_prev_ssb = jax.lax.dynamic_slice_in_dim(
+                prev_ssb, b, 1, 1)[:, 0]
+            slot_prev_hp = jax.lax.dynamic_slice_in_dim(prev_hp, b, 1, 1)[:, 0]
+            slot_prev_hn = jax.lax.dynamic_slice_in_dim(prev_hn, b, 1, 1)[:, 0]
+            slot_active = slot_len > 0
+            slot_is_seed = (b == 0)
+
+            col0_bits = ((slot_eq >> jnp.uint32(0)) & jnp.uint32(1))  # (F,4)
+            eq0 = (req_s[:, 0] * col0_bits[:, 0]
+                   | req_s[:, 1] * col0_bits[:, 1]
+                   | req_s[:, 2] * col0_bits[:, 2]
+                   | req_s[:, 3] * col0_bits[:, 3])
+
+            # ---- column-0 candidates -------------------------------------
+            cvp = jnp.zeros((F,), jnp.uint32)
+            cvn = jnp.zeros((F,), jnp.uint32)
+            csb = jnp.full((F,), BIG, jnp.int32)
+            cbest = jnp.full((F,), IN_NONE, jnp.int32)
+
+            # merge must not mix garbage: represent "invalid" as BIG-score
+            # all-insertion words so merges are no-ops.
+            def sanitize(wvp, wvn, wsb, valid):
+                return (jnp.where(valid, wvp, jnp.uint32(0xFFFFFFFF)),
+                        jnp.where(valid, wvn, jnp.uint32(0)),
+                        jnp.where(valid, wsb, BIG))
+
+            # seed injection (slice 0 only)
+            if not prev_exists:
+                svp, svn, ssb0 = b0_vp, b0_vn, b0_sb
+                seed_valid = jnp.full((F,), slot_is_seed) & (slot_len >= 0)
+                avp, avn, asb, _ = advance_word(
+                    svp, svn, ssb0, eq0, jnp.int32(1))
+                avp, avn, asb = sanitize(avp, avn, asb, seed_valid)
+                better = asb < csb
+                mvp, mvn, msb = merge_words(cvp, cvn, csb, avp, avn, asb)
+                cvp, cvn, csb = mvp, mvn, msb
+                cbest = jnp.where(seed_valid & better, IN_SEED, cbest)
+
+            # vertical continuation from previous slice
+            if prev_exists:
+                vvp, vvn, vsb = source_word(slot_prev_ssb)
+                valid = slot_active & (slot_prev_ssb < BIG)
+                vvp, vvn, vsb = sanitize(vvp, vvn, vsb, valid)
+                better = vsb < csb
+                cvp, cvn, csb = merge_words(cvp, cvn, csb, vvp, vvn, vsb)
+                cbest = jnp.where(valid & better, IN_VERT, cbest)
+
+            # in-edges
+            for e in range(max_in):
+                u = slot_in[:, e]                      # (F,)
+                valid = (u >= 0) & slot_active
+                uc = jnp.clip(u, 0, B - 1)
+                uvp = jnp.take_along_axis(evp_all, uc[:, None], 1)[:, 0]
+                uvn = jnp.take_along_axis(evn_all, uc[:, None], 1)[:, 0]
+                usb = jnp.take_along_axis(esb_all, uc[:, None], 1)[:, 0]
+                valid &= usb < BIG
+                if prev_exists:
+                    ubs = myers.score_before_start(uvp, uvn, usb)
+                    hin = jnp.clip(slot_prev_ssb - ubs, -1, 1)
+                    hin = jnp.where(slot_prev_ssb >= BIG, jnp.int32(1), hin)
+                else:
+                    hin = jnp.int32(1)
+                avp, avn, asb, _ = advance_word(uvp, uvn, usb, eq0, hin)
+                avp, avn, asb = sanitize(avp, avn, asb, valid)
+                better = asb < csb
+                cvp, cvn, csb = merge_words(cvp, cvn, csb, avp, avn, asb)
+                cbest = jnp.where(valid & better, u, cbest)
+
+            # len-0 seed slot: the boundary word itself is the end word.
+            if not prev_exists:
+                len0_seed = jnp.full((F,), slot_is_seed) & (slot_len == 0)
+                cvp = jnp.where(len0_seed, b0_vp, cvp)
+                cvn = jnp.where(len0_seed, b0_vn, cvn)
+                csb = jnp.where(len0_seed, b0_sb, csb)
+                cbest = jnp.where(len0_seed, IN_SEED, cbest)
+
+            col0_vp, col0_vn, col0_sb = cvp, cvn, csb
+
+            # ---- end-of-fragment tracking for column 0 -------------------
+            at_end = (end_slice == s)
+            cur_best = jnp.take_along_axis(new_end_score,
+                                           jnp.full((F, 1), b), 1)[:, 0]
+            cur_col = jnp.take_along_axis(new_end_col,
+                                          jnp.full((F, 1), b), 1)[:, 0]
+            sr = _score_at_row(cvp, cvn, csb, end_row_mask)
+            upd = at_end & slot_active & (sr < cur_best)
+            best_sc = jnp.where(upd, sr, cur_best)
+            best_cl = jnp.where(upd, 0, cur_col)
+
+            # ---- columns 1..31 -------------------------------------------
+            wvp, wvn, wsb = cvp, cvn, csb
+            hp_acc = jnp.zeros((F,), jnp.uint32)
+            hn_acc = jnp.zeros((F,), jnp.uint32)
+            # end word captured at column len-1
+            evp_c = jnp.where(slot_len <= 1, wvp, jnp.uint32(0))
+            evn_c = jnp.where(slot_len <= 1, wvn, jnp.uint32(0))
+            esb_c = jnp.where(slot_len <= 1, wsb, BIG)
+
+            for c in range(1, W):
+                col_bits = ((slot_eq >> jnp.uint32(c)) & jnp.uint32(1))
+                eqc = (req_s[:, 0] * col_bits[:, 0]
+                       | req_s[:, 1] * col_bits[:, 1]
+                       | req_s[:, 2] * col_bits[:, 2]
+                       | req_s[:, 3] * col_bits[:, 3])
+                if prev_exists:
+                    hin = (((slot_prev_hp >> jnp.uint32(c)) & 1).astype(jnp.int32)
+                           - ((slot_prev_hn >> jnp.uint32(c)) & 1).astype(jnp.int32))
+                else:
+                    hin = jnp.int32(1)
+                wvp, wvn, wsb, hout = advance_word(wvp, wvn, wsb, eqc, hin)
+                hp_acc |= (hout > 0).astype(jnp.uint32) << jnp.uint32(c)
+                hn_acc |= (hout < 0).astype(jnp.uint32) << jnp.uint32(c)
+                in_node = c < slot_len
+                # end-of-fragment row tracking
+                sr = _score_at_row(wvp, wvn, wsb, end_row_mask)
+                upd = at_end & in_node & (sr < best_sc)
+                best_sc = jnp.where(upd, sr, best_sc)
+                best_cl = jnp.where(upd, c, best_cl)
+                cap = (c == slot_len - 1)
+                evp_c = jnp.where(cap, wvp, evp_c)
+                evn_c = jnp.where(cap, wvn, evn_c)
+                esb_c = jnp.where(cap, wsb, esb_c)
+
+            # inactive slots keep BIG
+            esb_c = jnp.where(slot_active | (slot_is_seed & (slot_len == 0)),
+                              esb_c, BIG)
+
+            bcol = jnp.full((F, 1), b)
+            evp_all = jax.lax.dynamic_update_slice_in_dim(
+                evp_all, evp_c[:, None], b, 1)
+            evn_all = jax.lax.dynamic_update_slice_in_dim(
+                evn_all, evn_c[:, None], b, 1)
+            esb_all = jax.lax.dynamic_update_slice_in_dim(
+                esb_all, esb_c[:, None], b, 1)
+            new_ssb = jax.lax.dynamic_update_slice_in_dim(
+                new_ssb, col0_sb[:, None], b, 1)
+            new_hp = jax.lax.dynamic_update_slice_in_dim(
+                new_hp, hp_acc[:, None], b, 1)
+            new_hn = jax.lax.dynamic_update_slice_in_dim(
+                new_hn, hn_acc[:, None], b, 1)
+            new_end_score = jax.lax.dynamic_update_slice_in_dim(
+                new_end_score, best_sc[:, None], b, 1)
+            new_end_col = jax.lax.dynamic_update_slice_in_dim(
+                new_end_col, best_cl[:, None], b, 1)
+            best_in_s = jax.lax.dynamic_update_slice_in_dim(
+                best_in_s, cbest[:, None], b, 1)
+
+            return (evp_all, evn_all, esb_all, new_ssb, new_hp, new_hn,
+                    new_end_score, new_end_col, best_in_s)
+
+        carry = jax.lax.fori_loop(0, B, slot_body, carry)
+        (evp_all, evn_all, esb_all, new_ssb, new_hp, new_hn,
+         new_end_score, new_end_col, best_in_s) = carry
+        state["evp"], state["evn"], state["esb"] = evp_all, evn_all, esb_all
+        state["ssb"], state["hp"], state["hn"] = new_ssb, new_hp, new_hn
+        state["end_score"] = new_end_score
+        state["end_col"] = new_end_col
+        state["best_in"] = state["best_in"].at[:, :, s].set(best_in_s)
+
+    end_score = state["end_score"]
+    best_slot = jnp.argmin(end_score, axis=1).astype(jnp.int32)
+    best_score = jnp.min(end_score, axis=1)
+    return FragResult(end_score=end_score, end_col=state["end_col"],
+                      best_in=state["best_in"], best_score=best_score,
+                      best_slot=best_slot)

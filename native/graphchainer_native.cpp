@@ -448,6 +448,78 @@ void* chain_paths(int64_t n, int64_t m, const int64_t* src, const int64_t* dst,
   return (void*)res;
 }
 
+// ---------------------------------------------------------------------------
+// Band builder for the fragment extension kernel.
+//
+// For each seed (node, trimmed length), select up to B split nodes
+// reachable from the seed within max_bp bases (Dijkstra over node lengths,
+// bucket queue), sort them in traversal-topo order (ascending ids for the
+// forward graph, descending for the reversed graph — global ids are topo
+// ranks), and emit per-slot in-band in-edge slot lists (capped at max_in).
+// Slot 0 is always the seed.  Outputs are -1 padded.
+void band_build(int64_t n, const int64_t* ptr, const int64_t* idx,
+                const int64_t* node_len, int64_t nseeds,
+                const int64_t* seed_nodes, const int64_t* seed_lens,
+                int64_t B, int64_t max_bp, int64_t max_in, int64_t descending,
+                int64_t* out_nodes, int64_t* out_in) {
+  vector<int64_t> dist(n), epoch(n, -1);
+  vector<vector<int64_t>> buckets((size_t)max_bp + 1);
+  vector<int64_t> selected;
+  vector<int64_t> slot_of(n, -1);
+  for (int64_t q = 0; q < nseeds; q++) {
+    int64_t seed = seed_nodes[q];
+    for (auto& b : buckets) b.clear();
+    selected.clear();
+    dist[seed] = 0;
+    epoch[seed] = q;
+    buckets[0].push_back(seed);
+    for (int64_t d = 0; d <= max_bp && (int64_t)selected.size() < B; d++) {
+      for (size_t bi = 0; bi < buckets[d].size()
+                          && (int64_t)selected.size() < B; bi++) {
+        int64_t v = buckets[d][bi];
+        if (epoch[v] != q || dist[v] != d) continue;  // stale entry
+        selected.push_back(v);
+        int64_t vlen = (v == seed) ? seed_lens[q] : node_len[v];
+        int64_t nd = d + vlen;
+        if (nd > max_bp) continue;
+        for (int64_t e = ptr[v]; e < ptr[v + 1]; e++) {
+          int64_t t = idx[e];
+          if (epoch[t] != q || dist[t] > nd) {
+            epoch[t] = q;
+            dist[t] = nd;
+            buckets[nd].push_back(t);
+          }
+        }
+      }
+    }
+    std::sort(selected.begin(), selected.end());
+    if (descending) std::reverse(selected.begin(), selected.end());
+    // seed must be slot 0: ids are topo ranks and every selected node is
+    // reachable from the seed, so the sort already puts it first.
+    int64_t* nodes_row = out_nodes + q * B;
+    int64_t* in_row = out_in + q * B * max_in;
+    for (int64_t i = 0; i < B; i++) nodes_row[i] = -1;
+    for (int64_t i = 0; i < B * max_in; i++) in_row[i] = -1;
+    for (size_t i = 0; i < selected.size(); i++) {
+      nodes_row[i] = selected[i];
+      slot_of[selected[i]] = (int64_t)i;
+    }
+    vector<int64_t> cnt((size_t)B, 0);
+    for (size_t i = 0; i < selected.size(); i++) {
+      int64_t u = selected[i];
+      for (int64_t e = ptr[u]; e < ptr[u + 1]; e++) {
+        int64_t t = idx[e];
+        int64_t st = (epoch[t] == q) ? slot_of[t] : -1;
+        if (st >= 0 && (size_t)st < selected.size()
+            && nodes_row[st] == t && st > (int64_t)i) {
+          if (cnt[st] < max_in) in_row[st * max_in + cnt[st]++] = (int64_t)i;
+        }
+      }
+    }
+    for (size_t i = 0; i < selected.size(); i++) slot_of[selected[i]] = -1;
+  }
+}
+
 void paths_sizes(void* h, int64_t* sizes) {
   auto* r = (PathsResult*)h;
   sizes[0] = (int64_t)r->offsets.size() - 1;

@@ -1,0 +1,143 @@
+"""Banded fragment extension kernel vs the scalar DAG DP oracle.
+
+The kernel's claim: for every band slot, end_score equals the exact
+sequence-to-DAG edit DP (restricted to the band subgraph) at the fragment's
+last row, minimized over the slot's columns.
+"""
+import numpy as np
+import pytest
+
+from graphchainer_tpu.align import oracle as orc
+from graphchainer_tpu.align.anchors import (FragJob, GraphTensors,
+                                            assemble_batch, backwalk)
+from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+from graphchainer_tpu.io.gfa import Bigraph
+from graphchainer_tpu.ops import frag_align
+from graphchainer_tpu.utils.seq import match_masks
+
+from tests.test_mpc import random_dag_bigraph
+
+
+def kernel_vs_oracle(g, read, seed_node, seed_offset, B=24, max_in=8):
+    gx = GraphTensors.build(g)
+    mm = match_masks(read)
+    trim = int(g.node_len[seed_node]) - seed_offset
+    job = FragJob(rmm=mm, seed_node=seed_node, seed_trim_len=trim,
+                  reverse=False)
+    band_nodes, band_eq, band_len, band_in, req, rows, S = assemble_batch(
+        gx, [job], B=B, max_in=max_in, slack=8)
+    res = frag_align.align_fragments(band_eq, band_len, band_in, req,
+                                     rows, n_slices=S, max_in=max_in)
+    # oracle over the same band subgraph
+    valid = band_nodes[0] >= 0
+    nodes = np.sort(band_nodes[0][valid])
+    cg, D = orc.extend_from_seed(g, read, seed_node, seed_offset,
+                                 nodes=nodes)
+    R = len(read)
+    for slot in range(B):
+        v = int(band_nodes[0][slot])
+        if v < 0:
+            continue
+        mask = cg.node_of == v
+        if slot == 0:
+            # seed slot is trimmed: only columns >= seed_offset
+            mask &= cg.offset_of >= seed_offset
+        want = int(D[mask, R].min())
+        got = int(res.end_score[0][slot])
+        assert got == min(want, int(frag_align.BIG)), (
+            f"slot {slot} node {v}: kernel {got} oracle {want}")
+    return res, band_nodes
+
+
+def linear_bigraph(seq, chunk=40):
+    bg = Bigraph()
+    parts = [seq[i:i + chunk] for i in range(0, len(seq), chunk)]
+    for i, p in enumerate(parts):
+        bg.add_segment(str(i), p)
+    for i in range(len(parts) - 1):
+        bg.links.append((i, False, i + 1, False, 0))
+    return bg
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_linear_graph_exact_match(seed):
+    rng = np.random.default_rng(seed)
+    seq = "".join(rng.choice(list("ACGT"), 120))
+    g = build_alignment_graph(linear_bigraph(seq))
+    # read = exact substring, seed at its start
+    start = int(rng.integers(0, 30))
+    L = int(rng.integers(20, 60))
+    read = seq[start:start + L]
+    v, o = g.find_split(0, start) if start < 40 else (None, None)
+    d = 2 * (start // 40)
+    v, o = g.find_split(d, start % 40)
+    res, band_nodes = kernel_vs_oracle(g, read, v, o)
+    assert int(res.best_score[0]) == 0  # exact match exists
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_dag_with_errors(seed):
+    rng = np.random.default_rng(100 + seed)
+    bg = random_dag_bigraph(rng, n_seg=10, p_edge=0.3, max_len=12)
+    g = build_alignment_graph(bg)
+    # random walk read with errors
+    v = int(rng.integers(0, g.n_nodes))
+    path = [v]
+    while len(path) < 8:
+        outs = g.out_neighbors(path[-1])
+        if len(outs) == 0:
+            break
+        path.append(int(rng.choice(outs)))
+    true_seq = "".join(g.node_seq(p) for p in path)
+    read = []
+    for ch in true_seq:
+        r = rng.random()
+        if r < 0.08:
+            continue  # deletion
+        if r < 0.16:
+            read.append(rng.choice(list("ACGT")))  # substitution
+        else:
+            read.append(ch)
+        if rng.random() < 0.05:
+            read.append(rng.choice(list("ACGT")))  # insertion
+    read = "".join(read)
+    if len(read) < 4:
+        pytest.skip("degenerate read")
+    read = read[:60]
+    kernel_vs_oracle(g, read, v, 0)
+
+
+def test_multislice_consistency():
+    """Fragments spanning >32 rows exercise the HP/HN slice chaining."""
+    rng = np.random.default_rng(7)
+    seq = "".join(rng.choice(list("ACGT"), 200))
+    g = build_alignment_graph(linear_bigraph(seq, chunk=50))
+    read = seq[10:10 + 90]  # 3 slices
+    v, o = g.find_split(0, 10)
+    res, _ = kernel_vs_oracle(g, read, v, o, B=16)
+    assert int(res.best_score[0]) == 0
+
+
+def test_backwalk_path_valid(toy_gfa):
+    from graphchainer_tpu.io.gfa import load_gfa
+    g = build_alignment_graph(load_gfa(toy_gfa))
+    gx = GraphTensors.build(g)
+    # read through the bubble: prefix of segment 1 + A + segment 4
+    read = g.di_seqs[0][20:] + "A" + g.di_seqs[6][:10]
+    v, o = g.find_split(0, 20)
+    mm = match_masks(read)
+    job = FragJob(rmm=mm, seed_node=v,
+                  seed_trim_len=int(g.node_len[v]) - o, reverse=False)
+    band_nodes, band_eq, band_len, band_in, req, rows, S = assemble_batch(
+        gx, [job], B=16, max_in=8)
+    res = frag_align.align_fragments(band_eq, band_len, band_in, req, rows,
+                                     n_slices=S, max_in=8)
+    assert int(res.best_score[0]) == 0
+    walk = backwalk(np.asarray(res.best_in)[0], band_nodes[0],
+                    int(res.best_slot[0]), (len(read) - 1) // 32)
+    assert walk is not None
+    path = [int(band_nodes[0][s]) for s in reversed(walk)]
+    # path must be a valid graph path from the seed node
+    assert path[0] == v
+    for a, b in zip(path[:-1], path[1:]):
+        assert b in set(int(x) for x in g.out_neighbors(a))
