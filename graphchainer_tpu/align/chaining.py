@@ -1,0 +1,217 @@
+"""Co-linear chaining over the MPC index.
+
+Exact semantics of the reference's colinearChaining /
+colinearChainingByComponent (src/AlignmentGraph.cpp:1712-1863):
+
+Recurrence over anchors j (read interval [x_j, y_j], split-node path):
+
+  C[j] = max( y_j - x_j + 1,
+              y_j - x_j + 1 + max{ C[j'] : j' precedes j, y_{j'} <= x_j - 1 },
+              y_j         + max{ C[j'] - y_{j'} : j' precedes j,
+                                 x_j <= y_{j'} <= y_j - 1 } )
+
+"j' precedes j" means end(j') reaches start(j) in the DAG, decided through
+the MPC last2reach index: j' is visible to j on path k at the topo moment
+of j's backwards pointer (u, k), plus the same-node sweep when start(j)
+and end(j') share a node.  Scores are read-coverage; gap limits apply only
+at stitching (the reference ignores sep_limit inside the DP too).
+
+This module provides the host oracle (used in tests and as a fallback) and
+the event-list builder shared with the device scan (ops/chain_scan.py).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from graphchainer_tpu.align.anchors import Anchor
+from graphchainer_tpu.graph.alignment_graph import AlignmentGraph
+from graphchainer_tpu.graph.mpc import MPCIndex
+
+# event sections within a topo group (processing order matters)
+SEC_SAME = 0      # same-node sweep: interleaved start-queries / end-inserts
+SEC_INSERT = 1    # global tree inserts for anchors ending at the node
+SEC_QUERY = 2     # backwards-pointer queries
+
+# event types
+EV_SAME_START = 0
+EV_SAME_END = 1
+EV_INSERT = 2
+EV_QUERY = 3
+
+
+@dataclass
+class ChainEvents:
+    """Flat per-read event list, sorted in execution order."""
+    ev_type: np.ndarray     # int32 [E]
+    ev_anchor: np.ndarray   # int32 [E]
+    ev_k: np.ndarray        # int32 [E] global path id (EV_QUERY only)
+    ev_kmask: np.ndarray    # uint32 [E, KW] global path bitmask (EV_INSERT)
+    ev_group: np.ndarray    # int32 [E] topo group id (same-node tagging)
+    n_paths: int
+
+
+def global_path_ids(mpc: MPCIndex) -> Tuple[np.ndarray, np.ndarray]:
+    """Map (component, per-component k) -> global path id.  Returns
+    (comp_path_base [ncomp], n_paths)."""
+    ncomp = len(mpc.comp_width)
+    base = np.zeros(ncomp + 1, dtype=np.int64)
+    np.cumsum(mpc.comp_width, out=base[1:])
+    return base, int(base[-1])
+
+
+def build_events(g: AlignmentGraph, mpc: MPCIndex,
+                 anchors: Sequence[Anchor]) -> ChainEvents:
+    base, n_paths = global_path_ids(mpc)
+    kw = max(1, -(-n_paths // 32))
+    raw: List[Tuple] = []   # (group_node, section, y, x, j, subtype, payload)
+    for j, a in enumerate(anchors):
+        s, e = int(a.path[0]), int(a.path[-1])
+        comp = int(g.comp[s])
+        raw.append((s, SEC_SAME, a.y, a.x, j, 0, EV_SAME_START, -1, None))
+        raw.append((e, SEC_SAME, a.y, a.x, j, 1, EV_SAME_END, -1, None))
+        # global insert with the path set of the end node
+        ks = mpc.node_paths(e)
+        mask = np.zeros(kw, dtype=np.uint32)
+        for k in ks:
+            gk = int(base[comp]) + int(k)
+            mask[gk // 32] |= np.uint32(1) << np.uint32(gk % 32)
+        raw.append((e, SEC_INSERT, a.y, a.x, j, 0, EV_INSERT, -1, mask))
+        # backwards-pointer queries at the start node
+        us, kks = mpc.backwards(s)
+        for u, k in zip(us, kks):
+            gk = int(base[comp]) + int(k)
+            raw.append((int(u), SEC_QUERY, a.y, a.x, j, 0, EV_QUERY, gk,
+                        None))
+    # execution order: (topo(node), section, y, x, j, subtype)
+    raw.sort(key=lambda t: (t[0], t[1], t[2], t[3], t[4], t[5]))
+    E = len(raw)
+    ev_type = np.zeros(E, dtype=np.int32)
+    ev_anchor = np.zeros(E, dtype=np.int32)
+    ev_k = np.full(E, -1, dtype=np.int32)
+    ev_kmask = np.zeros((E, kw), dtype=np.uint32)
+    ev_group = np.zeros(E, dtype=np.int32)
+    group = -1
+    last_node = None
+    for i, t in enumerate(raw):
+        if t[0] != last_node:
+            group += 1
+            last_node = t[0]
+        ev_type[i] = t[6]
+        ev_anchor[i] = t[4]
+        ev_group[i] = group
+        if t[6] == EV_QUERY:
+            ev_k[i] = t[7]
+        if t[6] == EV_INSERT:
+            ev_kmask[i] = t[8]
+    return ChainEvents(ev_type=ev_type, ev_anchor=ev_anchor, ev_k=ev_k,
+                       ev_kmask=ev_kmask, ev_group=ev_group,
+                       n_paths=n_paths)
+
+
+def chain_oracle(g: AlignmentGraph, mpc: MPCIndex,
+                 anchors: Sequence[Anchor]) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side exact chaining DP via the event list.  Returns
+    (C_val [A], C_pred [A])."""
+    A = len(anchors)
+    x = np.array([a.x for a in anchors], dtype=np.int64)
+    y = np.array([a.y for a in anchors], dtype=np.int64)
+    ln = y - x + 1
+    C = ln.copy()
+    pred = np.full(A, -1, dtype=np.int64)
+    ev = build_events(g, mpc, anchors)
+    kw = ev.ev_kmask.shape[1]
+    ins = np.zeros((A, kw), dtype=np.uint32)
+    tmp_tag = np.full(A, -1, dtype=np.int64)
+
+    def pair_max(j, cand_mask, vals):
+        """C[j] = max(C[j], (vals, j')) with reference pair semantics:
+        larger value wins, ties prefer larger j'."""
+        if not cand_mask.any():
+            return
+        vv = np.where(cand_mask, vals, np.int64(-1) << 40)
+        jj = int(np.flatnonzero(vv == vv.max())[-1])
+        if (vv[jj], jj) > (C[j], pred[j]):
+            C[j] = vv[jj]
+            pred[j] = jj
+
+    for i in range(len(ev.ev_type)):
+        t, j, grp = int(ev.ev_type[i]), int(ev.ev_anchor[i]), int(ev.ev_group[i])
+        if t == EV_SAME_START:
+            m = tmp_tag == grp
+            pair_max(j, m & (y <= x[j] - 1), C + ln[j])
+            pair_max(j, m & (x[j] <= y) & (y <= y[j] - 1), C - y + y[j])
+        elif t == EV_SAME_END:
+            tmp_tag[j] = grp
+        elif t == EV_INSERT:
+            ins[j] |= ev.ev_kmask[i]
+        else:  # EV_QUERY
+            gk = int(ev.ev_k[i])
+            m = (ins[:, gk // 32] >> np.uint32(gk % 32)) & 1 == 1
+            pair_max(j, m & (y <= x[j] - 1), C + ln[j])
+            pair_max(j, m & (x[j] <= y) & (y <= y[j] - 1), C - y + y[j])
+    return C, pred
+
+
+def batch_arrays(g: AlignmentGraph, mpc: MPCIndex,
+                 per_read_anchors: Sequence[Sequence[Anchor]],
+                 A: Optional[int] = None, E: Optional[int] = None):
+    """Pack per-read anchors + events into padded batch arrays for the
+    device scan (ops/chain_scan.py).  Returns a dict of numpy arrays plus
+    the per-read event lists' KW."""
+    R = len(per_read_anchors)
+    evs = [build_events(g, mpc, a) for a in per_read_anchors]
+    A = A or max(1, max((len(a) for a in per_read_anchors), default=1))
+    E = E or max(1, max((len(e.ev_type) for e in evs), default=1))
+    kw = max(1, max((e.ev_kmask.shape[1] for e in evs), default=1))
+    x = np.zeros((R, A), dtype=np.int32)
+    y = np.zeros((R, A), dtype=np.int32)
+    valid = np.zeros((R, A), dtype=bool)
+    ev_type = np.full((R, E), -1, dtype=np.int32)
+    ev_anchor = np.zeros((R, E), dtype=np.int32)
+    ev_k = np.full((R, E), -1, dtype=np.int32)
+    ev_kmask = np.zeros((R, E, kw), dtype=np.uint32)
+    ev_group = np.full((R, E), -1, dtype=np.int32)
+    for r, (anchors, e) in enumerate(zip(per_read_anchors, evs)):
+        n = min(len(anchors), A)
+        for j in range(n):
+            x[r, j] = anchors[j].x
+            y[r, j] = anchors[j].y
+            valid[r, j] = True
+        ne = min(len(e.ev_type), E)
+        ev_type[r, :ne] = e.ev_type[:ne]
+        ev_anchor[r, :ne] = e.ev_anchor[:ne]
+        ev_k[r, :ne] = e.ev_k[:ne]
+        ev_kmask[r, :ne, :e.ev_kmask.shape[1]] = e.ev_kmask[:ne]
+        ev_group[r, :ne] = e.ev_group[:ne]
+    return dict(x=x, y=y, valid=valid, ev_type=ev_type, ev_anchor=ev_anchor,
+                ev_k=ev_k, ev_kmask=ev_kmask, ev_group=ev_group)
+
+
+def best_chain(g: AlignmentGraph, anchors: Sequence[Anchor],
+               C: np.ndarray, pred: np.ndarray
+               ) -> Tuple[List[int], int]:
+    """Pick the best component's chain (reference colinearChaining,
+    src/AlignmentGraph.cpp:1712-1735) and backtrack it."""
+    if len(anchors) == 0:
+        return [], 0
+    comps = np.array([int(g.comp[a.path[-1]]) for a in anchors])
+    best_ids: List[int] = []
+    best_score = -1
+    for c in np.unique(comps):
+        sel = np.flatnonzero(comps == c)
+        # pair max (C, j): ties prefer larger j
+        jbest = int(sel[np.flatnonzero(C[sel] == C[sel].max())[-1]])
+        if int(C[jbest]) > best_score:
+            best_score = int(C[jbest])
+            ids = []
+            i = jbest
+            while i != -1:
+                ids.append(i)
+                if pred[i] == i:
+                    break
+                i = int(pred[i])
+            best_ids = list(reversed(ids))
+    return best_ids, best_score

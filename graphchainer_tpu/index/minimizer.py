@@ -1,0 +1,192 @@
+"""(w,k)-minimizer seeding.
+
+Re-design of the reference MinimizerSeeder (src/MinimizerSeeder.cpp):
+
+* The reference builds a BBHash minimal-perfect-hash over minimizers with
+  sdsl bit-packed position arrays, filled by a thread pool.  Here the index
+  is two sorted numpy arrays (kmer codes, positions) built with vectorized
+  sliding-window minima — binary search replaces the MPHF (cache-friendly,
+  trivially serializable, and directly usable from the device as an
+  HBM-resident table).
+* Minimizers are enumerated per digraph node sequence (both strands are
+  separate digraph nodes, so reverse-complement hits come for free), the
+  same per-node scope as the reference's iterateMinimizersReal.
+* Query: read minimizers -> binary search -> frequency filter keeping the
+  least-frequent fraction (reference initMaxCount / addMinimizers
+  semantics) -> up to density*len seeds preferring rare minimizers.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from graphchainer_tpu.graph.alignment_graph import AlignmentGraph
+
+_CODE = np.full(256, -1, dtype=np.int8)
+for _i, _c in enumerate("ACGT"):
+    _CODE[ord(_c)] = _i
+    _CODE[ord(_c.lower())] = _i
+
+
+def _encode(seq: str) -> np.ndarray:
+    return _CODE[np.frombuffer(seq.encode("ascii"), dtype=np.uint8)]
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Invertible 64-bit mix (splitmix64-style finalizer)."""
+    x = np.asarray(x, dtype=np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def kmer_codes(codes: np.ndarray, k: int):
+    """Sliding k-mer codes; returns (codes uint64, valid bool)."""
+    n = len(codes)
+    if n < k:
+        return (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool))
+    m = n - k + 1
+    kv = np.zeros(m, dtype=np.uint64)
+    bad = np.zeros(m, dtype=bool)
+    for j in range(k):
+        c = codes[j:m + j]
+        kv = (kv << np.uint64(2)) | np.where(c < 0, 0, c).astype(np.uint64)
+        bad |= c < 0
+    return kv, ~bad
+
+
+def minimizers(seq_codes: np.ndarray, k: int, w: int):
+    """Positions and codes of the (w,k)-minimizers of a sequence.
+
+    Returns (positions int64, codes uint64); positions are k-mer start
+    offsets.  Ties keep the leftmost occurrence per window; duplicates
+    across overlapping windows are deduplicated.
+    """
+    kv, valid = kmer_codes(seq_codes, k)
+    m = len(kv)
+    if m == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    h = _mix64(kv)
+    h = np.where(valid, h, np.uint64(0xFFFFFFFFFFFFFFFF))
+    if m <= w:
+        p = int(np.argmin(h))
+        if not valid[p]:
+            return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+        return (np.array([p], np.int64), kv[p:p + 1])
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    arg = np.argmin(win, axis=1) + np.arange(m - w + 1)
+    pos = np.unique(arg)
+    pos = pos[valid[pos]]
+    return pos.astype(np.int64), kv[pos]
+
+
+@dataclass
+class MinimizerIndex:
+    k: int
+    w: int
+    codes: np.ndarray       # uint64, sorted
+    di_node: np.ndarray     # int32: digraph node per position entry
+    offset: np.ndarray      # int32: k-mer start offset within node
+    count_cap: int          # frequency cap from discard fraction
+
+    def save(self, path: str):
+        np.savez_compressed(path, k=self.k, w=self.w, codes=self.codes,
+                            di_node=self.di_node, offset=self.offset,
+                            count_cap=self.count_cap)
+
+    @staticmethod
+    def load(path: str) -> "MinimizerIndex":
+        z = np.load(path)
+        return MinimizerIndex(k=int(z["k"]), w=int(z["w"]),
+                              codes=z["codes"], di_node=z["di_node"],
+                              offset=z["offset"],
+                              count_cap=int(z["count_cap"]))
+
+
+def build_index(g: AlignmentGraph, k: int = 15, w: int = 20,
+                discard_fraction: float = 0.0002) -> MinimizerIndex:
+    """Index all digraph node sequences (both strands)."""
+    all_codes: List[np.ndarray] = []
+    all_node: List[np.ndarray] = []
+    all_off: List[np.ndarray] = []
+    for d, seq in enumerate(g.di_seqs):
+        pos, kv = minimizers(_encode(seq), k, w)
+        if len(pos) == 0:
+            continue
+        all_codes.append(kv)
+        all_node.append(np.full(len(pos), d, dtype=np.int32))
+        all_off.append(pos.astype(np.int32))
+    if not all_codes:
+        codes = np.zeros(0, np.uint64)
+        node = np.zeros(0, np.int32)
+        off = np.zeros(0, np.int32)
+    else:
+        codes = np.concatenate(all_codes)
+        node = np.concatenate(all_node)
+        off = np.concatenate(all_off)
+        order = np.argsort(codes, kind="stable")
+        codes, node, off = codes[order], node[order], off[order]
+    # frequency cap: discard the most numerous k-mers covering
+    # `discard_fraction` of all positions (reference initMaxCount,
+    # src/MinimizerSeeder.cpp:557-575)
+    cap = len(codes)
+    if len(codes):
+        _, counts = np.unique(codes, return_counts=True)
+        csort = np.sort(counts)[::-1]
+        budget = discard_fraction * len(codes)
+        acc = np.cumsum(csort)
+        ndrop = int(np.searchsorted(acc, budget, side="right"))
+        if ndrop == 0:
+            cap = int(csort[0]) + 1          # nothing is frequent enough to drop
+        elif ndrop < len(csort):
+            cap = int(csort[ndrop])
+        else:
+            cap = int(csort[-1])
+        cap = max(cap, 2)
+    return MinimizerIndex(k=k, w=w, codes=codes, di_node=node, offset=off,
+                          count_cap=cap)
+
+
+@dataclass
+class SeedHit:
+    """Reference src/GraphAlignerWrapper.h:11-37."""
+    di_node: int       # digraph node id
+    node_offset: int   # k-mer start offset within the digraph node
+    seq_pos: int       # k-mer start position in the read
+    match_len: int
+    goodness: float    # rarity score (higher = rarer = better)
+
+
+def get_seeds(index: MinimizerIndex, read: str,
+              density: float = 10.0) -> List[SeedHit]:
+    """Seeds for one read: minimizer hits in rarity order, stopping once
+    `density * len(read)` hits were emitted AND the next minimizer is
+    strictly more frequent than the last one added (reference getSeeds +
+    addMinimizers, src/MinimizerSeeder.cpp:494-545).  density == -1 keeps
+    everything under the index frequency cap."""
+    pos, kv = minimizers(_encode(read), index.k, index.w)
+    if len(pos) == 0:
+        return []
+    lo = np.searchsorted(index.codes, kv, side="left")
+    hi = np.searchsorted(index.codes, kv, side="right")
+    counts = (hi - lo).astype(np.int64)
+    budget = float("inf") if density < 0 else density * len(read)
+    order = np.argsort(np.where(counts == 0, 1 << 60, counts), kind="stable")
+    hits: List[SeedHit] = []
+    allowed = 0
+    for i in order:
+        c = int(counts[i])
+        if c == 0 or c >= index.count_cap:
+            break
+        if len(hits) >= budget and c > allowed:
+            break
+        allowed = c
+        for j in range(int(lo[i]), int(hi[i])):
+            hits.append(SeedHit(
+                di_node=int(index.di_node[j]),
+                node_offset=int(index.offset[j]),
+                seq_pos=int(pos[i]), match_len=index.k,
+                goodness=float(index.count_cap - c)))
+    return hits

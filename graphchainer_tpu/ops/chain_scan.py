@@ -1,0 +1,109 @@
+"""Batched co-linear chaining event scan (device).
+
+TPU re-design of the reference's Treap-based event sweep
+(src/AlignmentGraph.cpp:1737-1863): the per-path search trees become
+masked maxima over the anchor axis — each event step is a handful of
+vectorized ops over (reads, anchors), and the sequential dimension is the
+(host-sorted, padded) event list, driven by lax.scan.  Semantics are
+bit-identical to align/chaining.chain_oracle (same event order, same
+(value, id) lexicographic tie-breaking).
+
+Capacity note: scores are combined as val * (A + 2) + (pred + 1) in int32,
+requiring read_coverage * (A + 2) < 2^31 (fine for A <= 4096 and reads
+up to ~100 kbp).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+EV_SAME_START = 0
+EV_SAME_END = 1
+EV_INSERT = 2
+EV_QUERY = 3
+EV_NONE = -1
+
+NEG = jnp.int32(-(1 << 30))
+
+
+class ChainScanResult(NamedTuple):
+    c_val: jax.Array    # (R, A) int32
+    c_pred: jax.Array   # (R, A) int32
+
+
+@partial(jax.jit, static_argnames=())
+def chain_scan(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask, ev_group):
+    """Run the chaining DP for a batch of reads.
+
+    x, y:      (R, A) int32 anchor read intervals
+    valid:     (R, A) bool
+    ev_type:   (R, E) int32 (EV_*, EV_NONE padding)
+    ev_anchor: (R, E) int32
+    ev_k:      (R, E) int32 global path id for EV_QUERY
+    ev_kmask:  (R, E, KW) uint32 path bitmask for EV_INSERT
+    ev_group:  (R, E) int32 topo group id (tags the same-node scratch)
+    """
+    R, A = x.shape
+    KW = ev_kmask.shape[-1]
+    ln = y - x + 1
+    c_val = jnp.where(valid, ln, NEG)
+    c_pred = jnp.full((R, A), -1, jnp.int32)
+    ins = jnp.zeros((R, A, KW), jnp.uint32)
+    tmp_tag = jnp.full((R, A), -2, jnp.int32)
+
+    arangeA = jnp.arange(A, dtype=jnp.int32)
+
+    def step(state, ev):
+        c_val, c_pred, ins, tmp_tag = state
+        t, j, k, kmask, grp = ev
+        j = jnp.clip(j, 0, A - 1)
+        onehot = arangeA[None, :] == j[:, None]          # (R, A)
+
+        xj = jnp.take_along_axis(x, j[:, None], 1)       # (R, 1)
+        yj = jnp.take_along_axis(y, j[:, None], 1)
+        lnj = yj - xj + 1
+
+        # candidate mask per query type
+        kc = jnp.clip(k, 0, KW * 32 - 1)
+        kword = (kc // 32)[:, None]                       # (R, 1)
+        kbit = (kc % 32)[:, None].astype(jnp.uint32)
+        ins_k = (jnp.take_along_axis(
+            ins, kword[..., None], 2)[..., 0] >> kbit) & 1
+        is_same = (t == EV_SAME_START)[:, None]
+        cand = jnp.where(is_same, tmp_tag == grp[:, None], ins_k == 1)
+        cand &= valid
+
+        candT = cand & (y <= xj - 1)
+        candI = cand & (xj <= y) & (y <= yj - 1)
+        combT = jnp.where(candT, (c_val + lnj) * (A + 2) + arangeA + 1, NEG)
+        combI = jnp.where(candI, (c_val - y + yj) * (A + 2) + arangeA + 1,
+                          NEG)
+        best = jnp.maximum(combT.max(axis=1), combI.max(axis=1))  # (R,)
+        bval = best // (A + 2)
+        bpred = best % (A + 2) - 1
+
+        cur_val = jnp.take_along_axis(c_val, j[:, None], 1)[:, 0]
+        cur_pred = jnp.take_along_axis(c_pred, j[:, None], 1)[:, 0]
+        better = (bval > cur_val) | ((bval == cur_val) & (bpred > cur_pred))
+        do_q = ((t == EV_SAME_START) | (t == EV_QUERY)) & better \
+            & (best > NEG)
+        c_val = jnp.where((do_q[:, None] & onehot), bval[:, None], c_val)
+        c_pred = jnp.where((do_q[:, None] & onehot), bpred[:, None], c_pred)
+
+        do_end = (t == EV_SAME_END)
+        tmp_tag = jnp.where(do_end[:, None] & onehot, grp[:, None], tmp_tag)
+
+        do_ins = (t == EV_INSERT)
+        ins = jnp.where((do_ins[:, None] & onehot)[..., None],
+                        ins | kmask[:, None, :], ins)
+        return (c_val, c_pred, ins, tmp_tag), None
+
+    evs = (jnp.moveaxis(ev_type, 1, 0), jnp.moveaxis(ev_anchor, 1, 0),
+           jnp.moveaxis(ev_k, 1, 0), jnp.moveaxis(ev_kmask, 1, 0),
+           jnp.moveaxis(ev_group, 1, 0))
+    (c_val, c_pred, _, _), _ = jax.lax.scan(
+        step, (c_val, c_pred, ins, tmp_tag), evs)
+    return ChainScanResult(c_val=c_val, c_pred=c_pred)

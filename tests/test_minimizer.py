@@ -1,0 +1,82 @@
+"""Minimizer index/seeding tests."""
+import numpy as np
+import pytest
+
+from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+from graphchainer_tpu.index.minimizer import (MinimizerIndex, _encode,
+                                              build_index, get_seeds,
+                                              kmer_codes, minimizers)
+from graphchainer_tpu.io.gfa import Bigraph
+
+
+def brute_minimizers(seq, k, w):
+    """Oracle mirroring the reference's brute-force cross-check
+    (src/MinimizerSeeder.cpp:199-283): argmin of hash per window."""
+    from graphchainer_tpu.index.minimizer import _mix64
+    codes = _encode(seq)
+    kv, valid = kmer_codes(codes, k)
+    if len(kv) == 0:
+        return set()
+    h = np.where(valid, _mix64(kv), np.uint64(0xFFFFFFFFFFFFFFFF))
+    out = set()
+    if len(h) <= w:
+        p = int(np.argmin(h))
+        if valid[p]:
+            out.add(p)
+        return out
+    for s in range(len(h) - w + 1):
+        p = s + int(np.argmin(h[s:s + w]))
+        if valid[p]:
+            out.add(p)
+    return out
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_minimizers_match_bruteforce(seed):
+    rng = np.random.default_rng(seed)
+    seq = "".join(rng.choice(list("ACGTN"), 300, p=[.24, .24, .24, .24, .04]))
+    for k, w in [(5, 4), (7, 10), (15, 20)]:
+        pos, kv = minimizers(_encode(seq), k, w)
+        assert set(pos.tolist()) == brute_minimizers(seq, k, w)
+
+
+def test_index_and_query_exact_substring(rng):
+    seq = "".join(rng.choice(list("ACGT"), 500))
+    bg = Bigraph()
+    bg.add_segment("x", seq)
+    g = build_alignment_graph(bg)
+    idx = build_index(g, k=11, w=8)
+    read = seq[100:220]
+    seeds = get_seeds(idx, read, density=-1)
+    assert len(seeds) > 0
+    ok = 0
+    for s in seeds:
+        if s.di_node == 0 and s.node_offset == 100 + s.seq_pos:
+            ok += 1
+    # the overwhelming majority of hits must be true positions
+    assert ok >= len(seeds) * 0.5
+
+
+def test_revcomp_hits(rng):
+    from graphchainer_tpu.utils.seq import revcomp
+    seq = "".join(rng.choice(list("ACGT"), 400))
+    bg = Bigraph()
+    bg.add_segment("x", seq)
+    g = build_alignment_graph(bg)
+    idx = build_index(g, k=11, w=8)
+    read = revcomp(seq[50:170])
+    seeds = get_seeds(idx, read, density=-1)
+    assert any(s.di_node == 1 for s in seeds)  # reverse strand node
+
+
+def test_save_load(tmp_path, rng):
+    seq = "".join(rng.choice(list("ACGT"), 200))
+    bg = Bigraph()
+    bg.add_segment("x", seq)
+    g = build_alignment_graph(bg)
+    idx = build_index(g, k=9, w=6)
+    f = str(tmp_path / "minimizer.npz")
+    idx.save(f)
+    idx2 = MinimizerIndex.load(f)
+    np.testing.assert_array_equal(idx.codes, idx2.codes)
+    assert idx.count_cap == idx2.count_cap
