@@ -34,11 +34,23 @@ W = 32
 
 @dataclass
 class Anchor:
-    """Co-linear chaining anchor (reference src/AlignmentGraph.h:112-115)."""
+    """Co-linear chaining anchor (reference src/AlignmentGraph.h:112-115)
+    plus its trace endpoints (the reference keeps them in Apos,
+    src/Aligner.cpp:722-728)."""
     path: List[int]          # split-node ids, consecutive along edges
     x: int                   # read interval start (inclusive)
     y: int                   # read interval end (inclusive)
     score: int = 0           # DP edit cost of the fragment alignment
+    first_node: int = -1     # graph position where the anchor trace starts
+    first_off: int = 0
+    last_node: int = -1      # ... and ends
+    last_off: int = 0
+
+    def __post_init__(self):
+        if self.first_node < 0 and self.path:
+            self.first_node = int(self.path[0])
+        if self.last_node < 0 and self.path:
+            self.last_node = int(self.path[-1])
 
 
 @dataclass
@@ -170,7 +182,7 @@ def backwalk(best_in: np.ndarray, band_nodes: np.ndarray, end_slot: int,
 def extract_anchor(g: AlignmentGraph, jobs: Sequence[FragJob],
                    band_nodes: np.ndarray, res, fi_fwd: int, fi_bwd: int,
                    frag_start: int, frag_end: int, seed_node: int,
-                   rows: np.ndarray) -> Optional[Anchor]:
+                   seed_offset: int, rows: np.ndarray) -> Optional[Anchor]:
     """Join the forward and backward half-walks of one fragment into an
     Anchor.  fi_bwd < 0 means no backward half (seed at fragment start)."""
     best_in = np.asarray(res.best_in)
@@ -182,19 +194,32 @@ def extract_anchor(g: AlignmentGraph, jobs: Sequence[FragJob],
     if walk_f is None or sc_f >= frag_align.BIG:
         return None
     path_f = [int(band_nodes[fi_fwd][s]) for s in reversed(walk_f)]
+    # trace end position: best slot's argmin column -> node offset
+    cf = int(np.asarray(res.end_col)[fi_fwd][end_slot_f])
+    last_node = int(band_nodes[fi_fwd][end_slot_f])
+    last_off = cf + (seed_offset if end_slot_f == 0 else 0)
 
     score = sc_f
     path_b: List[int] = []
+    first_node, first_off = seed_node, seed_offset
     if fi_bwd >= 0 and len(jobs[fi_bwd].rmm) > 0:
         sc_b = int(res.best_score[fi_bwd])
         end_slice_b = (int(rows[fi_bwd]) - 1) // W
-        walk_b = backwalk(best_in[fi_bwd], band_nodes[fi_bwd],
-                          int(res.best_slot[fi_bwd]), end_slice_b)
+        end_slot_b = int(res.best_slot[fi_bwd])
+        walk_b = backwalk(best_in[fi_bwd], band_nodes[fi_bwd], end_slot_b,
+                          end_slice_b)
         if walk_b is None or sc_b >= frag_align.BIG:
             return None
         score += sc_b
         # bwd walk [end ... seed] is already in original path order
         path_b = [int(band_nodes[fi_bwd][s]) for s in walk_b]
+        cb = int(np.asarray(res.end_col)[fi_bwd][end_slot_b])
+        first_node = int(band_nodes[fi_bwd][end_slot_b])
+        if end_slot_b == 0:
+            first_off = (seed_offset - 1) - cb
+        else:
+            first_off = int(g.node_len[first_node]) - 1 - cb
+        first_off = max(first_off, 0)
 
     # join at the seed node (slot 0 on both sides == seed_node)
     assert path_f[0] == seed_node
@@ -208,4 +233,6 @@ def extract_anchor(g: AlignmentGraph, jobs: Sequence[FragJob],
     for p in path[1:]:
         if p != dedup[-1]:
             dedup.append(p)
-    return Anchor(path=dedup, x=frag_start, y=frag_end - 1, score=score)
+    return Anchor(path=dedup, x=frag_start, y=frag_end - 1, score=score,
+                  first_node=first_node, first_off=first_off,
+                  last_node=last_node, last_off=last_off)

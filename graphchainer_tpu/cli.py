@@ -1,0 +1,161 @@
+"""Command-line interface (re-design of reference src/AlignerMain.cpp).
+
+Flag names mirror the reference binary where the concept carries over, so
+existing GraphChainer invocations translate directly:
+
+  GraphChainer -f reads.fq -g graph.gfa -a out.gam \
+      --sampling-step 1 --colinear-split-len 35 --colinear-gap 10000
+
+  python -m graphchainer_tpu -f reads.fq -g graph.gfa -a out.gam \
+      --sampling-step 1 --colinear-split-len 35 --colinear-gap 10000
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+
+from graphchainer_tpu import constants
+from graphchainer_tpu.models.chainer import ChainerConfig
+from graphchainer_tpu.pipeline import PipelineParams, align_reads
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="graphchainer-tpu",
+        description="TPU-native sequence-to-graph aligner with co-linear "
+                    "chaining (GraphChainer capabilities, re-built for "
+                    "JAX/XLA/Pallas)")
+    m = p.add_argument_group("mandatory")
+    m.add_argument("-g", "--graph", required=True,
+                   help="input graph (.gfa / .gfa.gz)")
+    m.add_argument("-f", "--reads", action="append", default=[],
+                   help="input reads (fasta or fastq, uncompressed or "
+                        "gzipped); may repeat")
+    m.add_argument("-a", "--alignments-out", action="append", default=[],
+                   help="output file (.gaf / .gam / .json); may repeat")
+    clc = p.add_argument_group("colinear chaining")
+    clc.add_argument("--colinear-split-len", type=int,
+                     default=constants.DEFAULT_COLINEAR_SPLIT_LEN,
+                     help="length of split fragments (default 35)")
+    clc.add_argument("--colinear-split-gap", type=int, default=None,
+                     help="distance between fragments (default 35)")
+    clc.add_argument("--sampling-step", type=float, default=None,
+                     help="split-gap = ceil(arg * split-len) "
+                          "(overrides --colinear-split-gap)")
+    clc.add_argument("--colinear-gap", type=int,
+                     default=constants.DEFAULT_COLINEAR_GAP,
+                     help="max gap bp when stitching chains (default 10000)")
+    clc.add_argument("--fast-mode", action="store_true",
+                     help="skip the final base-level polish alignment "
+                          "(positional mismatch count only)")
+    gen = p.add_argument_group("general")
+    gen.add_argument("-t", "--threads", type=int, default=1,
+                     help="host worker threads (device work is batched)")
+    gen.add_argument("--verbose", action="store_true")
+    gen.add_argument("--batch-size", type=int, default=64,
+                     help="reads per device batch")
+    gen.add_argument("--mpc-index", default=None,
+                     help="minimum path cover index cache file (.npz); "
+                          "built and saved if missing")
+    gen.add_argument("--minimizer-index", default=None,
+                     help="minimizer index cache file (.npz)")
+    gen.add_argument("--corrected-out", default=None,
+                     help="corrected reads FASTA out")
+    gen.add_argument("--corrected-clipped-out", default=None,
+                     help="corrected clipped reads FASTA out")
+    gen.add_argument("--generate-path", default=None, metavar="PREFIX",
+                     help="generate a random source-to-sink path "
+                          "(PREFIX.fasta + PREFIX.nodes) and exit")
+    gen.add_argument("--generate-path-seed", type=int, default=0)
+    gen.add_argument("--graph-statistics", action="store_true",
+                     help="print graph statistics and exit")
+    seed = p.add_argument_group("seeding")
+    seed.add_argument("--seeds-minimizer-length", type=int,
+                      default=constants.DEFAULT_SEED_MINIMIZER_LENGTH)
+    seed.add_argument("--seeds-minimizer-windowsize", type=int,
+                      default=constants.DEFAULT_SEED_MINIMIZER_WINDOW)
+    seed.add_argument("--seeds-minimizer-density", type=float,
+                      default=constants.DEFAULT_SEED_MINIMIZER_DENSITY)
+    seed.add_argument("--seeds-minimizer-ignore-frequent", type=float,
+                      default=0.0002,
+                      help="discard the most frequent fraction of "
+                           "minimizers")
+    ext = p.add_argument_group("extension")
+    ext.add_argument("-b", "--bandwidth", type=int, default=None,
+                     help="alignment band slots per fragment "
+                          "(default 64)")
+    ext.add_argument("--polish-band", type=int, default=8,
+                     help="polish band in 32-row words (default 8 = 256)")
+    return p
+
+
+def params_from_args(args) -> PipelineParams:
+    split_gap = args.colinear_split_gap
+    if args.sampling_step is not None:
+        split_gap = int(math.ceil(args.sampling_step
+                                  * args.colinear_split_len))
+    if split_gap is None:
+        split_gap = constants.DEFAULT_COLINEAR_SPLIT_GAP
+    cfg = ChainerConfig(
+        colinear_split_len=args.colinear_split_len,
+        colinear_split_gap=split_gap,
+        colinear_gap=args.colinear_gap,
+        band_slots=args.bandwidth or 64,
+        polish_band_words=args.polish_band,
+        seed_density=args.seeds_minimizer_density)
+    params = PipelineParams(
+        graph_file=args.graph, read_files=list(args.reads),
+        batch_size=args.batch_size, mpc_index_file=args.mpc_index,
+        minimizer_index_file=args.minimizer_index,
+        seed_k=args.seeds_minimizer_length,
+        seed_w=args.seeds_minimizer_windowsize,
+        discard_fraction=args.seeds_minimizer_ignore_frequent,
+        chainer=cfg, verbose=args.verbose,
+        out_corrected=args.corrected_out,
+        out_corrected_clipped=args.corrected_clipped_out)
+    for out in args.alignments_out:
+        if out.endswith(".gam"):
+            params.out_gam = out
+        elif out.endswith(".gaf"):
+            params.out_gaf = out
+        elif out.endswith(".json"):
+            params.out_json = out
+        else:
+            raise SystemExit(f"unknown alignment output format: {out} "
+                             "(use .gam/.gaf/.json)")
+    return params
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.graph_statistics:
+        from graphchainer_tpu.pipeline import load_graph
+        g = load_graph(args.graph)
+        for k, v in g.stats().items():
+            print(f"{k}: {v}")
+        return 0
+    if args.generate_path:
+        from graphchainer_tpu.graph.simulate import generate_path
+        from graphchainer_tpu.pipeline import load_graph
+        g = load_graph(args.graph)
+        seq, nodes = generate_path(g, seed=args.generate_path_seed)
+        with open(args.generate_path + ".fasta", "w") as f:
+            f.write(">generated_path\n" + seq + "\n")
+        with open(args.generate_path + ".nodes", "w") as f:
+            f.write(" ".join(str(n) for n in nodes) + "\n")
+        return 0
+    if not args.reads or not (args.alignments_out or args.corrected_out
+                              or args.corrected_clipped_out):
+        print("error: need reads (-f) and an output (-a / --corrected-out)",
+              file=sys.stderr)
+        return 1
+    stats = align_reads(params_from_args(args))
+    print(f"Input reads: {stats.reads} ({stats.bp_in_reads}bp)")
+    print(f"Reads with an alignment: {stats.reads_with_an_alignment}")
+    print(f"Alignments: {stats.alignments} ({stats.bp_in_alignments}bp)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

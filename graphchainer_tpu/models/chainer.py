@@ -1,0 +1,193 @@
+"""The co-linear chaining alignment model: the end-to-end CLC pipeline.
+
+Per batch of reads (re-design of the reference worker's chaining mode,
+src/Aligner.cpp:656-922):
+
+  1. minimizer seeds per read (host index lookup)
+  2. fragment windows every `colinear_split_gap` bp of length
+     `colinear_split_len`; best seed per window -> fwd+bwd kernel jobs
+  3. ONE device call: banded fragment extension over all jobs
+  4. anchors per read (host walk of kernel pointers)
+  5. ONE device call: batched chaining event scan -> best chain per read
+  6. stitching with batched native BFS -> longest contiguous node path
+  7. ONE device call: banded polish alignment read vs path sequence
+  8. CIGAR backtrace in the C++ runtime -> per-read alignment
+
+Device work is always batched across reads and fragments; host work is
+linear-time bookkeeping.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from graphchainer_tpu import constants
+from graphchainer_tpu.align import polish
+from graphchainer_tpu.align.anchors import (Anchor, FragJob, GraphTensors,
+                                            assemble_batch, build_jobs,
+                                            extract_anchor)
+from graphchainer_tpu.align.chaining import batch_arrays, best_chain
+from graphchainer_tpu.align.stitch import extend_tails, stitch
+from graphchainer_tpu.graph.alignment_graph import AlignmentGraph
+from graphchainer_tpu.graph.mpc import MPCIndex
+from graphchainer_tpu.index.minimizer import MinimizerIndex, get_seeds
+from graphchainer_tpu.ops import frag_align
+from graphchainer_tpu.ops.chain_scan import chain_scan
+from graphchainer_tpu.utils.seq import match_masks
+
+
+@dataclass
+class ChainerConfig:
+    colinear_split_len: int = constants.DEFAULT_COLINEAR_SPLIT_LEN
+    colinear_split_gap: int = constants.DEFAULT_COLINEAR_SPLIT_GAP
+    colinear_gap: int = constants.DEFAULT_COLINEAR_GAP
+    band_slots: int = 64               # B: band node slots per fragment
+    max_in: int = constants.MAX_IN_DEGREE
+    band_slack: int = 8
+    seed_density: float = constants.DEFAULT_SEED_MINIMIZER_DENSITY
+    max_anchor_error: float = 0.5      # drop anchors with score > err*len
+    polish_band_words: int = 8         # 256-row polish band
+
+
+@dataclass
+class ReadAlignment:
+    name: str
+    seq: str
+    positions: List[Tuple[int, int]]   # per path char: (split node, offset)
+    ops: Optional[np.ndarray]          # edit ops (polish.py codes)
+    score: int                         # edit distance read vs path
+    seq_start: int = 0
+    seq_end: int = 0
+    n_anchors: int = 0
+    n_chained: int = 0
+
+    @property
+    def failed(self) -> bool:
+        return len(self.positions) == 0
+
+
+class ChainerModel:
+    def __init__(self, g: AlignmentGraph, mpc: MPCIndex,
+                 index: MinimizerIndex,
+                 cfg: Optional[ChainerConfig] = None):
+        self.g = g
+        self.mpc = mpc
+        self.index = index
+        self.cfg = cfg or ChainerConfig()
+        self.gx = GraphTensors.build(g)
+
+    # ------------------------------------------------------------------
+    def _fragment_jobs(self, reads: Sequence[Tuple[str, str]]):
+        """Seeds + fragment windows -> kernel job list."""
+        cfg = self.cfg
+        jobs: List[FragJob] = []
+        frags = []   # (read_idx, l, fi_fwd, fi_bwd, seed split, seed off)
+        for ri, (name, seq) in enumerate(reads):
+            seeds = get_seeds(self.index, seq, cfg.seed_density)
+            seeds.sort(key=lambda s: s.seq_pos)
+            mm = match_masks(seq)
+            flen, sep = cfg.colinear_split_len, cfg.colinear_split_gap
+            if len(seq) < flen:
+                windows = [(0, len(seq))] if len(seq) >= 5 else []
+            else:
+                windows = [(l, l + flen)
+                           for l in range(0, len(seq) - flen + 1, sep)]
+            si = 0
+            for (l, r) in windows:
+                # seeds fully inside the window
+                best = None
+                for s in seeds:
+                    if s.seq_pos < l:
+                        continue
+                    if s.seq_pos + s.match_len > r:
+                        continue
+                    if best is None or s.goodness > best.goodness:
+                        best = s
+                if best is None:
+                    continue
+                v, off = self.g.find_split(best.di_node, best.node_offset)
+                fwd, bwd = build_jobs(mm, l, r, v, off, best.seq_pos, self.g)
+                fi_fwd = len(jobs)
+                jobs.append(fwd)
+                fi_bwd = -1
+                if len(bwd.rmm) > 0:
+                    fi_bwd = len(jobs)
+                    jobs.append(bwd)
+                frags.append((ri, l, r, fi_fwd, fi_bwd, v, off))
+        return jobs, frags
+
+    # ------------------------------------------------------------------
+    def align_batch(self, reads: Sequence[Tuple[str, str]]
+                    ) -> List[ReadAlignment]:
+        cfg = self.cfg
+        out = [ReadAlignment(name=n, seq=s, positions=[], ops=None,
+                             score=len(s), seq_end=len(s))
+               for n, s in reads]
+        jobs, frags = self._fragment_jobs(reads)
+        if not jobs:
+            return out
+
+        band_nodes, band_eq, band_len, band_in, req, rows, S = \
+            assemble_batch(self.gx, jobs, B=cfg.band_slots,
+                           max_in=cfg.max_in, slack=cfg.band_slack)
+        res = frag_align.align_fragments(band_eq, band_len, band_in, req,
+                                         rows, n_slices=S,
+                                         max_in=cfg.max_in)
+        res = frag_align.FragResult(*[np.asarray(a) for a in res])
+
+        per_read_anchors: List[List[Anchor]] = [[] for _ in reads]
+        for (ri, l, r, fi_fwd, fi_bwd, v, off) in frags:
+            a = extract_anchor(self.g, jobs, band_nodes, res, fi_fwd,
+                               fi_bwd, l, r, v, off, rows)
+            if a is None:
+                continue
+            if a.score > cfg.max_anchor_error * (r - l):
+                continue
+            per_read_anchors[ri].append(a)
+
+        live = [ri for ri in range(len(reads)) if per_read_anchors[ri]]
+        if not live:
+            return out
+        for ri in range(len(reads)):
+            out[ri].n_anchors = len(per_read_anchors[ri])
+
+        arrs = batch_arrays(self.g, self.mpc,
+                            [per_read_anchors[ri] for ri in live])
+        sres = chain_scan(**{k: arrs[k] for k in
+                             ("x", "y", "valid", "ev_type", "ev_anchor",
+                              "ev_k", "ev_kmask", "ev_group")})
+        c_val = np.asarray(sres.c_val)
+        c_pred = np.asarray(sres.c_pred)
+
+        polish_reads, polish_paths, polish_refs = [], [], []
+        for bi, ri in enumerate(live):
+            anchors = per_read_anchors[ri]
+            ids, score = best_chain(self.g, anchors,
+                                    c_val[bi, :len(anchors)],
+                                    c_pred[bi, :len(anchors)])
+            out[ri].n_chained = len(ids)
+            st = stitch(self.g, anchors, ids, cfg.colinear_gap)
+            if st is None:
+                continue
+            read = reads[ri][1]
+            head = int(anchors[ids[0]].x)
+            tail = len(read) - 1 - int(anchors[ids[-1]].y)
+            positions = extend_tails(self.g, st.positions, read,
+                                     max(head, 0), max(tail, 0))
+            out[ri].positions = positions
+            pathseq = "".join(
+                self.g.di_seqs[self.g.orig_node[v]][
+                    self.g.orig_offset[v] + o] for v, o in positions)
+            polish_reads.append(reads[ri][1])
+            polish_paths.append(pathseq)
+            polish_refs.append(ri)
+
+        if polish_reads:
+            outcomes = polish.polish_batch(polish_reads, polish_paths,
+                                           bw=cfg.polish_band_words)
+            for ri, oc in zip(polish_refs, outcomes):
+                out[ri].score = oc.score
+                out[ri].ops = oc.ops
+        return out

@@ -26,7 +26,9 @@ EV_INSERT = 2
 EV_QUERY = 3
 EV_NONE = -1
 
-NEG = jnp.int32(-(1 << 30))
+import numpy as np
+
+NEG = np.int32(-(1 << 30))
 
 
 class ChainScanResult(NamedTuple):

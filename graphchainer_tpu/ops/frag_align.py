@@ -40,7 +40,9 @@ import jax.numpy as jnp
 from graphchainer_tpu.ops import myers
 from graphchainer_tpu.ops.myers import advance_word, merge_words, source_word
 
-BIG = jnp.int32(1 << 28)
+import numpy as np
+
+BIG = np.int32(1 << 28)
 W = 32
 
 # best_in codes (values >= 0 are band slot indices)

@@ -26,8 +26,10 @@ import jax
 import jax.numpy as jnp
 
 W = 32
-ONES = jnp.uint32(0xFFFFFFFF)
-HIGH = jnp.uint32(0x80000000)
+import numpy as np
+
+ONES = np.uint32(0xFFFFFFFF)
+HIGH = np.uint32(0x80000000)
 
 
 def advance_word(vp: jax.Array, vn: jax.Array, sb: jax.Array, eq: jax.Array,
@@ -58,10 +60,13 @@ def score_before_start(vp: jax.Array, vn: jax.Array, sb: jax.Array):
     return sb - pc(vp).astype(jnp.int32) + pc(vn).astype(jnp.int32)
 
 
-_ROWS = jnp.arange(W, dtype=jnp.uint32)
+import numpy as _np
+
+_ROWS_NP = _np.arange(W, dtype=_np.uint32)
 # above_mask[i]: bits strictly above row i (i+1..31)
-_ABOVE = jnp.where(_ROWS < W - 1,
-                   (ONES << (_ROWS + 1)).astype(jnp.uint32), jnp.uint32(0))
+_ABOVE = _np.where(_ROWS_NP < W - 1,
+                   _np.uint32(0xFFFFFFFF) << (_ROWS_NP + 1),
+                   _np.uint32(0)).astype(_np.uint32)
 
 
 def word_scores(vp: jax.Array, vn: jax.Array, sb: jax.Array) -> jax.Array:
@@ -73,7 +78,7 @@ def word_scores(vp: jax.Array, vn: jax.Array, sb: jax.Array) -> jax.Array:
             - pc(vp_).astype(jnp.int32) + pc(vn_).astype(jnp.int32))
 
 
-_BITVAL = (jnp.uint32(1) << _ROWS)
+_BITVAL = (_np.uint32(1) << _ROWS_NP).astype(_np.uint32)
 
 
 def pack_scores(scores: jax.Array, b: jax.Array):

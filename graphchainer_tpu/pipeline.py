@@ -1,0 +1,181 @@
+"""align_reads orchestration: graph + indices + batched alignment + writers.
+
+Re-design of the reference pipeline (src/Aligner.cpp alignReads,
+runComponentMappings): instead of N worker threads each aligning one read
+at a time, reads are gathered into device batches; a reader thread streams
+and batches reads, the main loop runs the device pipeline, and a writer
+thread serializes GAM/GAF/JSON output.  Indices (MPC, minimizer) are real
+serializable artifacts (the reference stubs saveMPC/loadMPC)."""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from graphchainer_tpu.align.emit import OP_MATCH
+from graphchainer_tpu.graph.alignment_graph import (AlignmentGraph,
+                                                    build_alignment_graph)
+from graphchainer_tpu.graph.mpc import MPCIndex, build_mpc
+from graphchainer_tpu.index.minimizer import MinimizerIndex, build_index
+from graphchainer_tpu.io import fastq, gaf, gam
+from graphchainer_tpu.io.gfa import load_gfa
+from graphchainer_tpu.models.chainer import (ChainerConfig, ChainerModel,
+                                             ReadAlignment)
+
+
+@dataclass
+class PipelineParams:
+    graph_file: str = ""
+    read_files: List[str] = field(default_factory=list)
+    out_gam: Optional[str] = None
+    out_gaf: Optional[str] = None
+    out_json: Optional[str] = None
+    out_corrected: Optional[str] = None
+    out_corrected_clipped: Optional[str] = None
+    batch_size: int = 64
+    mpc_index_file: Optional[str] = None
+    minimizer_index_file: Optional[str] = None
+    seed_k: int = 15
+    seed_w: int = 20
+    discard_fraction: float = 0.0002
+    chainer: ChainerConfig = field(default_factory=ChainerConfig)
+    verbose: bool = False
+
+
+@dataclass
+class AlignmentStats:
+    """Reference src/Aligner.cpp:111-144."""
+    reads: int = 0
+    bp_in_reads: int = 0
+    reads_with_an_alignment: int = 0
+    alignments: int = 0
+    bp_in_alignments: int = 0
+    assertion_broke: bool = False
+    seconds: float = 0.0
+
+
+def load_graph(path: str) -> AlignmentGraph:
+    if path.endswith(".vg"):
+        raise NotImplementedError(
+            "vg protobuf graph input lands in a later round; convert with "
+            "`vg view -g graph.vg > graph.gfa` for now")
+    return build_alignment_graph(load_gfa(path))
+
+
+def get_or_build_mpc(g: AlignmentGraph, cache: Optional[str],
+                     verbose: bool = False) -> MPCIndex:
+    if cache and os.path.exists(cache):
+        return MPCIndex.load(cache)
+    mpc = build_mpc(g)
+    if cache:
+        mpc.save(cache)
+    return mpc
+
+
+def get_or_build_minimizer(g: AlignmentGraph, params: PipelineParams
+                           ) -> MinimizerIndex:
+    cache = params.minimizer_index_file
+    if cache and os.path.exists(cache):
+        return MinimizerIndex.load(cache)
+    idx = build_index(g, k=params.seed_k, w=params.seed_w,
+                      discard_fraction=params.discard_fraction)
+    if cache:
+        idx.save(cache)
+    return idx
+
+
+def corrected_read(aln: ReadAlignment, g: AlignmentGraph,
+                   clipped: bool) -> Optional[str]:
+    """Reference src/ReadCorrection.cpp: replace the aligned span with the
+    path sequence (lowercase = uncorrected context)."""
+    if aln.failed:
+        return None
+    pathseq = "".join(g.node_seq(v)[o] for v, o in aln.positions)
+    if clipped:
+        return pathseq
+    return (aln.seq[:aln.seq_start].lower() + pathseq.upper()
+            + aln.seq[aln.seq_end:].lower())
+
+
+def align_reads(params: PipelineParams) -> AlignmentStats:
+    t0 = time.time()
+    g = load_graph(params.graph_file)
+    if params.verbose:
+        print(f"graph: {g.stats()}")
+    mpc = get_or_build_mpc(g, params.mpc_index_file, params.verbose)
+    index = get_or_build_minimizer(g, params)
+    model = ChainerModel(g, mpc, index, params.chainer)
+    stats = AlignmentStats()
+
+    batch_q: "queue.Queue" = queue.Queue(maxsize=4)
+
+    def reader():
+        batch = []
+        for path in params.read_files:
+            for rd in fastq.stream_reads(path):
+                batch.append((rd.name, rd.seq))
+                if len(batch) >= params.batch_size:
+                    batch_q.put(batch)
+                    batch = []
+        if batch:
+            batch_q.put(batch)
+        batch_q.put(None)
+
+    gam_w = gam.GamWriter(params.out_gam) if params.out_gam else None
+    gaf_f = open(params.out_gaf, "w") if params.out_gaf else None
+    json_f = open(params.out_json, "w") if params.out_json else None
+    corr_f = (open(params.out_corrected, "w")
+              if params.out_corrected else None)
+    clip_f = (open(params.out_corrected_clipped, "w")
+              if params.out_corrected_clipped else None)
+
+    rt = threading.Thread(target=reader, daemon=True)
+    rt.start()
+    while True:
+        batch = batch_q.get()
+        if batch is None:
+            break
+        alns = model.align_batch(batch)
+        for aln in alns:
+            stats.reads += 1
+            stats.bp_in_reads += len(aln.seq)
+            if aln.failed:
+                continue
+            stats.reads_with_an_alignment += 1
+            stats.alignments += 1
+            stats.bp_in_alignments += aln.seq_end - aln.seq_start
+            if gam_w:
+                gam_w.write(gam.alignment_message(g, aln))
+            if gaf_f:
+                line = gaf.gaf_line(g, aln)
+                if line:
+                    gaf_f.write(line + "\n")
+            if json_f:
+                json_f.write(gam.alignment_json(g, aln) + "\n")
+            if corr_f:
+                c = corrected_read(aln, g, clipped=False)
+                if c:
+                    corr_f.write(f">{aln.name}\n{c}\n")
+            if clip_f:
+                c = corrected_read(aln, g, clipped=True)
+                if c:
+                    clip_f.write(f">{aln.name}\n{c}\n")
+    rt.join()
+    if gam_w:
+        gam_w.close()
+    for f in (gaf_f, json_f, corr_f, clip_f):
+        if f:
+            f.close()
+    stats.seconds = time.time() - t0
+    if params.verbose:
+        print(f"Input reads: {stats.reads} ({stats.bp_in_reads}bp)")
+        print(f"Reads with an alignment: {stats.reads_with_an_alignment}")
+        print(f"Alignments: {stats.alignments} "
+              f"({stats.bp_in_alignments}bp)")
+        print(f"Wall-clock: {stats.seconds:.2f}s")
+    return stats

@@ -15,6 +15,18 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+import jax  # noqa: E402
+
+# the axon TPU plugin overrides jax_platforms at registration; tests must
+# run on the 8-device virtual CPU backend regardless
+jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: the fragment/chain/polish kernels are expensive
+# to compile on the CPU backend; cache them across test runs
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 @pytest.fixture
 def rng():

@@ -1,0 +1,120 @@
+"""End-to-end pipeline tests on the toy graph and simulated reads.
+
+Accuracy oracle mirrors the reference's scripts/summary.py: the per-read
+edit distance between the read and its alignment-path sequence."""
+import numpy as np
+import pytest
+
+from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+from graphchainer_tpu.graph.mpc import build_mpc
+from graphchainer_tpu.index.minimizer import build_index
+from graphchainer_tpu.io.gfa import Bigraph, load_gfa
+from graphchainer_tpu.models.chainer import ChainerConfig, ChainerModel
+
+from tests.conftest import TOY_READ
+from tests.test_polish import nw_edit_distance
+
+
+def make_model(g, k=15, w=8, **cfg_kwargs):
+    cfg_kwargs.setdefault("band_slots", 16)
+    cfg_kwargs.setdefault("polish_band_words", 4)
+    mpc = build_mpc(g)
+    idx = build_index(g, k=k, w=w)
+    return ChainerModel(g, mpc, idx, ChainerConfig(**cfg_kwargs))
+
+
+def check_alignment(g, read, aln, max_ed):
+    assert not aln.failed, "alignment missing"
+    # path validity
+    path = []
+    for v, o in aln.positions:
+        if not path or path[-1] != v:
+            path.append(v)
+    for a, b in zip(path[:-1], path[1:]):
+        assert b in set(int(x) for x in g.out_neighbors(a)), \
+            f"invalid edge {a}->{b}"
+    # offsets contiguous within nodes
+    pathseq = "".join(g.node_seq(v)[o] for v, o in aln.positions)
+    ed = nw_edit_distance(read, pathseq)
+    assert ed <= max_ed, f"edit distance {ed} > {max_ed}"
+    assert aln.score == ed, (aln.score, ed)
+    return ed
+
+
+def test_toy_graph_read(toy_gfa):
+    g = build_alignment_graph(load_gfa(toy_gfa))
+    model = make_model(g, k=11, w=5)
+    alns = model.align_batch([("read", TOY_READ)])
+    # the toy read has ~12 scattered errors vs path 1->2->4
+    ed = check_alignment(g, TOY_READ, alns[0], max_ed=20)
+    assert alns[0].n_anchors >= 1
+
+
+def simulate(rng, g, err=0.1, min_len=150):
+    """Random forward-strand source walk + error mutation."""
+    starts = [v for v in range(g.n_nodes)
+              if g.orig_node[v] % 2 == 0 and len(g.in_neighbors(v)) == 0]
+    v = int(rng.choice(starts))
+    seq = g.node_seq(v)
+    while len(seq) < min_len:
+        outs = [w for w in g.out_neighbors(v) if g.orig_node[w] % 2 == 0]
+        if not outs:
+            break
+        v = int(rng.choice(outs))
+        seq += g.node_seq(v)
+    read = []
+    for ch in seq:
+        r = rng.random()
+        if r < err / 3:
+            continue
+        if r < 2 * err / 3:
+            read.append(rng.choice(list("ACGT")))
+        else:
+            read.append(ch)
+        if rng.random() < err / 3:
+            read.append(rng.choice(list("ACGT")))
+    return "".join(read), seq
+
+
+def bubble_graph(rng, n_bubbles=12, spacer=60):
+    """Linear backbone with SNP bubbles: a chr-like variation graph."""
+    bg = Bigraph()
+    prev = None
+    for i in range(n_bubbles):
+        sp = bg.add_segment(f"s{i}", "".join(rng.choice(list("ACGT"),
+                                                        spacer)))
+        if prev is not None:
+            for p in prev:
+                bg.links.append((p, False, sp, False, 0))
+        a = bg.add_segment(f"a{i}", str(rng.choice(list("ACGT"))))
+        b = bg.add_segment(f"b{i}", str(rng.choice(list("ACGT"))))
+        bg.links.append((sp, False, a, False, 0))
+        bg.links.append((sp, False, b, False, 0))
+        prev = [a, b]
+    bg.add_segment("end", "".join(rng.choice(list("ACGT"), spacer)))
+    for p in prev:
+        bg.links.append((p, False, bg.name_to_id["end"], False, 0))
+    return bg
+
+
+@pytest.mark.parametrize("err", [0.0, 0.1])
+def test_simulated_reads_on_bubble_graph(err):
+    rng = np.random.default_rng(42)
+    bg = bubble_graph(rng)
+    g = build_alignment_graph(bg)
+    model = make_model(g, k=13, w=10)
+    reads = []
+    truths = []
+    for i in range(4):
+        read, truth = simulate(rng, g, err=err, min_len=250)
+        reads.append((f"r{i}", read))
+        truths.append(truth)
+    alns = model.align_batch(reads)
+    ok = 0
+    for (name, read), aln in zip(reads, alns):
+        if aln.failed:
+            continue
+        ed = check_alignment(g, read, aln,
+                             max_ed=int(len(read) * (err * 1.6 + 0.02)) + 2)
+        ok += 1
+    assert ok >= 3, f"only {ok}/4 reads aligned"
