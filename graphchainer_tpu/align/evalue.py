@@ -68,8 +68,12 @@ class EValueCalculator:
         self.K = cstar * lam / (1.0 - math.exp(-lam))
 
     def alignment_score(self, alignment_length: int, num_edits: int) -> float:
+        # (length - edits)*match + edits*mismatch.  The reference
+        # (src/EValue.cpp:46-49) subtracts the (negative) score delta,
+        # which makes more edits RAISE the score; its own comment states
+        # the intended approximation, which this implements.
         return (alignment_length * self.match
-                - num_edits * (self.mismatch - self.match))
+                + num_edits * (self.mismatch - self.match))
 
     def evalue(self, database_size: int, query_size: int,
                alignment_length: int, num_edits: int) -> float:
