@@ -55,25 +55,46 @@ class Anchor:
 
 @dataclass
 class GraphTensors:
-    """Device/host-side tensors derived from the AlignmentGraph once."""
+    """Device/host-side tensors derived from the AlignmentGraph once.
+
+    The Eq/length tables are the HBM-resident graph: the forward table
+    concatenated with the reversed-sequence table (backward-extension jobs
+    reference reversed nodes as id + N).  They are uploaded to the device
+    once (chunked; see parallel/device.py) and reused by every kernel
+    call."""
     g: AlignmentGraph
     node_eq_rev: np.ndarray      # uint32 [N,4] reversed-sequence planes
+    node_eq_cat: np.ndarray      # uint32 [2N,4] fwd ++ reversed
+    node_len_cat: np.ndarray     # int32 [2N]
     out_ptr: np.ndarray
     out_idx: np.ndarray
     in_ptr: np.ndarray
     in_idx: np.ndarray
     node_len64: np.ndarray
+    _dev_eq: object = None
+    _dev_len: object = None
 
     @staticmethod
     def build(g: AlignmentGraph) -> "GraphTensors":
+        rev = reverse_eq_planes(g.node_eq, g.node_len)
         return GraphTensors(
             g=g,
-            node_eq_rev=reverse_eq_planes(g.node_eq, g.node_len),
+            node_eq_rev=rev,
+            node_eq_cat=np.concatenate([g.node_eq, rev], axis=0),
+            node_len_cat=np.concatenate([g.node_len, g.node_len]),
             out_ptr=g.out_ptr.astype(np.int64),
             out_idx=g.out_idx.astype(np.int64),
             in_ptr=g.in_ptr.astype(np.int64),
             in_idx=g.in_idx.astype(np.int64),
             node_len64=g.node_len.astype(np.int64))
+
+    def device_tables(self):
+        """(node_eq, node_len) as device-resident arrays."""
+        if self._dev_eq is None:
+            from graphchainer_tpu.parallel.device import device_put_chunked
+            self._dev_eq = device_put_chunked(self.node_eq_cat)
+            self._dev_len = device_put_chunked(self.node_len_cat)
+        return self._dev_eq, self._dev_len
 
 
 @dataclass
@@ -99,11 +120,14 @@ def build_jobs(read_mm: np.ndarray, frag_start: int, frag_end: int,
 
 def assemble_batch(gx: GraphTensors, jobs: Sequence[FragJob], B: int,
                    max_in: int = MAX_IN_DEGREE, slack: int = 8):
-    """Build kernel input tensors for a batch of jobs.
+    """Build kernel index tensors for a batch of jobs.
 
-    Returns (band_nodes [F,B] int64, band_eq, band_len, band_in, req,
+    Returns (band_nodes [F,B] int64 ORIGINAL node ids (host use),
+    band_nodes_cat [F,B] int32 ids into the concatenated fwd++rev device
+    tables, band_in [F,B,max_in] int8, seed_shift [F] int32, req,
     frag_len, n_slices)."""
     g = gx.g
+    assert B <= 127, "band slots are int8-indexed"
     F = len(jobs)
     rows = np.array([max(1, len(j.rmm)) for j in jobs], dtype=np.int32)
     S = int(max(1, -(-int(rows.max()) // W)))
@@ -125,19 +149,18 @@ def assemble_batch(gx: GraphTensors, jobs: Sequence[FragJob], B: int,
         band_nodes[sel] = bn
         band_in[sel] = bi
 
-    # gather eq planes / lengths; trim seed slots
-    safe = np.clip(band_nodes, 0, g.n_nodes - 1)
-    eq_fwd = g.node_eq[safe]              # (F,B,4)
-    eq_bwd = gx.node_eq_rev[safe]
+    # ids into the concatenated device tables: reversed nodes offset by +N
     is_rev = np.array([j.reverse for j in jobs], dtype=bool)
-    band_eq = np.where(is_rev[:, None, None], eq_bwd, eq_fwd)
-    band_len = np.where(band_nodes >= 0, g.node_len[safe], 0).astype(np.int32)
-    # seed trimming: drop (len - trim_len) columns from the start
-    trim_len = np.array([j.seed_trim_len for j in jobs], dtype=np.int32)
-    shift = (band_len[:, 0] - trim_len).astype(np.uint32)
-    band_eq = band_eq.copy()
-    band_eq[:, 0, :] = band_eq[:, 0, :] >> shift[:, None]
-    band_len[:, 0] = trim_len
+    band_nodes_cat = np.where(
+        band_nodes >= 0,
+        band_nodes + np.where(is_rev, g.n_nodes, 0)[:, None],
+        -1).astype(np.int32)
+
+    # seed trimming: drop (len - trim_len) columns from the slot-0 start
+    trim_len = np.array([j.seed_trim_len for j in jobs], dtype=np.int64)
+    seed_len = g.node_len[np.clip(band_nodes[:, 0], 0,
+                                  g.n_nodes - 1)].astype(np.int64)
+    seed_shift = (seed_len - trim_len).astype(np.int32)
 
     # read-row match planes
     req = np.zeros((F, S, 4), dtype=np.uint32)
@@ -152,8 +175,40 @@ def assemble_batch(gx: GraphTensors, jobs: Sequence[FragJob], B: int,
                 req[i, s, b] = np.bitwise_or.reduce(
                     (((chunk >> b) & 1).astype(np.uint32)) << bits)
 
-    return (band_nodes, band_eq.astype(np.uint32), band_len,
-            band_in.astype(np.int32), req, rows, S)
+    return (band_nodes, band_nodes_cat, band_in.astype(np.int8),
+            seed_shift, req, rows, S)
+
+
+def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
+                  band_in: np.ndarray, seed_shift: np.ndarray,
+                  req: np.ndarray, rows: np.ndarray, S: int, max_in: int
+                  ) -> frag_align.FragResult:
+    """Run the fragment kernel over the whole job list, chunking the
+    fragment axis so every transferred array stays under the device
+    transfer cap, padding chunks to a fixed size for compile reuse.
+    Returns numpy-backed FragResult."""
+    from graphchainer_tpu.parallel.device import (asarray_chunked,
+                                                  max_batch_rows)
+    dev_eq, dev_len = gx.device_tables()
+    F, B = band_nodes_cat.shape
+    row_bytes = max(B * 4, B * max_in, S * 16, B * S)
+    fchunk = min(max_batch_rows(row_bytes), 2048)
+    outs = []
+    for lo in range(0, F, fchunk):
+        hi = min(F, lo + fchunk)
+        pad = fchunk - (hi - lo)
+        bn = np.pad(band_nodes_cat[lo:hi], ((0, pad), (0, 0)),
+                    constant_values=-1)
+        bi = np.pad(band_in[lo:hi], ((0, pad), (0, 0), (0, 0)),
+                    constant_values=-1)
+        ss = np.pad(seed_shift[lo:hi], (0, pad))
+        rq = np.pad(req[lo:hi], ((0, pad), (0, 0), (0, 0)))
+        rw = np.pad(rows[lo:hi], (0, pad), constant_values=1)
+        res = frag_align.align_fragments(dev_eq, dev_len, bn, bi, ss, rq,
+                                         rw, n_slices=S, max_in=max_in)
+        outs.append(tuple(asarray_chunked(a)[:hi - lo] for a in res))
+    return frag_align.FragResult(*[np.concatenate(parts, axis=0)
+                                   for parts in zip(*outs)])
 
 
 def backwalk(best_in: np.ndarray, band_nodes: np.ndarray, end_slot: int,

@@ -27,7 +27,7 @@ from graphchainer_tpu import constants
 from graphchainer_tpu.align import polish
 from graphchainer_tpu.align.anchors import (Anchor, FragJob, GraphTensors,
                                             assemble_batch, build_jobs,
-                                            extract_anchor)
+                                            extract_anchor, run_fragments)
 from graphchainer_tpu.align.chaining import batch_arrays, best_chain
 from graphchainer_tpu.align.stitch import extend_tails, stitch
 from graphchainer_tpu.graph.alignment_graph import AlignmentGraph
@@ -43,7 +43,7 @@ class ChainerConfig:
     colinear_split_len: int = constants.DEFAULT_COLINEAR_SPLIT_LEN
     colinear_split_gap: int = constants.DEFAULT_COLINEAR_SPLIT_GAP
     colinear_gap: int = constants.DEFAULT_COLINEAR_GAP
-    band_slots: int = 64               # B: band node slots per fragment
+    band_slots: int = 32               # B: band node slots per fragment
     max_in: int = constants.MAX_IN_DEGREE
     band_slack: int = 8
     seed_density: float = constants.DEFAULT_SEED_MINIMIZER_DENSITY
@@ -129,13 +129,11 @@ class ChainerModel:
         if not jobs:
             return out
 
-        band_nodes, band_eq, band_len, band_in, req, rows, S = \
+        band_nodes, band_nodes_cat, band_in, seed_shift, req, rows, S = \
             assemble_batch(self.gx, jobs, B=cfg.band_slots,
                            max_in=cfg.max_in, slack=cfg.band_slack)
-        res = frag_align.align_fragments(band_eq, band_len, band_in, req,
-                                         rows, n_slices=S,
-                                         max_in=cfg.max_in)
-        res = frag_align.FragResult(*[np.asarray(a) for a in res])
+        res = run_fragments(self.gx, band_nodes_cat, band_in, seed_shift,
+                            req, rows, S, cfg.max_in)
 
         per_read_anchors: List[List[Anchor]] = [[] for _ in reads]
         for (ri, l, r, fi_fwd, fi_bwd, v, off) in frags:

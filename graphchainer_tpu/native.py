@@ -52,13 +52,6 @@ def get_lib() -> ctypes.CDLL:
         lib.band_build.argtypes = ([ctypes.c_int64, _I64P, _I64P, _I64P,
                                     ctypes.c_int64, _I64P, _I64P]
                                    + [ctypes.c_int64] * 4 + [_I64P, _I64P])
-        _U32P = ctypes.POINTER(ctypes.c_uint32)
-        _I32P = ctypes.POINTER(ctypes.c_int32)
-        _U8P = ctypes.POINTER(ctypes.c_uint8)
-        lib.polish_backtrace.argtypes = [
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            _U32P, _U32P, _I32P, _I32P, _U8P, _U8P, _I64P, _I64P,
-            ctypes.c_int64, _U8P, _I64P]
         lib.chain_paths.restype = ctypes.c_void_p
         lib.paths_sizes.argtypes = [ctypes.c_void_p, _I64P]
         lib.paths_copy.argtypes = [ctypes.c_void_p, _I64P, _I64P]
@@ -165,40 +158,6 @@ def band_build(n: int, ptr: np.ndarray, idx: np.ndarray,
                    _ptr(out_nodes), _ptr(out_in))
     return (out_nodes.reshape(ns, B),
             out_in.reshape(ns, B, max_in))
-
-
-def polish_backtrace(dump_vp: np.ndarray, dump_vn: np.ndarray,
-                     dump_sb: np.ndarray, base: np.ndarray,
-                     read_mm: np.ndarray, path_mm: np.ndarray,
-                     read_len: np.ndarray, path_len: np.ndarray):
-    """CIGAR backtrace over the banded polish dump.  Returns a list of
-    uint8 op arrays (0=match, 3=mismatch, 1=del/path, 2=ins/read), or None
-    per read when the walk left the band."""
-    lib = get_lib()
-    nreads, P, bw = dump_vp.shape
-    rmax = read_mm.shape[1]
-    dump_vp = np.ascontiguousarray(dump_vp, dtype=np.uint32)
-    dump_vn = np.ascontiguousarray(dump_vn, dtype=np.uint32)
-    dump_sb = np.ascontiguousarray(dump_sb, dtype=np.int32)
-    base = np.ascontiguousarray(base, dtype=np.int32)
-    read_mm = np.ascontiguousarray(read_mm, dtype=np.uint8)
-    path_mm = np.ascontiguousarray(path_mm, dtype=np.uint8)
-    read_len = np.ascontiguousarray(read_len, dtype=np.int64)
-    path_len = np.ascontiguousarray(path_len, dtype=np.int64)
-    out_ops = np.zeros((nreads, rmax + P), dtype=np.uint8)
-    out_n = np.zeros(nreads, dtype=np.int64)
-    u32p = ctypes.POINTER(ctypes.c_uint32)
-    i32p = ctypes.POINTER(ctypes.c_int32)
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    lib.polish_backtrace(
-        ctypes.c_int64(nreads), ctypes.c_int64(P), ctypes.c_int64(bw),
-        dump_vp.ctypes.data_as(u32p), dump_vn.ctypes.data_as(u32p),
-        dump_sb.ctypes.data_as(i32p), base.ctypes.data_as(i32p),
-        read_mm.ctypes.data_as(u8p), path_mm.ctypes.data_as(u8p),
-        _ptr(read_len), _ptr(path_len), ctypes.c_int64(rmax),
-        out_ops.ctypes.data_as(u8p), _ptr(out_n))
-    return [out_ops[i, :out_n[i]].copy() if out_n[i] >= 0 else None
-            for i in range(nreads)]
 
 
 def chain_paths(n: int, src: np.ndarray, dst: np.ndarray,

@@ -7,27 +7,30 @@ TPU re-design of the reference's GraphAlignerBitvectorBanded
 * The reference discovers the band per 64-row slice with a priority-queue
   flood fill and re-queues nodes whose values improve.  Here the band is a
   FIXED set of B node slots selected around the seed by the host band
-  builder (bounded-bp BFS), topologically sorted, and each slice is computed
-  in ONE pass over slots: on a DAG, in-band dependencies only point to
-  earlier slots, so no re-queueing is needed.
+  builder (bounded-bp BFS), topologically sorted, and each slice is
+  computed in ONE pass over slots: on a DAG, in-band dependencies only
+  point to earlier slots, so no re-queueing is needed.
 
-* Exactness argument (in-band cells): all candidate words are monotone
-  overestimates of the true DP, and for every true shortest path each cell
-  is reached by at least one exact candidate:
+* Exactness (in-band cells, verified against the scalar DAG oracle in
+  tests/test_frag_align.py): every candidate word is a monotone
+  overestimate of the true DP, and each true shortest path is carried by
+  an exact candidate:
     - the in-edge advance with hin = sign(prev_col0_bottom - boundary(u))
-      is exact for the contributing edge (the true horizontal boundary
-      delta is always >= -1 impossible... see ops docstrings) and an
-      overestimate otherwise,
+      is exact for the contributing edge (the true boundary delta can
+      never exceed +1 because prev_col0_bottom <= boundary(u) + 1 by the
+      horizontal recurrence) and an overestimate otherwise,
     - an explicit vertical candidate source_word(prev_col0_bottom) carries
       the own-column insertion path across slices,
-    - within-node columns use the exact recorded HP/HN horizontal deltas.
+    - within-node columns use the exact recorded HP/HN boundary deltas.
 
-* Everything is vectorized over (fragments x band slots): the sequential
-  dimensions are slots (topo chain) and the <=32 columns of each node.
+* The graph lives HBM-resident: Eq bitplanes and lengths of all split
+  nodes (forward table concatenated with the reversed-sequence table for
+  backward extension) are uploaded once; per batch only small index
+  arrays (band node ids, in-edge slots, seed trims, read planes) move
+  host->device.
 
-State per (fragment, slot): end-column word (evp, evn, esb), column-0
-bottom score (ssb), horizontal boundary masks (hp, hn), per-slice best
-incoming edge for path backwalk.
+* Everything is vectorized over (fragments x band slots); the sequential
+  dimensions are slots (topo order) and the <=32 columns of each node.
 """
 from __future__ import annotations
 
@@ -36,11 +39,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from graphchainer_tpu.ops import myers
 from graphchainer_tpu.ops.myers import advance_word, merge_words, source_word
-
-import numpy as np
 
 BIG = np.int32(1 << 28)
 W = 32
@@ -55,7 +57,7 @@ class FragResult(NamedTuple):
     end_score: jax.Array   # (F, B) int32: score at the fragment's last row,
                            # minimized over the slot's columns
     end_col: jax.Array     # (F, B) int32: argmin column
-    best_in: jax.Array     # (F, B, S) int32: winning incoming candidate
+    best_in: jax.Array     # (F, B, S) int8: winning incoming candidate
     best_score: jax.Array  # (F,) int32 overall best end score
     best_slot: jax.Array   # (F,) int32 argmin slot
 
@@ -74,38 +76,28 @@ def _score_at_row(vp, vn, sb, r_mask):
 
 
 @partial(jax.jit, static_argnames=("n_slices", "max_in"))
-def align_fragments(band_eq: jax.Array, band_len: jax.Array,
-                    band_in: jax.Array, req: jax.Array, frag_len: jax.Array,
-                    n_slices: int, max_in: int) -> FragResult:
+def align_fragments(node_eq: jax.Array, node_len: jax.Array,
+                    band_nodes: jax.Array, band_in: jax.Array,
+                    seed_shift: jax.Array, req: jax.Array,
+                    frag_len: jax.Array, n_slices: int,
+                    max_in: int) -> FragResult:
     """Run the banded DP.
 
-    band_eq:  (F, B, 4) uint32  per-slot Eq bitplanes over node columns
-                                 (seed slot pre-trimmed by the host)
-    band_len: (F, B) int32      columns per slot (0 = empty; slot 0 with
-                                 len 0 = pure-boundary seed)
-    band_in:  (F, B, max_in) int32  in-edge slot ids (< slot), -1 = none
-    req:      (F, S, 4) uint32  read-row match planes per slice
-    frag_len: (F,) int32        fragment rows (1..S*32)
+    node_eq:    (N2, 4) uint32  HBM-resident Eq bitplanes (fwd ++ reversed)
+    node_len:   (N2,) int32
+    band_nodes: (F, B) int32    per-slot node id into the tables, -1 = pad
+                                 (backward jobs use ids offset by +N)
+    band_in:    (F, B, max_in) int8  in-edge slot ids (< slot), -1 = none
+    seed_shift: (F,) int32      columns trimmed from slot 0's start
+    req:        (F, S, 4) uint32  read-row match planes per slice
+    frag_len:   (F,) int32      fragment rows (1..S*32)
     """
-    F, B, _ = band_eq.shape
+    F, B = band_nodes.shape
     S = n_slices
+    N2 = node_eq.shape[0]
 
     end_slice = (frag_len - 1) // W          # (F,)
     end_row_mask = _above_mask((frag_len - 1) % W)
-
-    active = band_len > 0                    # (F, B)
-    is_seed = jnp.arange(B) == 0             # (B,)
-
-    # Per-slot per-column Eq words: eq_cols[f, b, c] = OR_base
-    # req[f, s, base] where column c of slot b matches base.  Computed per
-    # slice inside the loop (depends on s through req).
-
-    def eq_for_col(req_s, col_bits):
-        # req_s: (F, 4) uint32; col_bits: (F, B, 4) 0/1 of column c
-        return (req_s[:, None, 0] * col_bits[..., 0]
-                | req_s[:, None, 1] * col_bits[..., 1]
-                | req_s[:, None, 2] * col_bits[..., 2]
-                | req_s[:, None, 3] * col_bits[..., 3])
 
     zero32 = jnp.zeros((F, B), jnp.uint32)
     state = dict(
@@ -114,7 +106,7 @@ def align_fragments(band_eq: jax.Array, band_len: jax.Array,
         hp=zero32, hn=zero32,
         end_score=jnp.full((F, B), BIG, jnp.int32),
         end_col=jnp.zeros((F, B), jnp.int32),
-        best_in=jnp.full((F, B, S), IN_NONE, jnp.int32),
+        best_in=jnp.full((F, B, S), IN_NONE, jnp.int8),
     )
 
     # The seed boundary word B0: score_before_start 0, all-insertion column.
@@ -141,9 +133,18 @@ def align_fragments(band_eq: jax.Array, band_len: jax.Array,
             (evp_all, evn_all, esb_all, new_ssb, new_hp, new_hn,
              new_end_score, new_end_col, best_in_s) = carry
 
-            slot_eq = jax.lax.dynamic_slice_in_dim(band_eq, b, 1, 1)[:, 0]
-            slot_len = jax.lax.dynamic_slice_in_dim(band_len, b, 1, 1)[:, 0]
-            slot_in = jax.lax.dynamic_slice_in_dim(band_in, b, 1, 1)[:, 0]
+            ids = jax.lax.dynamic_slice_in_dim(band_nodes, b, 1, 1)[:, 0]
+            idc = jnp.clip(ids, 0, N2 - 1)
+            slot_eq = jnp.take(node_eq, idc, axis=0)        # (F, 4)
+            slot_len = jnp.where(ids >= 0,
+                                 jnp.take(node_len, idc, axis=0), 0)
+            # seed trim (slot 0 only)
+            shift = jnp.where(b == 0, seed_shift, 0)
+            slot_eq = slot_eq >> (shift.astype(jnp.uint32) & 31)[:, None]
+            slot_len = slot_len - shift
+
+            slot_in = jax.lax.dynamic_slice_in_dim(
+                band_in, b, 1, 1)[:, 0].astype(jnp.int32)   # (F, max_in)
             slot_prev_ssb = jax.lax.dynamic_slice_in_dim(
                 prev_ssb, b, 1, 1)[:, 0]
             slot_prev_hp = jax.lax.dynamic_slice_in_dim(prev_hp, b, 1, 1)[:, 0]
@@ -151,7 +152,7 @@ def align_fragments(band_eq: jax.Array, band_len: jax.Array,
             slot_active = slot_len > 0
             slot_is_seed = (b == 0)
 
-            col0_bits = ((slot_eq >> jnp.uint32(0)) & jnp.uint32(1))  # (F,4)
+            col0_bits = (slot_eq & jnp.uint32(1))             # (F,4)
             eq0 = (req_s[:, 0] * col0_bits[:, 0]
                    | req_s[:, 1] * col0_bits[:, 1]
                    | req_s[:, 2] * col0_bits[:, 2]
@@ -163,8 +164,8 @@ def align_fragments(band_eq: jax.Array, band_len: jax.Array,
             csb = jnp.full((F,), BIG, jnp.int32)
             cbest = jnp.full((F,), IN_NONE, jnp.int32)
 
-            # merge must not mix garbage: represent "invalid" as BIG-score
-            # all-insertion words so merges are no-ops.
+            # merges must not mix garbage: invalid candidates become
+            # BIG-score all-insertion words (no-ops under min-merge)
             def sanitize(wvp, wvn, wsb, valid):
                 return (jnp.where(valid, wvp, jnp.uint32(0xFFFFFFFF)),
                         jnp.where(valid, wvn, jnp.uint32(0)),
@@ -172,14 +173,12 @@ def align_fragments(band_eq: jax.Array, band_len: jax.Array,
 
             # seed injection (slice 0 only)
             if not prev_exists:
-                svp, svn, ssb0 = b0_vp, b0_vn, b0_sb
-                seed_valid = jnp.full((F,), slot_is_seed) & (slot_len >= 0)
+                seed_valid = jnp.full((F,), slot_is_seed)
                 avp, avn, asb, _ = advance_word(
-                    svp, svn, ssb0, eq0, jnp.int32(1))
+                    b0_vp, b0_vn, b0_sb, eq0, jnp.int32(1))
                 avp, avn, asb = sanitize(avp, avn, asb, seed_valid)
                 better = asb < csb
-                mvp, mvn, msb = merge_words(cvp, cvn, csb, avp, avn, asb)
-                cvp, cvn, csb = mvp, mvn, msb
+                cvp, cvn, csb = merge_words(cvp, cvn, csb, avp, avn, asb)
                 cbest = jnp.where(seed_valid & better, IN_SEED, cbest)
 
             # vertical continuation from previous slice
@@ -220,7 +219,7 @@ def align_fragments(band_eq: jax.Array, band_len: jax.Array,
                 csb = jnp.where(len0_seed, b0_sb, csb)
                 cbest = jnp.where(len0_seed, IN_SEED, cbest)
 
-            col0_vp, col0_vn, col0_sb = cvp, cvn, csb
+            col0_sb = csb
 
             # ---- end-of-fragment tracking for column 0 -------------------
             at_end = (end_slice == s)
@@ -237,7 +236,6 @@ def align_fragments(band_eq: jax.Array, band_len: jax.Array,
             wvp, wvn, wsb = cvp, cvn, csb
             hp_acc = jnp.zeros((F,), jnp.uint32)
             hn_acc = jnp.zeros((F,), jnp.uint32)
-            # end word captured at column len-1
             evp_c = jnp.where(slot_len <= 1, wvp, jnp.uint32(0))
             evn_c = jnp.where(slot_len <= 1, wvn, jnp.uint32(0))
             esb_c = jnp.where(slot_len <= 1, wsb, BIG)
@@ -257,7 +255,6 @@ def align_fragments(band_eq: jax.Array, band_len: jax.Array,
                 hp_acc |= (hout > 0).astype(jnp.uint32) << jnp.uint32(c)
                 hn_acc |= (hout < 0).astype(jnp.uint32) << jnp.uint32(c)
                 in_node = c < slot_len
-                # end-of-fragment row tracking
                 sr = _score_at_row(wvp, wvn, wsb, end_row_mask)
                 upd = at_end & in_node & (sr < best_sc)
                 best_sc = jnp.where(upd, sr, best_sc)
@@ -267,11 +264,9 @@ def align_fragments(band_eq: jax.Array, band_len: jax.Array,
                 evn_c = jnp.where(cap, wvn, evn_c)
                 esb_c = jnp.where(cap, wsb, esb_c)
 
-            # inactive slots keep BIG
             esb_c = jnp.where(slot_active | (slot_is_seed & (slot_len == 0)),
                               esb_c, BIG)
 
-            bcol = jnp.full((F, 1), b)
             evp_all = jax.lax.dynamic_update_slice_in_dim(
                 evp_all, evp_c[:, None], b, 1)
             evn_all = jax.lax.dynamic_update_slice_in_dim(
@@ -301,7 +296,8 @@ def align_fragments(band_eq: jax.Array, band_len: jax.Array,
         state["ssb"], state["hp"], state["hn"] = new_ssb, new_hp, new_hn
         state["end_score"] = new_end_score
         state["end_col"] = new_end_col
-        state["best_in"] = state["best_in"].at[:, :, s].set(best_in_s)
+        state["best_in"] = state["best_in"].at[:, :, s].set(
+            best_in_s.astype(jnp.int8))
 
     end_score = state["end_score"]
     best_slot = jnp.argmin(end_score, axis=1).astype(jnp.int32)

@@ -1,14 +1,25 @@
 """Banded linear Myers alignment: read vs chain-path sequence (polish).
 
 Replaces the reference's edlib NW call (src/Aligner.cpp:845-877) with a
-TPU kernel: vertical 32-row Myers words over the read, scanned across the
-path columns with a diagonal band of BW words that slides down the read as
-the column index advances.  Cells outside the band are admissible
-overestimates (all-insertion boundary words), so scores are exact whenever
-the optimal alignment stays inside the band.
+TPU kernel pair:
 
-The per-column band words (VP, VN) are dumped to HBM; the CIGAR backtrace
-runs in the C++ host runtime (native polish_backtrace) over the dump.
+  polish_align      — vertical 32-row Myers words over the read, scanned
+                      across the path columns with a diagonal band of BW
+                      words that slides down as columns advance.  The band
+                      top per column is computed on device from
+                      (read_len, path_len) (end-anchored linear ramp), so
+                      per-batch host->device traffic is only the read
+                      planes and path char masks.  Cells outside the band
+                      are admissible overestimates (all-insertion boundary
+                      words): scores are exact whenever the optimal
+                      alignment stays inside the band.
+
+  backtrace_device  — walks the DP backward over the dumped band words
+                      entirely on device (the dump never leaves HBM),
+                      emitting edit ops (0=match, 3=mismatch, 1=path
+                      consumed/deletion, 2=read consumed/insertion).
+
+Total host<->device traffic per batch: O(read bytes + path bytes).
 """
 from __future__ import annotations
 
@@ -24,73 +35,76 @@ from graphchainer_tpu.ops.myers import advance_word
 W = 32
 BIGS = np.int32(1 << 28)
 
+OP_MATCH, OP_DEL, OP_INS, OP_MISMATCH, OP_NONE = 0, 1, 2, 3, 255
+
 
 class PolishResult(NamedTuple):
     score: jax.Array     # (R,) int32 global NW edit distance
-    dump_vp: jax.Array   # (R, P, BW) uint32
+    dump_vp: jax.Array   # (R, P, BW) uint32 (device-resident)
     dump_vn: jax.Array   # (R, P, BW) uint32
-    dump_sb: jax.Array   # (R, P) int32  bottom score of the LOWEST band word
+    dump_sb: jax.Array   # (R, P) int32  bottom score of the lowest word
+    dump_base: jax.Array  # (R, P) int32 band top word index per column
+
+
+def _band_base(col, read_len, path_len, rw_cap, bw):
+    """Band top word index at column `col` (end-anchored linear ramp)."""
+    pl = jnp.maximum(path_len, 1)
+    cc = jnp.minimum(col, pl - 1)
+    target = (cc + 1).astype(jnp.float32) * (
+        read_len.astype(jnp.float32) / pl.astype(jnp.float32))
+    base = (target / W).astype(jnp.int32) - bw // 2
+    ub = jnp.maximum(rw_cap - bw, 0)
+    return jnp.clip(base, 0, ub)
 
 
 @partial(jax.jit, static_argnames=("bw",))
-def polish_align(read_planes, path_mm, base, read_len, path_len, bw: int):
+def polish_align(read_planes, path_mm, read_len, path_len, bw: int):
     """Banded NW of read vs path for a batch.
 
     read_planes: (R, RW, 4) uint32  read row match planes per 32-row word
     path_mm:     (R, P) uint8       path char 4-bit match masks (0 pad)
-    base:        (R, P) int32       band top word index per column
-                                     (nondecreasing, band covers row
-                                     read_len-1 at column path_len-1)
     read_len:    (R,) int32
     path_len:    (R,) int32
     """
     R, RW, _ = read_planes.shape
     P = path_mm.shape[1]
+    rw_cap = (read_len + W - 1) // W                     # words per read
 
-    # initial column (j=0): global boundary, words cover rows
-    # [base0*32, ...): score of row i is i+1.  With base0 = 0 the top word
-    # starts at boundary score 0.
-    def init_words():
-        vps = jnp.full((R, bw), jnp.uint32(0xFFFFFFFF))
-        vns = jnp.zeros((R, bw), jnp.uint32)
-        b0 = base[:, 0][:, None] * W                      # (R,1) rows above
-        sbs = (b0 + (jnp.arange(1, bw + 1) * W)[None, :]).astype(jnp.int32)
-        return vps, vns, sbs
+    base0 = _band_base(jnp.zeros((R,), jnp.int32), read_len, path_len,
+                       rw_cap, bw)
+    vps = jnp.full((R, bw), jnp.uint32(0xFFFFFFFF))
+    vns = jnp.zeros((R, bw), jnp.uint32)
+    sbs = (base0[:, None] * W
+           + (jnp.arange(1, bw + 1) * W)[None, :]).astype(jnp.int32)
 
-    vps, vns, sbs = init_words()
-
-    def col_step(carry, inputs):
+    def col_step(carry, col):
         vps, vns, sbs, prev_base = carry
-        pmm, cur_base, col = inputs                      # (R,), (R,), ()
-        shift = jnp.clip(cur_base - prev_base, 0, bw)    # (R,)
+        pmm = jax.lax.dynamic_index_in_dim(path_mm, col, 1,
+                                           keepdims=False)   # (R,)
+        cur_base = jnp.maximum(
+            _band_base(jnp.full((R,), col), read_len, path_len, rw_cap, bw),
+            prev_base)
+        shift = jnp.clip(cur_base - prev_base, 0, bw)        # (R,)
 
-        # slide band down by `shift` words: drop top words, append
-        # all-insertion continuation words at the bottom.
-        idx = jnp.arange(bw)[None, :] + shift[:, None]   # (R, bw)
+        idx = jnp.arange(bw)[None, :] + shift[:, None]       # (R, bw)
         in_range = idx < bw
         idxc = jnp.clip(idx, 0, bw - 1)
-        bot_sb = sbs[:, -1]                              # (R,)
+        bot_sb = sbs[:, -1]
         g_vp = jnp.take_along_axis(vps, idxc, 1)
         g_vn = jnp.take_along_axis(vns, idxc, 1)
         g_sb = jnp.take_along_axis(sbs, idxc, 1)
-        ext = (idx - bw + 1).astype(jnp.int32) * W       # words below old bot
+        ext = (idx - bw + 1).astype(jnp.int32) * W
         vps = jnp.where(in_range, g_vp, jnp.uint32(0xFFFFFFFF))
         vns = jnp.where(in_range, g_vn, jnp.uint32(0))
         sbs = jnp.where(in_range, g_sb, bot_sb[:, None] + ext)
 
-        # eq words for this column: per band word w, rows of word
-        # (cur_base + w)
         widx = jnp.clip(cur_base[:, None] + jnp.arange(bw)[None, :],
-                        0, RW - 1)                       # (R, bw)
+                        0, RW - 1)
         eq = jnp.zeros((R, bw), jnp.uint32)
         for b in range(4):
             plane = jnp.take_along_axis(read_planes[:, :, b], widx, 1)
             eq = eq | (plane * ((pmm.astype(jnp.uint32) >> b) & 1)[:, None])
 
-        # advance words top -> bottom with vertical carry.  Top word:
-        # boundary above the band — when the band still touches row -1
-        # (cur_base == 0) the true global boundary delta is +1; deeper
-        # bands use +1 as an admissible overestimate too.
         hin = jnp.ones((R,), jnp.int32)
         new_vps, new_vns, new_sbs = [], [], []
         for w in range(bw):
@@ -104,45 +118,33 @@ def polish_align(read_planes, path_mm, base, read_len, path_len, bw: int):
         vns = jnp.stack(new_vns, 1)
         sbs = jnp.stack(new_sbs, 1)
 
-        # columns beyond path_len are padding; the caller reads results
-        # from the dump at column path_len-1, so advancing further is
-        # harmless (host pads `base` with its last value).
-        out = (vps, vns, sbs[:, -1].astype(jnp.int32))
+        out = (vps, vns, sbs[:, -1].astype(jnp.int32), cur_base)
         return (vps, vns, sbs, cur_base), out
 
     cols = jnp.arange(P, dtype=jnp.int32)
-    (vps, vns, sbs, _), (dump_vp, dump_vn, dump_sb) = jax.lax.scan(
-        col_step, (vps, vns, sbs, base[:, 0]),
-        (path_mm.T, base.T, cols))
+    (_, _, _, _), (dump_vp, dump_vn, dump_sb, dump_base) = jax.lax.scan(
+        col_step, (vps, vns, sbs, base0), cols)
     dump_vp = jnp.moveaxis(dump_vp, 0, 1)   # (R, P, bw)
     dump_vn = jnp.moveaxis(dump_vn, 0, 1)
     dump_sb = jnp.moveaxis(dump_sb, 0, 1)   # (R, P)
+    dump_base = jnp.moveaxis(dump_base, 0, 1)
 
     # final score: row read_len-1 at column path_len-1
     last_col = jnp.clip(path_len - 1, 0, P - 1)
     lvp = jnp.take_along_axis(dump_vp, last_col[:, None, None], 1)[:, 0]
     lvn = jnp.take_along_axis(dump_vn, last_col[:, None, None], 1)[:, 0]
     lsb = jnp.take_along_axis(dump_sb, last_col[:, None], 1)[:, 0]
-    lbase = jnp.take_along_axis(base, last_col[:, None], 1)[:, 0]
-    # score at row r: expand from the bottom word chain
-    r = read_len - 1
-    wofs = jnp.clip(r // W - lbase, 0, bw - 1)           # word holding r
-    # bottom score of word w = lsb - sum of words below it... recompute:
-    # word w bottom score = lsb - (deltas of words below w).  Walk from
-    # the bottom: easier to recompute via per-word popcounts.
+    lbase = jnp.take_along_axis(dump_base, last_col[:, None], 1)[:, 0]
     pc = jax.lax.population_count
+    r = read_len - 1
+    wofs = jnp.clip(r // W - lbase, 0, bw - 1)
 
-    def word_bot(wi):
-        # bottom score of band word wi given bottom of word bw-1 == lsb
-        def body(k, acc):
-            below = bw - 1 - k
-            take = below > wi
-            delta = (pc(lvp[:, below]).astype(jnp.int32)
-                     - pc(lvn[:, below]).astype(jnp.int32))
-            return acc - jnp.where(take, delta, 0)
-        return jax.lax.fori_loop(0, bw, body, lsb)
-
-    bot = word_bot(wofs)
+    def body(k, acc):
+        below = bw - 1 - k
+        delta = (pc(lvp[:, below]).astype(jnp.int32)
+                 - pc(lvn[:, below]).astype(jnp.int32))
+        return acc - jnp.where(below > wofs, delta, 0)
+    bot = jax.lax.fori_loop(0, bw, body, lsb)
     rr = (r % W).astype(jnp.uint32)
     above = jnp.where(rr < W - 1,
                       jnp.uint32(0xFFFFFFFF) << (rr + 1), jnp.uint32(0))
@@ -151,23 +153,98 @@ def polish_align(read_planes, path_mm, base, read_len, path_len, bw: int):
     score = (bot - pc(sel_vp & above).astype(jnp.int32)
              + pc(sel_vn & above).astype(jnp.int32))
     return PolishResult(score=score, dump_vp=dump_vp, dump_vn=dump_vn,
-                        dump_sb=dump_sb)
+                        dump_sb=dump_sb, dump_base=dump_base)
 
 
-def make_band_base(read_len: int, path_len: int, bw: int,
-                   n_read_words: int) -> np.ndarray:
-    """Host helper: nondecreasing band top word index per column, centered
-    on the scaled diagonal, clamped so the last column covers the last
-    read row."""
-    p = max(path_len, 1)
-    cols = np.arange(p)
-    center = cols * (read_len / p)
-    top = np.floor(center / W).astype(np.int64) - bw // 2
-    top = np.clip(top, 0, max(0, n_read_words - bw))
-    top = np.maximum.accumulate(top)
-    # ensure the final column's band covers the last read row
-    need = max(0, (read_len - 1) // W - bw + 1)
-    if p > 0:
-        top[-1] = max(top[-1], need)
-        top = np.maximum.accumulate(top)  # keep nondecreasing
-    return top.astype(np.int32)
+class BacktraceResult(NamedTuple):
+    ops_rev: jax.Array   # (R, max_steps) uint8, walk order (end->start)
+    n_ops: jax.Array     # (R,) int32, -1 when the walk left the band
+
+
+@partial(jax.jit, static_argnames=("bw", "max_steps"))
+def backtrace_device(dump_vp, dump_vn, dump_sb, dump_base, read_planes,
+                     path_mm, read_len, path_len, bw: int, max_steps: int):
+    """Walk the banded DP backward on device, emitting edit ops in reverse
+    (end -> start) order."""
+    R, P, _ = dump_vp.shape
+    RW = read_planes.shape[1]
+    pc = jax.lax.population_count
+    BIG = jnp.int32(1 << 26)
+
+    def score(rr, cc):
+        """(R,) DP score at row rr, col cc (with boundary semantics)."""
+        cq = jnp.clip(cc, 0, P - 1)
+        vpw = jnp.take_along_axis(dump_vp, cq[:, None, None], 1)[:, 0]
+        vnw = jnp.take_along_axis(dump_vn, cq[:, None, None], 1)[:, 0]
+        sbw = jnp.take_along_axis(dump_sb, cq[:, None], 1)[:, 0]
+        bsw = jnp.take_along_axis(dump_base, cq[:, None], 1)[:, 0]
+        w = rr // W - bsw
+        wc = jnp.clip(w, 0, bw - 1)
+
+        def body(k, acc):
+            below = bw - 1 - k
+            delta = (pc(vpw[:, below]).astype(jnp.int32)
+                     - pc(vnw[:, below]).astype(jnp.int32))
+            return acc - jnp.where(below > wc, delta, 0)
+        bot = jax.lax.fori_loop(0, bw, body, sbw)
+        rm = (rr % W).astype(jnp.uint32)
+        above = jnp.where(rm < W - 1,
+                          jnp.uint32(0xFFFFFFFF) << (rm + 1), jnp.uint32(0))
+        svp = jnp.take_along_axis(vpw, wc[:, None], 1)[:, 0]
+        svn = jnp.take_along_axis(vnw, wc[:, None], 1)[:, 0]
+        s = (bot - pc(svp & above).astype(jnp.int32)
+             + pc(svn & above).astype(jnp.int32))
+        s = jnp.where((w < 0) | (w >= bw), BIG, s)
+        s = jnp.where(rr < 0, cc + 1, s)
+        s = jnp.where(cc < 0, rr + 1, s)
+        s = jnp.where((rr < 0) & (cc < 0), 0, s)
+        return s
+
+    def matches(rr, cc):
+        rq = jnp.clip(rr, 0, RW * W - 1)
+        cq = jnp.clip(cc, 0, P - 1)
+        pm = jnp.take_along_axis(path_mm, cq[:, None], 1)[:, 0]
+        m = jnp.zeros((R,), jnp.uint32)
+        for b in range(4):
+            plane = jnp.take_along_axis(read_planes[:, :, b],
+                                        (rq // W)[:, None], 1)[:, 0]
+            bit = (plane >> (rq % W).astype(jnp.uint32)) & 1
+            m = m | (bit & ((pm.astype(jnp.uint32) >> b) & 1))
+        return m == 1
+
+    def step(carry, i):
+        r, c, fail, done = carry
+        s = score(r, c)
+        d = score(r - 1, c - 1)
+        l = score(r, c - 1)
+        u = score(r - 1, c)
+        sub = jnp.where(matches(r, c), 0, 1)
+        can_diag = (r >= 0) & (c >= 0) & (s == d + sub)
+        can_left = (c >= 0) & (s == l + 1)
+        can_up = (r >= 0) & (s == u + 1)
+        op = jnp.where(can_diag, jnp.where(sub == 1, OP_MISMATCH, OP_MATCH),
+                       jnp.where(can_left, OP_DEL,
+                                 jnp.where(can_up, OP_INS, OP_NONE)))
+        stuck = ~done & (op == OP_NONE)
+        fail = fail | stuck
+        emit = ~done & ~fail
+        r_new = jnp.where(emit & (can_diag | (~can_diag & ~can_left
+                                              & can_up)), r - 1, r)
+        c_new = jnp.where(emit & (can_diag | (~can_diag & can_left)),
+                          c - 1, c)
+        done_new = done | ((r_new < 0) & (c_new < 0)) | fail
+        out_op = jnp.where(emit, op, jnp.uint8(OP_NONE)).astype(jnp.uint8)
+        return (r_new, c_new, fail, done_new), out_op
+
+    r0 = read_len - 1
+    c0 = path_len - 1
+    fail0 = (read_len <= 0) | (path_len <= 0)
+    done0 = fail0
+    (rf, cf, fail, done), ops = jax.lax.scan(
+        step, (r0, c0, fail0, done0),
+        jnp.arange(max_steps, dtype=jnp.int32))
+    ops = jnp.moveaxis(ops, 0, 1)            # (R, max_steps)
+    complete = done & ~fail & (rf < 0) & (cf < 0)
+    n = jnp.sum((ops != OP_NONE).astype(jnp.int32), axis=1)
+    n = jnp.where(complete, n, -1)
+    return BacktraceResult(ops_rev=ops, n_ops=n)

@@ -1,0 +1,53 @@
+"""Device transfer utilities.
+
+The axon-tunneled dev TPU stalls on single transfers above ~0.5MB, and a
+production HBM-resident design wants graph tables uploaded once anyway.
+All host->device movement goes through jit-argument transfer in chunks of
+<= MAX_TRANSFER bytes, concatenated on device; downloads slice the device
+array and pull pieces of the same size."""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_TRANSFER = 256 * 1024
+
+
+@jax.jit
+def _identity(x):
+    return x
+
+
+def _rows_per_chunk(arr: np.ndarray) -> int:
+    row_bytes = max(arr.nbytes // max(arr.shape[0], 1), 1)
+    return max(1, MAX_TRANSFER // row_bytes)
+
+
+def device_put_chunked(arr: np.ndarray) -> jax.Array:
+    """Upload a numpy array in <=MAX_TRANSFER pieces along axis 0."""
+    if arr.nbytes <= MAX_TRANSFER:
+        return _identity(arr)
+    step = _rows_per_chunk(arr)
+    parts = [_identity(arr[i:i + step]) for i in range(0, arr.shape[0], step)]
+    return jnp.concatenate(parts, axis=0)
+
+
+def asarray_chunked(arr: jax.Array) -> np.ndarray:
+    """Download a device array in <=MAX_TRANSFER pieces along axis 0."""
+    nbytes = arr.size * arr.dtype.itemsize
+    if nbytes <= MAX_TRANSFER:
+        return np.asarray(arr)
+    n = arr.shape[0]
+    row_bytes = max(nbytes // max(n, 1), 1)
+    step = max(1, MAX_TRANSFER // row_bytes)
+    return np.concatenate([np.asarray(arr[i:i + step])
+                           for i in range(0, n, step)], axis=0)
+
+
+def max_batch_rows(row_bytes: int) -> int:
+    """Largest axis-0 extent keeping a row_bytes-wide array uploadable in
+    one piece."""
+    return max(1, MAX_TRANSFER // max(row_bytes, 1))

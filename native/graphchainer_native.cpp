@@ -520,80 +520,6 @@ void band_build(int64_t n, const int64_t* ptr, const int64_t* idx,
   }
 }
 
-// ---------------------------------------------------------------------------
-// CIGAR backtrace over the banded linear Myers dump (ops/linear_align.py),
-// replacing edlib's TASK_PATH output (reference src/Aligner.cpp:845-877).
-//
-// dump_vp/vn: [nreads, P, bw] uint32 band words per column;
-// dump_sb:    [nreads, P] int32 bottom score of the lowest band word;
-// base:       [nreads, P] int32 band top word index per column.
-// Emits per-read op strings (0=match, 3=mismatch, 1=path-consumed/deletion,
-// 2=read-consumed/insertion) in forward order; out_n = -1 if the walk left
-// the band (caller falls back to an approximate trace).
-
-namespace {
-inline int popc32(uint32_t x) { return __builtin_popcount(x); }
-}
-
-void polish_backtrace(int64_t nreads, int64_t P, int64_t bw,
-                      const uint32_t* dump_vp, const uint32_t* dump_vn,
-                      const int32_t* dump_sb, const int32_t* base,
-                      const uint8_t* read_mm, const uint8_t* path_mm,
-                      const int64_t* read_len, const int64_t* path_len,
-                      int64_t rmax, uint8_t* out_ops, int64_t* out_n) {
-  const int64_t W = 32;
-  const int64_t INF = 1LL << 40;
-  for (int64_t q = 0; q < nreads; q++) {
-    const uint32_t* vp = dump_vp + q * P * bw;
-    const uint32_t* vn = dump_vn + q * P * bw;
-    const int32_t* sb = dump_sb + q * P;
-    const int32_t* bs = base + q * P;
-    const uint8_t* rmm = read_mm + q * rmax;
-    const uint8_t* pmm = path_mm + q * P;
-    int64_t R = read_len[q], L = path_len[q];
-    uint8_t* ops = out_ops + q * (rmax + P);
-    auto score = [&](int64_t r, int64_t c) -> int64_t {
-      if (r < 0 && c < 0) return 0;
-      if (r < 0) return c + 1;
-      if (c < 0) return r + 1;
-      int64_t w = r / W - bs[c];
-      if (w < 0 || w >= bw) return INF;
-      int64_t bot = sb[c];
-      for (int64_t k = bw - 1; k > w; k--)
-        bot -= popc32(vp[c * bw + k]) - popc32(vn[c * bw + k]);
-      int64_t rr = r % W;
-      uint32_t above = (rr < W - 1) ? (0xFFFFFFFFu << (rr + 1)) : 0u;
-      return bot - popc32(vp[c * bw + w] & above)
-                 + popc32(vn[c * bw + w] & above);
-    };
-    int64_t r = R - 1, c = L - 1, n = 0;
-    bool ok = (R > 0 && L > 0);
-    while (ok && (r >= 0 || c >= 0)) {
-      int64_t s = score(r, c);
-      if (s >= INF) { ok = false; break; }
-      int sub = (r >= 0 && c >= 0 && (rmm[r] & pmm[c])) ? 0 : 1;
-      if (r >= 0 && c >= 0 && s == score(r - 1, c - 1) + sub) {
-        ops[n++] = sub ? 3 : 0;
-        r--; c--;
-      } else if (c >= 0 && s == score(r, c - 1) + 1) {
-        ops[n++] = 1;
-        c--;
-      } else if (r >= 0 && s == score(r - 1, c) + 1) {
-        ops[n++] = 2;
-        r--;
-      } else {
-        ok = false;
-      }
-    }
-    if (!ok) {
-      out_n[q] = -1;
-      continue;
-    }
-    for (int64_t i = 0; i < n / 2; i++) std::swap(ops[i], ops[n - 1 - i]);
-    out_n[q] = n;
-  }
-}
-
 void paths_sizes(void* h, int64_t* sizes) {
   auto* r = (PathsResult*)h;
   sizes[0] = (int64_t)r->offsets.size() - 1;

@@ -24,10 +24,12 @@ def kernel_vs_oracle(g, read, seed_node, seed_offset, B=24, max_in=8):
     trim = int(g.node_len[seed_node]) - seed_offset
     job = FragJob(rmm=mm, seed_node=seed_node, seed_trim_len=trim,
                   reverse=False)
-    band_nodes, band_eq, band_len, band_in, req, rows, S = assemble_batch(
-        gx, [job], B=B, max_in=max_in, slack=8)
-    res = frag_align.align_fragments(band_eq, band_len, band_in, req,
-                                     rows, n_slices=S, max_in=max_in)
+    band_nodes, band_nodes_cat, band_in, seed_shift, req, rows, S = \
+        assemble_batch(gx, [job], B=B, max_in=max_in, slack=8)
+    dev_eq, dev_len = gx.device_tables()
+    res = frag_align.align_fragments(dev_eq, dev_len, band_nodes_cat,
+                                     band_in, seed_shift, req, rows,
+                                     n_slices=S, max_in=max_in)
     # oracle over the same band subgraph
     valid = band_nodes[0] >= 0
     nodes = np.sort(band_nodes[0][valid])
@@ -128,9 +130,11 @@ def test_backwalk_path_valid(toy_gfa):
     mm = match_masks(read)
     job = FragJob(rmm=mm, seed_node=v,
                   seed_trim_len=int(g.node_len[v]) - o, reverse=False)
-    band_nodes, band_eq, band_len, band_in, req, rows, S = assemble_batch(
-        gx, [job], B=16, max_in=8)
-    res = frag_align.align_fragments(band_eq, band_len, band_in, req, rows,
+    band_nodes, band_nodes_cat, band_in, seed_shift, req, rows, S = \
+        assemble_batch(gx, [job], B=16, max_in=8)
+    dev_eq, dev_len = gx.device_tables()
+    res = frag_align.align_fragments(dev_eq, dev_len, band_nodes_cat,
+                                     band_in, seed_shift, req, rows,
                                      n_slices=S, max_in=8)
     assert int(res.best_score[0]) == 0
     walk = backwalk(np.asarray(res.best_in)[0], band_nodes[0],
