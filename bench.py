@@ -30,6 +30,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from graphchainer_tpu.utils.jaxconfig import setup as _jax_setup
+_jax_setup()
+
 PLATFORM = os.environ.get("BENCH_PLATFORM")
 if PLATFORM:
     import jax

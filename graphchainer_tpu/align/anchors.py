@@ -71,12 +71,18 @@ class GraphTensors:
     in_ptr: np.ndarray
     in_idx: np.ndarray
     node_len64: np.ndarray
+    seq_bytes: np.ndarray = None   # uint8 concat of all digraph sequences
+    di_base: np.ndarray = None     # int64 [n_di+1] offsets into seq_bytes
     _dev_eq: object = None
     _dev_len: object = None
 
     @staticmethod
     def build(g: AlignmentGraph) -> "GraphTensors":
         rev = reverse_eq_planes(g.node_eq, g.node_len)
+        seq_bytes = np.frombuffer(
+            "".join(g.di_seqs).encode("ascii"), dtype=np.uint8)
+        di_base = np.zeros(len(g.di_seqs) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in g.di_seqs], out=di_base[1:])
         return GraphTensors(
             g=g,
             node_eq_rev=rev,
@@ -86,7 +92,19 @@ class GraphTensors:
             out_idx=g.out_idx.astype(np.int64),
             in_ptr=g.in_ptr.astype(np.int64),
             in_idx=g.in_idx.astype(np.int64),
-            node_len64=g.node_len.astype(np.int64))
+            node_len64=g.node_len.astype(np.int64),
+            seq_bytes=seq_bytes, di_base=di_base)
+
+    def positions_seq(self, positions) -> str:
+        """Vectorized path-sequence extraction for a (node, offset) list."""
+        if not positions:
+            return ""
+        arr = np.asarray(positions, dtype=np.int64)
+        g = self.g
+        nodes, offs = arr[:, 0], arr[:, 1]
+        idx = (self.di_base[g.orig_node[nodes].astype(np.int64)]
+               + g.orig_offset[nodes] + offs)
+        return self.seq_bytes[idx].tobytes().decode("ascii")
 
     def device_tables(self):
         """(node_eq, node_len) as device-resident arrays."""
@@ -162,21 +180,28 @@ def assemble_batch(gx: GraphTensors, jobs: Sequence[FragJob], B: int,
                                   g.n_nodes - 1)].astype(np.int64)
     seed_shift = (seed_len - trim_len).astype(np.int32)
 
-    # read-row match planes
-    req = np.zeros((F, S, 4), dtype=np.uint32)
+    # read-row match planes, vectorized across the whole batch
+    mm_pad = np.zeros((F, S * W), dtype=np.uint8)
     for i, j in enumerate(jobs):
-        mm = j.rmm
-        for s in range(S):
-            chunk = mm[s * W:(s + 1) * W]
-            if len(chunk) == 0:
-                continue
-            bits = np.arange(len(chunk), dtype=np.uint32)
-            for b in range(4):
-                req[i, s, b] = np.bitwise_or.reduce(
-                    (((chunk >> b) & 1).astype(np.uint32)) << bits)
+        mm_pad[i, :len(j.rmm)] = j.rmm[:S * W]
+    req = pack_row_planes(mm_pad).reshape(F, S, 4)
 
     return (band_nodes, band_nodes_cat, band_in.astype(np.int8),
             seed_shift, req, rows, S)
+
+
+def pack_row_planes(mm: np.ndarray) -> np.ndarray:
+    """Vectorized bit-packing: (..., S*32) uint8 match masks ->
+    (..., S, 4) uint32 planes (bit i of plane b = row 32s+i matches b)."""
+    lead = mm.shape[:-1]
+    S = mm.shape[-1] // W
+    m = mm.reshape(*lead, S, W).astype(np.uint32)
+    weights = (np.uint32(1) << np.arange(W, dtype=np.uint32))
+    planes = np.zeros((*lead, S, 4), dtype=np.uint32)
+    for b in range(4):
+        planes[..., b] = (((m >> np.uint32(b)) & 1) * weights).sum(
+            axis=-1, dtype=np.uint32)
+    return planes
 
 
 def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,

@@ -161,10 +161,14 @@ def batch_arrays(g: AlignmentGraph, mpc: MPCIndex,
     """Pack per-read anchors + events into padded batch arrays for the
     device scan (ops/chain_scan.py).  Returns a dict of numpy arrays plus
     the per-read event lists' KW."""
+    def _bucket(x, m):
+        return max(m, -(-x // m) * m)
+
     R = len(per_read_anchors)
     evs = [build_events(g, mpc, a) for a in per_read_anchors]
-    A = A or max(1, max((len(a) for a in per_read_anchors), default=1))
-    E = E or max(1, max((len(e.ev_type) for e in evs), default=1))
+    # coarse padding buckets so repeated batches reuse compiled shapes
+    A = A or _bucket(max((len(a) for a in per_read_anchors), default=1), 64)
+    E = E or _bucket(max((len(e.ev_type) for e in evs), default=1), 512)
     kw = max(1, max((e.ev_kmask.shape[1] for e in evs), default=1))
     x = np.zeros((R, A), dtype=np.int32)
     y = np.zeros((R, A), dtype=np.int32)

@@ -51,8 +51,9 @@ def polish_batch(reads: Sequence[str], paths: Sequence[str],
     assert R == len(paths)
     read_len = np.array([len(r) for r in reads], dtype=np.int32)
     path_len = np.array([len(p) for p in paths], dtype=np.int32)
-    rmax = _round_up(int(read_len.max()) if R else 1, 256)
-    pmax = _round_up(int(path_len.max()) if R else 1, 256)
+    # coarse padding buckets so repeated batches reuse compiled shapes
+    rmax = _round_up(int(read_len.max()) if R else 1, 1024)
+    pmax = _round_up(int(path_len.max()) if R else 1, 1024)
     rw = rmax // W
 
     read_planes = np.zeros((R, rw, 4), dtype=np.uint32)

@@ -175,9 +175,7 @@ class ChainerModel:
             positions = extend_tails(self.g, st.positions, read,
                                      max(head, 0), max(tail, 0))
             out[ri].positions = positions
-            pathseq = "".join(
-                self.g.di_seqs[self.g.orig_node[v]][
-                    self.g.orig_offset[v] + o] for v, o in positions)
+            pathseq = self.gx.positions_seq(positions)
             polish_reads.append(reads[ri][1])
             polish_paths.append(pathseq)
             polish_refs.append(ri)

@@ -103,6 +103,8 @@ def corrected_read(aln: ReadAlignment, g: AlignmentGraph,
 
 
 def align_reads(params: PipelineParams) -> AlignmentStats:
+    from graphchainer_tpu.utils.jaxconfig import setup as _jax_setup
+    _jax_setup()
     t0 = time.time()
     g = load_graph(params.graph_file)
     if params.verbose:
