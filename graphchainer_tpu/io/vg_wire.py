@@ -94,3 +94,81 @@ def alignment(sequence: str, path_msg: Optional[bytes], name: str,
     out += f_varint(6, score)
     out += f_double(16, identity)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Generic wire decoding (for .vg graph input and GAM seed files)
+
+def decode_fields(data: bytes):
+    """Yield (field_number, wire_type, value) triples; value is int for
+    varint fields, bytes for length-delimited, raw int for fixed."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        key = 0
+        shift = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            key |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val = 0
+            shift = 0
+            while True:
+                b = data[pos]
+                pos += 1
+                val |= (b & 0x7F) << shift
+                if not (b & 0x80):
+                    break
+                shift += 7
+            yield field, wire, val
+        elif wire == 2:
+            ln = 0
+            shift = 0
+            while True:
+                b = data[pos]
+                pos += 1
+                ln |= (b & 0x7F) << shift
+                if not (b & 0x80):
+                    break
+                shift += 7
+            yield field, wire, data[pos:pos + ln]
+            pos += ln
+        elif wire == 1:
+            yield field, wire, int.from_bytes(data[pos:pos + 8], "little")
+            pos += 8
+        elif wire == 5:
+            yield field, wire, int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wire}")
+
+
+def to_dict(data: bytes, schema) -> dict:
+    """Decode with a schema {field: (name, kind)} where kind is 'int',
+    'str', 'bytes', 'msg:<subschema key>' handled by caller, or a callable
+    applied to the raw value.  Repeated fields accumulate into lists."""
+    out = {}
+    for field, wire, val in decode_fields(data):
+        if field not in schema:
+            continue
+        name, kind = schema[field][0], schema[field][1]
+        if kind == "int":
+            v = val
+        elif kind == "str":
+            v = val.decode("utf-8")
+        elif kind == "bytes":
+            v = val
+        elif callable(kind):
+            v = kind(val)
+        else:
+            raise ValueError(kind)
+        if len(schema[field]) > 2 and schema[field][2] == "repeated":
+            out.setdefault(name, []).append(v)
+        else:
+            out[name] = v
+    return out
