@@ -1,0 +1,142 @@
+"""CLI + aux tools end-to-end: align the toy read via the CLI, then run
+the GAM-consuming tools on the output; vg graph input roundtrip."""
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from graphchainer_tpu import tools
+from graphchainer_tpu.cli import main as cli_main
+from graphchainer_tpu.io import vg_wire
+from graphchainer_tpu.io.gam_reader import load_gam_alignments
+from graphchainer_tpu.io.vg_graph import load_vg
+
+from tests.conftest import TOY_READ
+
+
+@pytest.fixture(scope="module")
+def cli_outputs(toy_gfa, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    reads = d / "reads.fa"
+    reads.write_text(f">read\n{TOY_READ}\n")
+    out_gam = str(d / "out.gam")
+    out_gaf = str(d / "out.gaf")
+    out_json = str(d / "out.json")
+    corrected = str(d / "corrected.fa")
+    rc = cli_main(["-g", toy_gfa, "-f", str(reads),
+                   "-a", out_gam, "-a", out_gaf, "-a", out_json,
+                   "--corrected-out", corrected,
+                   "-b", "16", "--polish-band", "4",
+                   "--seeds-minimizer-length", "11",
+                   "--seeds-minimizer-windowsize", "5"])
+    assert rc == 0
+    return dict(gam=out_gam, gaf=out_gaf, json=out_json,
+                corrected=corrected, dir=d, graph=toy_gfa)
+
+
+def test_cli_outputs_exist(cli_outputs):
+    alns = load_gam_alignments(cli_outputs["gam"])
+    assert len(alns) == 1
+    assert alns[0].name == "read"
+    assert alns[0].sequence == TOY_READ
+    assert len(alns[0].mappings) >= 3
+    gaf = open(cli_outputs["gaf"]).read().strip()
+    assert gaf.startswith("read\t")
+    obj = json.loads(open(cli_outputs["json"]).read())
+    assert obj["name"] == "read"
+    corr = open(cli_outputs["corrected"]).read()
+    assert corr.startswith(">read")
+
+
+def test_extract_path_sequence_tool(cli_outputs, tmp_path):
+    out = str(tmp_path / "paths.fa")
+    tools.main(["extract-path-sequence", "--gam", cli_outputs["gam"],
+                "--graph", cli_outputs["graph"], "-o", out])
+    txt = open(out).read()
+    assert txt.startswith(">read\n")
+    seq = txt.strip().split("\n")[1]
+    # path sequence must be close to the read (the toy read has ~12 errors)
+    from tests.test_polish import nw_edit_distance
+    assert nw_edit_distance(seq, TOY_READ) <= 20
+
+
+def test_select_longest_and_postprocess(cli_outputs, tmp_path):
+    out1 = str(tmp_path / "longest.gam")
+    tools.main(["select-longest", "--gam", cli_outputs["gam"], "-o", out1])
+    assert len(load_gam_alignments(out1)) == 1
+    out2 = str(tmp_path / "post.gam")
+    tools.main(["postprocess", "--gam", cli_outputs["gam"], "-o", out2])
+    assert len(load_gam_alignments(out2)) == 1
+
+
+def test_simulate_and_reverse_tools(cli_outputs, tmp_path):
+    out = str(tmp_path / "sim.fa")
+    tools.main(["simulate-reads", "--graph", cli_outputs["graph"],
+                "--count", "3", "--length", "60", "-o", out])
+    txt = open(out).read()
+    assert txt.count(">") == 3
+    rev = str(tmp_path / "rev.fa")
+    tools.main(["reverse-reads", "--reads", out, "-o", rev])
+    assert open(rev).read().count("_reverse") == 3
+
+
+def test_node_pos_csv(cli_outputs, tmp_path):
+    out = str(tmp_path / "pos.csv")
+    tools.main(["node-pos-csv", "--graph", cli_outputs["graph"], "-o", out])
+    lines = open(out).read().strip().split("\n")
+    assert lines[0] == "node,approx_pos"
+    assert len(lines) == 5  # 4 segments + header
+
+
+def make_vg_file(path, nodes, edges):
+    """nodes: [(id, seq)], edges: [(from, to, from_start, to_end, overlap)]"""
+    graph_msg = b""
+    for nid, seq in nodes:
+        node = vg_wire.f_str(1, seq) + vg_wire.f_varint(3, nid)
+        graph_msg += vg_wire.f_msg(1, node)
+    for f, t, fs, te, ov in edges:
+        e = (vg_wire.f_varint(1, f) + vg_wire.f_varint(2, t)
+             + vg_wire.f_bool(3, fs) + vg_wire.f_bool(4, te)
+             + vg_wire.f_varint(5, ov))
+        graph_msg += vg_wire.f_msg(2, e)
+    framed = (vg_wire.varint(1) + vg_wire.varint(len(graph_msg))
+              + graph_msg)
+    with gzip.open(path, "wb") as fh:
+        fh.write(framed)
+
+
+def test_vg_graph_input(tmp_path):
+    p = str(tmp_path / "g.vg")
+    make_vg_file(p, [(1, "ACGTACGT"), (2, "TTTT"), (3, "GGGG")],
+                 [(1, 2, False, False, 0), (1, 3, False, False, 0)])
+    bg = load_vg(p)
+    assert bg.names == ["1", "2", "3"]
+    assert bg.seqs[0] == "ACGTACGT"
+    assert (0, False, 1, False, 0) in bg.links
+    # and it builds into an alignment graph
+    from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+    g = build_alignment_graph(bg)
+    assert g.stats()["total_bp"] == 2 * 16
+
+
+def test_vg_reverse_edge(tmp_path):
+    from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+    from graphchainer_tpu.utils.seq import revcomp
+    p = str(tmp_path / "g2.vg")
+    # edge end(1) -> start(2) with to_end=True: 2 is traversed reversed
+    make_vg_file(p, [(1, "ACGT"), (2, "GGCC")],
+                 [(1, 2, False, True, 0)])
+    bg = load_vg(p)
+    g = build_alignment_graph(bg)
+    # forward walk from node 1 should spell ACGT + revcomp(GGCC)
+    v, _ = g.find_split(0, 0)
+    seq = g.node_seq(v)
+    while True:
+        outs = g.out_neighbors(v)
+        if len(outs) == 0:
+            break
+        v = int(outs[0])
+        seq += g.node_seq(v)
+    assert seq == "ACGT" + revcomp("GGCC")
