@@ -206,7 +206,8 @@ def pack_row_planes(mm: np.ndarray) -> np.ndarray:
 
 def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                   band_in: np.ndarray, seed_shift: np.ndarray,
-                  req: np.ndarray, rows: np.ndarray, S: int, max_in: int
+                  req: np.ndarray, rows: np.ndarray, S: int, max_in: int,
+                  seed_base: Optional[np.ndarray] = None
                   ) -> frag_align.FragResult:
     """Run the fragment kernel over the whole job list, chunking the
     fragment axis so every transferred array stays under the device
@@ -216,6 +217,8 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                                                   max_batch_rows)
     dev_eq, dev_len = gx.device_tables()
     F, B = band_nodes_cat.shape
+    if seed_base is None:
+        seed_base = np.zeros(F, dtype=np.int32)
     row_bytes = max(B * 4, B * max_in, S * 16, B * S)
     fchunk = min(max_batch_rows(row_bytes), 2048)
     outs = []
@@ -229,8 +232,10 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
         ss = np.pad(seed_shift[lo:hi], (0, pad))
         rq = np.pad(req[lo:hi], ((0, pad), (0, 0), (0, 0)))
         rw = np.pad(rows[lo:hi], (0, pad), constant_values=1)
+        sb = np.pad(seed_base[lo:hi], (0, pad)).astype(np.int32)
         res = frag_align.align_fragments(dev_eq, dev_len, bn, bi, ss, rq,
-                                         rw, n_slices=S, max_in=max_in)
+                                         rw, n_slices=S, max_in=max_in,
+                                         seed_base=sb)
         outs.append(tuple(asarray_chunked(a)[:hi - lo] for a in res))
     return frag_align.FragResult(*[np.concatenate(parts, axis=0)
                                    for parts in zip(*outs)])

@@ -49,6 +49,14 @@ def build_parser() -> argparse.ArgumentParser:
     clc.add_argument("--fast-mode", action="store_true",
                      help="skip the final base-level polish alignment "
                           "(positional mismatch count only)")
+    clc.add_argument("--mode", choices=["clc", "ga"], default="clc",
+                     help="clc = co-linear chaining (default); ga = plain "
+                          "whole-read seed-and-extend (GraphAligner-style)")
+    clc.add_argument("--compare-baseline", action="store_true",
+                     help="in clc mode, also run the whole-read baseline "
+                          "and keep the better alignment per read (the "
+                          "reference always does this; costs extra device "
+                          "rounds)")
     gen = p.add_argument_group("general")
     gen.add_argument("-t", "--threads", type=int, default=1,
                      help="host worker threads (device work is batched)")
@@ -101,9 +109,10 @@ def params_from_args(args) -> PipelineParams:
         colinear_split_len=args.colinear_split_len,
         colinear_split_gap=split_gap,
         colinear_gap=args.colinear_gap,
-        band_slots=args.bandwidth or 64,
+        band_slots=args.bandwidth or 32,
         polish_band_words=args.polish_band,
-        seed_density=args.seeds_minimizer_density)
+        seed_density=args.seeds_minimizer_density,
+        compare_with_baseline=args.compare_baseline)
     params = PipelineParams(
         graph_file=args.graph, read_files=list(args.reads),
         batch_size=args.batch_size, mpc_index_file=args.mpc_index,
@@ -111,7 +120,7 @@ def params_from_args(args) -> PipelineParams:
         seed_k=args.seeds_minimizer_length,
         seed_w=args.seeds_minimizer_windowsize,
         discard_fraction=args.seeds_minimizer_ignore_frequent,
-        chainer=cfg, verbose=args.verbose,
+        chainer=cfg, mode=args.mode, verbose=args.verbose,
         out_corrected=args.corrected_out,
         out_corrected_clipped=args.corrected_clipped_out)
     for out in args.alignments_out:

@@ -1,0 +1,246 @@
+"""Whole-read seed-and-extend alignment (GraphAligner-style baseline).
+
+Re-design of the reference's GraphAligner facade + banded extension
+(src/GraphAligner.h AlignOneWay, getTwoDirectionalTrace,
+src/GraphAlignerBitvectorBanded.h): a seed hit is extended bidirectionally
+across the whole read.  The reference re-discovers the band every 64-row
+slice with a priority flood fill; here the extension advances in WINDOWS
+of up to 64 rows: each window runs the banded fragment kernel seeded at
+the current frontier position with the accumulated score injected as the
+seed base, then the frontier moves to the window's best end position and
+the band is rebuilt there (the TPU analogue of slice-wise band
+re-seeding; the band collapses to the single best position at window
+boundaries, a deliberate simplification noted vs the reference).
+
+Windows are batched across all active (read, direction) extension states,
+so each loop iteration is ONE device call regardless of batch size.
+
+Extension stops at the read ends or when a window's score delta exceeds
+`window_error_cutoff * window_rows` (a simplified X-drop; the reference
+uses an X-score cutoff / correctness HMM, src/GraphAlignerBitvectorBanded.h
+:703-847).  If the final alignment covers too little of the read, the next
+best seed is tried (reference seed-cluster retry, src/GraphAligner.h:121-173).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from graphchainer_tpu import constants
+from graphchainer_tpu.align import polish
+from graphchainer_tpu.align.anchors import (FragJob, GraphTensors,
+                                            assemble_batch, backwalk,
+                                            run_fragments)
+from graphchainer_tpu.align.stitch import path_to_positions
+from graphchainer_tpu.graph.alignment_graph import AlignmentGraph
+from graphchainer_tpu.index.minimizer import MinimizerIndex, get_seeds
+from graphchainer_tpu.models.chainer import ReadAlignment
+from graphchainer_tpu.ops import frag_align
+from graphchainer_tpu.utils.seq import match_masks
+
+W = 32
+WINDOW_ROWS = 64           # rows per extension window (2 slices)
+
+
+@dataclass
+class AlignerConfig:
+    band_slots: int = 48
+    max_in: int = constants.MAX_IN_DEGREE
+    band_slack: int = 16
+    seed_density: float = constants.DEFAULT_SEED_MINIMIZER_DENSITY
+    window_error_cutoff: float = 0.55   # stop when a window is this bad
+    min_coverage_frac: float = 0.3      # retry next seed below this
+    max_seed_tries: int = 5
+    polish_band_words: int = 8
+
+
+@dataclass
+class _ExtState:
+    """One direction of one read's extension."""
+    read_idx: int
+    reverse: bool           # True = extending toward the read start
+    mm: np.ndarray          # direction-oriented remaining rows
+    row: int                # rows consumed so far in this direction
+    node: int               # frontier node (original id)
+    trim_len: int           # remaining columns of the frontier node
+    base: int               # accumulated score at the frontier boundary
+    path: List[int] = field(default_factory=list)  # original node ids
+    last_off: int = -1      # direction-local end offset in the last node
+    active: bool = True
+
+
+class GraphAlignerModel:
+    def __init__(self, g: AlignmentGraph, index: MinimizerIndex,
+                 cfg: Optional[AlignerConfig] = None,
+                 gx: Optional[GraphTensors] = None):
+        self.g = g
+        self.index = index
+        self.cfg = cfg or AlignerConfig()
+        self.gx = gx or GraphTensors.build(g)
+
+    # ------------------------------------------------------------------
+    def _init_states(self, ri: int, read_mm: np.ndarray, seed_node: int,
+                     seed_offset: int, seed_row: int) -> List[_ExtState]:
+        g = self.g
+        node_len = int(g.node_len[seed_node])
+        fwd = _ExtState(read_idx=ri, reverse=False,
+                        mm=read_mm[seed_row:], row=0, node=seed_node,
+                        trim_len=node_len - seed_offset, base=0,
+                        path=[seed_node])
+        bwd = _ExtState(read_idx=ri, reverse=True,
+                        mm=read_mm[:seed_row][::-1], row=0, node=seed_node,
+                        trim_len=seed_offset, base=0, path=[seed_node])
+        if len(bwd.mm) == 0:
+            bwd.active = False
+        if len(fwd.mm) == 0:
+            fwd.active = False
+        return [fwd, bwd]
+
+    # ------------------------------------------------------------------
+    def _extend_round(self, states: List[_ExtState]):
+        """One batched window step over all active states."""
+        cfg = self.cfg
+        g = self.g
+        act = [st for st in states if st.active]
+        if not act:
+            return False
+        jobs = []
+        for st in act:
+            rows = st.mm[st.row:st.row + WINDOW_ROWS]
+            jobs.append(FragJob(rmm=rows, seed_node=st.node,
+                                seed_trim_len=st.trim_len,
+                                reverse=st.reverse))
+        band_nodes, band_nodes_cat, band_in, seed_shift, req, rows_arr, S = \
+            assemble_batch(self.gx, jobs, B=cfg.band_slots,
+                           max_in=cfg.max_in, slack=cfg.band_slack)
+        seed_base = np.array([st.base for st in act], dtype=np.int32)
+        res = run_fragments(self.gx, band_nodes_cat, band_in, seed_shift,
+                            req, rows_arr, S, cfg.max_in,
+                            seed_base=seed_base)
+        for i, st in enumerate(act):
+            nrows = int(rows_arr[i])
+            best = int(res.best_score[i])
+            delta = best - st.base
+            if delta > cfg.window_error_cutoff * nrows:
+                st.active = False       # X-drop style clip
+                continue
+            slot = int(res.best_slot[i])
+            walk = backwalk(np.asarray(res.best_in)[i], band_nodes[i],
+                            slot, (nrows - 1) // W)
+            if walk is None:
+                st.active = False
+                continue
+            # walk is [end ... seed]; direction-local path order is
+            # seed -> end
+            nodes = [int(band_nodes[i][s]) for s in reversed(walk)]
+            for nd in nodes[1:]:
+                st.path.append(nd)
+            end_node = nodes[-1]
+            cb = int(np.asarray(res.end_col)[i][slot])
+            # direction-local offset of the last consumed char
+            if slot == 0:
+                ln = int(g.node_len[st.node])
+                cb += ln - st.trim_len
+            st.last_off = cb
+            st.row += nrows
+            st.base = best
+            st.node = end_node
+            st.trim_len = int(g.node_len[end_node]) - (cb + 1)
+            if st.row >= len(st.mm):
+                st.active = False
+        return any(st.active for st in states)
+
+    # ------------------------------------------------------------------
+    def _finalize(self, read: str, fwd: _ExtState, bwd: _ExtState,
+                  seed_node: int, seed_offset: int, seed_row: int):
+        """Join both directions into (positions, span)."""
+        g = self.g
+        # direction-local offsets -> original coordinates
+        if bwd.row > 0 and bwd.last_off >= 0:
+            first_node = bwd.path[-1]
+            # bwd offsets count from the reversed node start
+            first_off = int(g.node_len[first_node]) - 1 - bwd.last_off
+            bwd_nodes = list(reversed(bwd.path[1:]))
+        else:
+            first_node, first_off = seed_node, seed_offset
+            bwd_nodes = []
+        if fwd.row > 0 and fwd.last_off >= 0:
+            last_node = fwd.path[-1]
+            last_off = fwd.last_off
+            fwd_nodes = fwd.path[1:]
+        else:
+            last_node, last_off = seed_node, seed_offset
+            fwd_nodes = []
+        path = bwd_nodes + [seed_node] + fwd_nodes
+        dedup = [path[0]]
+        for p in path[1:]:
+            if p != dedup[-1]:
+                dedup.append(p)
+        positions = path_to_positions(g, dedup, first_off, last_off)
+        span = (seed_row - bwd.row, seed_row + fwd.row)
+        return positions, span
+
+    # ------------------------------------------------------------------
+    def align_batch(self, reads: Sequence[Tuple[str, str]]
+                    ) -> List[ReadAlignment]:
+        cfg = self.cfg
+        out = [ReadAlignment(name=n, seq=s, positions=[], ops=None,
+                             score=len(s), seq_end=len(s))
+               for n, s in reads]
+        seed_lists = []
+        for name, seq in reads:
+            seeds = get_seeds(self.index, seq, cfg.seed_density)
+            seeds.sort(key=lambda s: -s.goodness)
+            seed_lists.append(seeds[:cfg.max_seed_tries])
+
+        best_positions = [None] * len(reads)
+        best_span = [(0, 0)] * len(reads)
+        pending = [(ri, 0) for ri in range(len(reads))
+                   if seed_lists[ri]]
+        while pending:
+            batch_states = []
+            meta = []
+            for ri, si in pending:
+                seed = seed_lists[ri][si]
+                v, off = self.g.find_split(seed.di_node, seed.node_offset)
+                mm = match_masks(reads[ri][1])
+                sts = self._init_states(ri, mm, v, off, seed.seq_pos)
+                batch_states.extend(sts)
+                meta.append((ri, si, sts, v, off, seed.seq_pos))
+            while self._extend_round(batch_states):
+                pass
+            next_pending = []
+            for ri, si, sts, v, off, srow in meta:
+                fwd, bwd = sts
+                positions, span = self._finalize(reads[ri][1], fwd, bwd,
+                                                 v, off, srow)
+                cov = (span[1] - span[0]) / max(len(reads[ri][1]), 1)
+                prev_cov = ((best_span[ri][1] - best_span[ri][0])
+                            / max(len(reads[ri][1]), 1))
+                if cov > prev_cov:
+                    best_positions[ri] = positions
+                    best_span[ri] = span
+                if cov < cfg.min_coverage_frac \
+                        and si + 1 < len(seed_lists[ri]):
+                    next_pending.append((ri, si + 1))
+            pending = next_pending
+
+        polish_reads, polish_paths, refs = [], [], []
+        for ri in range(len(reads)):
+            if best_positions[ri] is None:
+                continue
+            out[ri].positions = best_positions[ri]
+            out[ri].seq_start = 0
+            out[ri].seq_end = len(reads[ri][1])
+            polish_reads.append(reads[ri][1])
+            polish_paths.append(self.gx.positions_seq(best_positions[ri]))
+            refs.append(ri)
+        if polish_reads:
+            outcomes = polish.polish_batch(polish_reads, polish_paths,
+                                           bw=cfg.polish_band_words)
+            for ri, oc in zip(refs, outcomes):
+                out[ri].score = oc.score
+                out[ri].ops = oc.ops
+        return out

@@ -49,6 +49,11 @@ class ChainerConfig:
     seed_density: float = constants.DEFAULT_SEED_MINIMIZER_DENSITY
     max_anchor_error: float = 0.5      # drop anchors with score > err*len
     polish_band_words: int = 8         # 256-row polish band
+    # run the whole-read seed-and-extend baseline too and keep the better
+    # alignment per read (reference src/Aligner.cpp:901-920).  Off by
+    # default: it multiplies device round-trips, and the CLC path alone
+    # already matches the baseline's accuracy on the test sets.
+    compare_with_baseline: bool = False
 
 
 @dataclass
@@ -77,6 +82,18 @@ class ChainerModel:
         self.index = index
         self.cfg = cfg or ChainerConfig()
         self.gx = GraphTensors.build(g)
+        self._baseline = None
+
+    def baseline(self):
+        if self._baseline is None:
+            from graphchainer_tpu.models.aligner import (AlignerConfig,
+                                                         GraphAlignerModel)
+            self._baseline = GraphAlignerModel(
+                self.g, self.index,
+                AlignerConfig(seed_density=self.cfg.seed_density,
+                              polish_band_words=self.cfg.polish_band_words),
+                gx=self.gx)
+        return self._baseline
 
     # ------------------------------------------------------------------
     def _fragment_jobs(self, reads: Sequence[Tuple[str, str]]):
@@ -186,4 +203,16 @@ class ChainerModel:
             for ri, oc in zip(polish_refs, outcomes):
                 out[ri].score = oc.score
                 out[ri].ops = oc.ops
+
+        if cfg.compare_with_baseline:
+            # keep the better of CLC / whole-read baseline per read
+            # (reference src/Aligner.cpp:901-920: CLC wins only when the
+            # baseline is absent or strictly worse by edit distance)
+            ga = self.baseline().align_batch(reads)
+            for ri in range(len(reads)):
+                clc_better = ga[ri].failed or (not out[ri].failed
+                                               and ga[ri].score
+                                               > out[ri].score)
+                if not clc_better:
+                    out[ri] = ga[ri]
         return out

@@ -79,8 +79,8 @@ def _score_at_row(vp, vn, sb, r_mask):
 def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                     band_nodes: jax.Array, band_in: jax.Array,
                     seed_shift: jax.Array, req: jax.Array,
-                    frag_len: jax.Array, n_slices: int,
-                    max_in: int) -> FragResult:
+                    frag_len: jax.Array, n_slices: int, max_in: int,
+                    seed_base: jax.Array | None = None) -> FragResult:
     """Run the banded DP.
 
     node_eq:    (N2, 4) uint32  HBM-resident Eq bitplanes (fwd ++ reversed)
@@ -91,6 +91,10 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
     seed_shift: (F,) int32      columns trimmed from slot 0's start
     req:        (F, S, 4) uint32  read-row match planes per slice
     frag_len:   (F,) int32      fragment rows (1..S*32)
+    seed_base:  (F,) int32      base score injected at the seed boundary
+                                 (0 for fresh extension; the accumulated
+                                 score when continuing a windowed
+                                 whole-read extension)
     """
     F, B = band_nodes.shape
     S = n_slices
@@ -109,8 +113,11 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
         best_in=jnp.full((F, B, S), IN_NONE, jnp.int8),
     )
 
-    # The seed boundary word B0: score_before_start 0, all-insertion column.
-    b0_vp, b0_vn, b0_sb = source_word(jnp.zeros((F,), jnp.int32))
+    # The seed boundary word B0: score_before_start = seed_base (0 for a
+    # fresh extension), all-insertion column.
+    if seed_base is None:
+        seed_base = jnp.zeros((F,), jnp.int32)
+    b0_vp, b0_vn, b0_sb = source_word(seed_base.astype(jnp.int32))
 
     for s in range(S):
         req_s = req[:, s]                     # (F, 4)

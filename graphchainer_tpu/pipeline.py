@@ -44,6 +44,7 @@ class PipelineParams:
     seed_w: int = 20
     discard_fraction: float = 0.0002
     chainer: ChainerConfig = field(default_factory=ChainerConfig)
+    mode: str = "clc"          # "clc" (chaining) or "ga" (plain extension)
     verbose: bool = False
 
 
@@ -109,9 +110,17 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
     g = load_graph(params.graph_file)
     if params.verbose:
         print(f"graph: {g.stats()}")
-    mpc = get_or_build_mpc(g, params.mpc_index_file, params.verbose)
     index = get_or_build_minimizer(g, params)
-    model = ChainerModel(g, mpc, index, params.chainer)
+    if params.mode == "ga":
+        from graphchainer_tpu.models.aligner import (AlignerConfig,
+                                                     GraphAlignerModel)
+        model = GraphAlignerModel(
+            g, index,
+            AlignerConfig(seed_density=params.chainer.seed_density,
+                          polish_band_words=params.chainer.polish_band_words))
+    else:
+        mpc = get_or_build_mpc(g, params.mpc_index_file, params.verbose)
+        model = ChainerModel(g, mpc, index, params.chainer)
     stats = AlignmentStats()
 
     batch_q: "queue.Queue" = queue.Queue(maxsize=4)

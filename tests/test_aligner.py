@@ -1,0 +1,94 @@
+"""Whole-read seed-and-extend (GraphAligner-style) model tests."""
+import numpy as np
+import pytest
+
+from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+from graphchainer_tpu.index.minimizer import build_index
+from graphchainer_tpu.io.gfa import load_gfa
+from graphchainer_tpu.models.aligner import AlignerConfig, GraphAlignerModel
+
+from tests.conftest import TOY_READ
+from tests.test_e2e import bubble_graph, simulate
+from tests.test_polish import nw_edit_distance
+
+
+def check(g, read, aln, max_ed):
+    assert not aln.failed
+    path = []
+    for v, o in aln.positions:
+        if not path or path[-1] != v:
+            path.append(v)
+    for a, b in zip(path[:-1], path[1:]):
+        assert b in set(int(x) for x in g.out_neighbors(a))
+    pathseq = "".join(g.node_seq(v)[o] for v, o in aln.positions)
+    ed = nw_edit_distance(read, pathseq)
+    assert aln.score == ed
+    assert ed <= max_ed, (ed, max_ed)
+
+
+def test_ga_toy_read(toy_gfa):
+    g = build_alignment_graph(load_gfa(toy_gfa))
+    idx = build_index(g, k=11, w=5)
+    model = GraphAlignerModel(g, idx, AlignerConfig(band_slots=16,
+                                                    polish_band_words=4))
+    aln = model.align_batch([("read", TOY_READ)])[0]
+    check(g, TOY_READ, aln, max_ed=20)
+
+
+@pytest.mark.parametrize("err", [0.0, 0.1])
+def test_ga_simulated_reads(err):
+    rng = np.random.default_rng(21)
+    bg = bubble_graph(rng)
+    g = build_alignment_graph(bg)
+    idx = build_index(g, k=13, w=10)
+    model = GraphAlignerModel(g, idx, AlignerConfig(band_slots=24,
+                                                    polish_band_words=4))
+    reads = []
+    for i in range(4):
+        read, _ = simulate(rng, g, err=err, min_len=250)
+        reads.append((f"r{i}", read))
+    alns = model.align_batch(reads)
+    ok = 0
+    for (name, read), aln in zip(reads, alns):
+        if aln.failed:
+            continue
+        check(g, read, aln, max_ed=int(len(read) * (err * 1.7 + 0.03)) + 2)
+        ok += 1
+    assert ok >= 3
+
+
+def test_ga_long_read_multiwindow(rng):
+    """Reads longer than one window exercise the frontier re-seeding."""
+    bg = bubble_graph(rng, n_bubbles=20, spacer=50)
+    g = build_alignment_graph(bg)
+    idx = build_index(g, k=13, w=10)
+    model = GraphAlignerModel(g, idx, AlignerConfig(band_slots=24,
+                                                    polish_band_words=4))
+    read, truth = simulate(rng, g, err=0.0, min_len=600)
+    aln = model.align_batch([("long", read)])[0]
+    check(g, read, aln, max_ed=4)
+
+
+def test_compare_with_baseline(toy_gfa):
+    from graphchainer_tpu.graph.mpc import build_mpc
+    from graphchainer_tpu.models.chainer import ChainerConfig, ChainerModel
+    g = build_alignment_graph(load_gfa(toy_gfa))
+    idx = build_index(g, k=11, w=5)
+    model = ChainerModel(g, build_mpc(g), idx,
+                         ChainerConfig(band_slots=16, polish_band_words=4,
+                                       compare_with_baseline=True))
+    aln = model.align_batch([("read", TOY_READ)])[0]
+    check(g, TOY_READ, aln, max_ed=20)
+
+
+def test_ga_mode_cli(toy_gfa, tmp_path):
+    from graphchainer_tpu.cli import main as cli_main
+    reads = tmp_path / "r.fa"
+    reads.write_text(f">read\n{TOY_READ}\n")
+    out = str(tmp_path / "out.gaf")
+    rc = cli_main(["-g", toy_gfa, "-f", str(reads), "-a", out,
+                   "--mode", "ga", "-b", "16", "--polish-band", "4",
+                   "--seeds-minimizer-length", "11",
+                   "--seeds-minimizer-windowsize", "5"])
+    assert rc == 0
+    assert open(out).read().startswith("read\t")
