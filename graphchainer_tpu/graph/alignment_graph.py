@@ -165,57 +165,85 @@ def build_alignment_graph(bg: Bigraph) -> AlignmentGraph:
 
     edges = _digraph_edges(bg)
 
-    # Breakpoints per digraph node: edge entry/exit offsets.
-    breakpoints: List[set] = [set() for _ in range(n_di)]
+    # Breakpoints per digraph node: edge entry/exit offsets (nonzero only
+    # for GFA links with overlaps — rare; those nodes take a slow path).
+    breakpoints: Dict[int, set] = {}
     for su, sv, st, dt in edges:
         if dt:
-            breakpoints[sv].add(dt)
+            breakpoints.setdefault(sv, set()).add(dt)
         if st:
-            breakpoints[su].add(len(di_seqs[su]) - st)
+            breakpoints.setdefault(su, set()).add(len(di_seqs[su]) - st)
 
-    # Split each digraph node into pieces of <= SPLIT_LEN bp, respecting
-    # breakpoints.
-    di_ptr = [0]
-    split_di: List[int] = []
-    split_off: List[int] = []
-    split_len: List[int] = []
-    # exact-offset lookup for edge wiring: (di, start_offset) -> split id,
-    # and (di, end_offset) -> split id
-    start_lookup: Dict[Tuple[int, int], int] = {}
-    end_lookup: Dict[Tuple[int, int], int] = {}
-    intra_edges: List[Tuple[int, int]] = []
-    for d in range(n_di):
-        L = len(di_seqs[d])
-        if L == 0:
-            raise ValueError("empty GFA segment sequence")
-        bps = sorted({0, L} | {b for b in breakpoints[d] if 0 < b < L})
-        prev_split = -1
+    di_len = np.array([len(s) for s in di_seqs], dtype=np.int64)
+    if np.any(di_len == 0):
+        raise ValueError("empty GFA segment sequence")
+
+    # --- vectorized split-node construction (regular nodes) -------------
+    # Regular nodes (no breakpoints) split into ceil(L/32) pieces; nodes
+    # with breakpoints are rebuilt below and patched in.
+    counts = -(-di_len // SPLIT_LEN)
+    irregular = sorted(breakpoints.keys())
+    for d in irregular:
+        bps = sorted({0, int(di_len[d])}
+                     | {b for b in breakpoints[d] if 0 < b < di_len[d]})
+        c = 0
+        for a, b in zip(bps[:-1], bps[1:]):
+            c += -(-(b - a) // SPLIT_LEN)
+        counts[d] = c
+    di_ptr_arr0 = np.zeros(n_di + 1, dtype=np.int64)
+    np.cumsum(counts, out=di_ptr_arr0[1:])
+    n = int(di_ptr_arr0[-1])
+
+    split_di_arr = np.repeat(np.arange(n_di, dtype=np.int64), counts)
+    # regular offsets: k*SPLIT_LEN within each node
+    within = (np.arange(n, dtype=np.int64)
+              - di_ptr_arr0[split_di_arr])
+    split_off_arr = within * SPLIT_LEN
+    split_len_arr = np.minimum(SPLIT_LEN,
+                               di_len[split_di_arr] - split_off_arr)
+    for d in irregular:
+        bps = sorted({0, int(di_len[d])}
+                     | {b for b in breakpoints[d] if 0 < b < di_len[d]})
+        offs, lens = [], []
         for a, b in zip(bps[:-1], bps[1:]):
             pos = a
             while pos < b:
                 ln = min(SPLIT_LEN, b - pos)
-                sid = len(split_di)
-                split_di.append(d)
-                split_off.append(pos)
-                split_len.append(ln)
-                start_lookup[(d, pos)] = sid
-                end_lookup[(d, pos + ln)] = sid
-                if prev_split >= 0:
-                    intra_edges.append((prev_split, sid))
-                prev_split = sid
+                offs.append(pos)
+                lens.append(ln)
                 pos += ln
-        di_ptr.append(len(split_di))
+        lo = di_ptr_arr0[d]
+        split_off_arr[lo:lo + len(offs)] = offs
+        split_len_arr[lo:lo + len(offs)] = lens
 
-    inter_edges: List[Tuple[int, int]] = []
-    for su, sv, st, dt in edges:
-        a = end_lookup[(su, len(di_seqs[su]) - st)]
-        b = start_lookup[(sv, dt)]
-        inter_edges.append((a, b))
+    # intra-node chain edges: consecutive splits of the same node
+    intra_src = np.nonzero(split_di_arr[:-1] == split_di_arr[1:])[0]
+    intra = np.stack([intra_src, intra_src + 1], axis=1)
 
-    all_edges = sorted(set(intra_edges) | set(inter_edges))
-    n = len(split_di)
-    src = np.array([e[0] for e in all_edges], dtype=np.int64)
-    dst = np.array([e[1] for e in all_edges], dtype=np.int64)
+    # inter-node edges: exact-offset lookup (binary search per node)
+    def split_at(d, offset, end):
+        lo, hi = di_ptr_arr0[d], di_ptr_arr0[d + 1]
+        offs = split_off_arr[lo:hi]
+        if end:
+            j = int(np.searchsorted(offs + split_len_arr[lo:hi], offset,
+                                    side="left"))
+        else:
+            j = int(np.searchsorted(offs, offset, side="left"))
+        return int(lo + j)
+
+    inter = np.empty((len(edges), 2), dtype=np.int64)
+    for i, (su, sv, st, dt) in enumerate(edges):
+        inter[i, 0] = split_at(su, int(di_len[su]) - st, end=True)
+        inter[i, 1] = split_at(sv, dt, end=False)
+
+    all_e = np.unique(np.concatenate([intra, inter], axis=0), axis=0) \
+        if len(intra) + len(inter) else np.zeros((0, 2), np.int64)
+    src = all_e[:, 0]
+    dst = all_e[:, 1]
+    split_di = split_di_arr
+    split_off = split_off_arr
+    split_len = split_len_arr
+    di_ptr = di_ptr_arr0
 
     order, rank = native.topo_order(n, src, dst)
 
