@@ -16,7 +16,7 @@ default parameters, a documented estimate from the paper-scale runtimes
 of threads); refine when the reference binary can be built in-image.
 
 Env knobs: BENCH_READS (default 96), BENCH_READ_LEN (3000),
-BENCH_GRAPH_BP (120000), BENCH_BATCH (48), BENCH_PLATFORM (default: let
+BENCH_GRAPH_BP (60000), BENCH_BATCH (32), BENCH_PLATFORM (default: let
 JAX pick, i.e. the TPU).
 """
 from __future__ import annotations
@@ -82,8 +82,8 @@ def build_bench_graph(rng, total_bp: int):
 def main():
     n_reads = int(os.environ.get("BENCH_READS", 96))
     read_len = int(os.environ.get("BENCH_READ_LEN", 3000))
-    graph_bp = int(os.environ.get("BENCH_GRAPH_BP", 120_000))
-    batch = int(os.environ.get("BENCH_BATCH", 48))
+    graph_bp = int(os.environ.get("BENCH_GRAPH_BP", 60_000))
+    batch = int(os.environ.get("BENCH_BATCH", 32))
 
     from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
     from graphchainer_tpu.graph.mpc import build_mpc
@@ -100,8 +100,9 @@ def main():
 
     model = ChainerModel(g, mpc, idx, ChainerConfig())
     path_seq, _ = generate_path(g, seed=3)
+    # modest length spread keeps the padded kernel shapes in one bucket
     reads = simulate_reads(path_seq, n_reads + batch, read_len, seed=11,
-                           error_rate=0.10)
+                           error_rate=0.10, len_std=read_len // 10)
 
     # warmup / compile on the first batch
     model.align_batch(reads[:batch])

@@ -96,8 +96,8 @@ class GraphTensors:
             seq_bytes=seq_bytes, di_base=di_base)
 
     def positions_seq(self, positions) -> str:
-        """Vectorized path-sequence extraction for a (node, offset) list."""
-        if not positions:
+        """Vectorized path-sequence extraction for (node, offset) rows."""
+        if len(positions) == 0:
             return ""
         arr = np.asarray(positions, dtype=np.int64)
         g = self.g

@@ -162,7 +162,10 @@ def batch_arrays(g: AlignmentGraph, mpc: MPCIndex,
     device scan (ops/chain_scan.py).  Returns a dict of numpy arrays plus
     the per-read event lists' KW."""
     def _bucket(x, m):
-        return max(m, -(-x // m) * m)
+        out = m
+        while out < x:
+            out *= 2
+        return out
 
     R = len(per_read_anchors)
     evs = [build_events(g, mpc, a) for a in per_read_anchors]

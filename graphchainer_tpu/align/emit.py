@@ -48,9 +48,10 @@ def to_mappings(g: AlignmentGraph, aln: ReadAlignment
     of the current oriented node."""
     if aln.failed or aln.ops is None:
         return []
-    # oriented digraph-node coordinates per path char
-    di = [int(g.orig_node[v]) for v, _ in aln.positions]
-    off = [int(g.orig_offset[v]) + o for (v, o) in aln.positions]
+    # oriented digraph-node coordinates per path char (vectorized)
+    arr = np.asarray(aln.positions, dtype=np.int64)
+    di = g.orig_node[arr[:, 0]].astype(np.int64).tolist()
+    off = (g.orig_offset[arr[:, 0]].astype(np.int64) + arr[:, 1]).tolist()
 
     mappings: List[MappingItem] = []
     read = aln.seq

@@ -21,7 +21,13 @@ W = 32
 
 
 def _round_up(x: int, m: int) -> int:
-    return max(m, -(-x // m) * m)
+    """Geometric shape bucket: next power of two >= max(m, x), so repeated
+    batches of varying read/path lengths land on a handful of compiled
+    shapes."""
+    out = m
+    while out < x:
+        out *= 2
+    return out
 
 
 @dataclass

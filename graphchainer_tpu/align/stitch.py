@@ -24,23 +24,30 @@ from graphchainer_tpu.graph.alignment_graph import AlignmentGraph
 
 @dataclass
 class StitchResult:
-    positions: List[Tuple[int, int]]    # per-char (split node, offset)
+    positions: np.ndarray               # (N, 2) per-char (node, offset)
     pos_path: List[int]                 # winning node path
 
 
 def path_to_positions(g: AlignmentGraph, pos_path: Sequence[int],
-                      first_off: int, last_off: int
-                      ) -> List[Tuple[int, int]]:
-    """Expand a node path into per-char positions from first_off in the
-    first node to last_off in the last node (reference pathToTrace)."""
-    out: List[Tuple[int, int]] = []
-    n = len(pos_path)
-    for i, v in enumerate(pos_path):
-        s = first_off if i == 0 else 0
-        e = last_off if i == n - 1 else int(g.node_len[v]) - 1
-        for o in range(s, e + 1):
-            out.append((int(v), o))
-    return out
+                      first_off: int, last_off: int) -> np.ndarray:
+    """Expand a node path into per-char (node, offset) rows from first_off
+    in the first node to last_off in the last node (reference
+    pathToTrace).  Vectorized."""
+    nodes = np.asarray(pos_path, dtype=np.int64)
+    n = len(nodes)
+    if n == 0:
+        return np.zeros((0, 2), dtype=np.int64)
+    starts = np.zeros(n, dtype=np.int64)
+    ends = g.node_len[nodes].astype(np.int64) - 1
+    starts[0] = first_off
+    ends[-1] = last_off
+    lens = np.maximum(ends - starts + 1, 0)
+    total = int(lens.sum())
+    v_rep = np.repeat(nodes, lens)
+    run0 = np.cumsum(lens) - lens
+    offs = (np.arange(total, dtype=np.int64) - np.repeat(run0, lens)
+            + np.repeat(starts, lens))
+    return np.stack([v_rep, offs], axis=1)
 
 
 def batched_chain_paths(g: AlignmentGraph, queries):
@@ -56,20 +63,19 @@ def batched_chain_paths(g: AlignmentGraph, queries):
                               g.node_len.astype(np.int64), qs, qt, ql)
 
 
-def extend_tails(g: AlignmentGraph, positions: List[Tuple[int, int]],
-                 read: str, head_len: int, tail_len: int
-                 ) -> List[Tuple[int, int]]:
+def extend_tails(g: AlignmentGraph, positions: np.ndarray,
+                 read: str, head_len: int, tail_len: int) -> np.ndarray:
     """Greedily extend the stitched path over the read head/tail that no
     anchor covers (an improvement over the reference, which leaves the
     fragment-grid remainders unaligned and pays them as indels in the
     final NW).  At each branch the child whose next character matches the
     read is preferred; mismatches still extend (they cost the same as the
     insertion the NW would otherwise pay, and often less)."""
-    if not positions:
+    if len(positions) == 0:
         return positions
-    out = list(positions)
     # forward tail
-    v, o = out[-1]
+    v, o = int(positions[-1, 0]), int(positions[-1, 1])
+    out: List[Tuple[int, int]] = []
     ti = len(read) - tail_len
     while tail_len > 0:
         if o + 1 < int(g.node_len[v]):
@@ -89,10 +95,11 @@ def extend_tails(g: AlignmentGraph, positions: List[Tuple[int, int]],
         out.append((v, o))
         ti += 1
         tail_len -= 1
+    tail_arr = np.asarray(out, dtype=np.int64).reshape(-1, 2)
     # backward head
-    v, o = out[0]
+    v, o = int(positions[0, 0]), int(positions[0, 1])
     hi = head_len - 1
-    head = []
+    head: List[Tuple[int, int]] = []
     while head_len > 0:
         if o > 0:
             o -= 1
@@ -112,7 +119,8 @@ def extend_tails(g: AlignmentGraph, positions: List[Tuple[int, int]],
         hi -= 1
         head_len -= 1
     head.reverse()
-    return head + out
+    head_arr = np.asarray(head, dtype=np.int64).reshape(-1, 2)
+    return np.concatenate([head_arr, positions, tail_arr], axis=0)
 
 
 def stitch(g: AlignmentGraph, anchors: Sequence[Anchor],
@@ -136,7 +144,7 @@ def stitch(g: AlignmentGraph, anchors: Sequence[Anchor],
         queries.append((src, dst, max(limit, -1)))
     bfs_paths = batched_chain_paths(g, queries)
 
-    longest: List[Tuple[int, int]] = []
+    longest = np.zeros((0, 2), dtype=np.int64)
     pos_path: List[int] = []
     nodes = set()
     first_off = 0
@@ -179,11 +187,11 @@ def stitch(g: AlignmentGraph, anchors: Sequence[Anchor],
         tmp = path_to_positions(g, pos_path, first_off, last_off)
         if len(longest) < len(tmp):
             longest = tmp
-    if not longest:
+    if len(longest) == 0:
         return None
     # recover the node path of the longest segment from its positions
-    seg_path = []
-    for v, _ in longest:
-        if not seg_path or seg_path[-1] != v:
-            seg_path.append(v)
+    nodes = longest[:, 0]
+    change = np.ones(len(nodes), dtype=bool)
+    change[1:] = nodes[1:] != nodes[:-1]
+    seg_path = [int(v) for v in nodes[change]]
     return StitchResult(positions=longest, pos_path=seg_path)

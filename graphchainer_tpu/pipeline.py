@@ -90,13 +90,13 @@ def get_or_build_minimizer(g: AlignmentGraph, params: PipelineParams
     return idx
 
 
-def corrected_read(aln: ReadAlignment, g: AlignmentGraph,
+def corrected_read(aln: ReadAlignment, gx,
                    clipped: bool) -> Optional[str]:
     """Reference src/ReadCorrection.cpp: replace the aligned span with the
     path sequence (lowercase = uncorrected context)."""
     if aln.failed:
         return None
-    pathseq = "".join(g.node_seq(v)[o] for v, o in aln.positions)
+    pathseq = gx.positions_seq(aln.positions)
     if clipped:
         return pathseq
     return (aln.seq[:aln.seq_start].lower() + pathseq.upper()
@@ -169,11 +169,11 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
             if json_f:
                 json_f.write(gam.alignment_json(g, aln) + "\n")
             if corr_f:
-                c = corrected_read(aln, g, clipped=False)
+                c = corrected_read(aln, model.gx, clipped=False)
                 if c:
                     corr_f.write(f">{aln.name}\n{c}\n")
             if clip_f:
-                c = corrected_read(aln, g, clipped=True)
+                c = corrected_read(aln, model.gx, clipped=True)
                 if c:
                     clip_f.write(f">{aln.name}\n{c}\n")
     rt.join()
