@@ -214,13 +214,17 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
     transfer cap, padding chunks to a fixed size for compile reuse.
     Returns numpy-backed FragResult."""
     from graphchainer_tpu.parallel.device import (asarray_chunked,
-                                                  max_batch_rows)
+                                                  max_batch_rows,
+                                                  shard_rows)
     dev_eq, dev_len = gx.device_tables()
     F, B = band_nodes_cat.shape
     if seed_base is None:
         seed_base = np.zeros(F, dtype=np.int32)
     row_bytes = max(B * 4, B * max_in, S * 16, B * S)
     fchunk = min(max_batch_rows(row_bytes), 2048)
+    import jax as _jax
+    ndev = len(_jax.devices())
+    fchunk = max(ndev, (fchunk // ndev) * ndev)   # even mesh sharding
     outs = []
     for lo in range(0, F, fchunk):
         hi = min(F, lo + fchunk)
@@ -233,6 +237,9 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
         rq = np.pad(req[lo:hi], ((0, pad), (0, 0), (0, 0)))
         rw = np.pad(rows[lo:hi], (0, pad), constant_values=1)
         sb = np.pad(seed_base[lo:hi], (0, pad)).astype(np.int32)
+        # fragment axis rides the data mesh when >1 device is present
+        bn, bi, ss, rq, rw, sb = (shard_rows(a)
+                                  for a in (bn, bi, ss, rq, rw, sb))
         res = frag_align.align_fragments(dev_eq, dev_len, bn, bi, ss, rq,
                                          rw, n_slices=S, max_in=max_in,
                                          seed_base=sb)

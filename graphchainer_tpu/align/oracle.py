@@ -115,6 +115,70 @@ def dag_dp(cg: CharGraph, read: str, inject: np.ndarray) -> np.ndarray:
     return D
 
 
+OP_MATCH, OP_DEL, OP_INS, OP_MISMATCH = 0, 1, 2, 3
+
+
+def backtrace(cg: CharGraph, D: np.ndarray, read: str,
+              inject: np.ndarray, end_char: int):
+    """Exact backtrace from (end_char, len(read)) to an alignment start.
+
+    Returns (positions (N,2) int64, ops uint8) where ops use the polish
+    codes (0=match, 3=mismatch, 1=del/path, 2=ins/read).  Leading read
+    prefix before a free start is emitted as insertions (its cost is part
+    of the boundary injection column, see dag_dp)."""
+    rmm = match_masks(read)
+    pos_rev = []
+    ops_rev = []
+    v, j = int(end_char), len(read)
+    while True:
+        cell = D[v, j]
+        sub_ok = j > 0 and (int(rmm[j - 1]) & int(cg.match_mask[v])) != 0
+        sub = 0 if sub_ok else 1
+        ps = cg.pred_idx[cg.pred_ptr[v]:cg.pred_ptr[v + 1]]
+        moved = False
+        # start moves first when exact (deterministic preference: finish
+        # the walk as early as possible at equal cost)
+        if j > 0 and cell == min(inject[v] + (j - 1), BIG) + sub:
+            pos_rev.append(v)
+            ops_rev.append(OP_MISMATCH if sub else OP_MATCH)
+            ops_rev.extend([OP_INS] * (j - 1))
+            break
+        if cell == min(inject[v] + j, BIG) + 1:
+            pos_rev.append(v)
+            ops_rev.append(OP_DEL)
+            ops_rev.extend([OP_INS] * j)
+            break
+        if j > 0:
+            for u in ps:
+                if D[u, j - 1] + sub == cell:
+                    pos_rev.append(v)
+                    ops_rev.append(OP_MISMATCH if sub else OP_MATCH)
+                    v, j = int(u), j - 1
+                    moved = True
+                    break
+        if moved:
+            continue
+        for u in ps:
+            if D[u, j] + 1 == cell:
+                pos_rev.append(v)
+                ops_rev.append(OP_DEL)
+                v = int(u)
+                moved = True
+                break
+        if moved:
+            continue
+        if j > 0 and D[v, j - 1] + 1 == cell:
+            ops_rev.append(OP_INS)
+            j -= 1
+            continue
+        raise AssertionError("inconsistent DP table in oracle backtrace")
+    chars = list(reversed(pos_rev))
+    positions = np.stack([cg.node_of[chars], cg.offset_of[chars]], axis=1) \
+        if chars else np.zeros((0, 2), dtype=np.int64)
+    ops = np.array(list(reversed(ops_rev)), dtype=np.uint8)
+    return positions, ops
+
+
 def extend_from_seed(g: AlignmentGraph, read: str, seed_node: int,
                      seed_offset: int, nodes: Optional[np.ndarray] = None
                      ) -> Tuple[CharGraph, np.ndarray]:

@@ -112,7 +112,8 @@ def params_from_args(args) -> PipelineParams:
         band_slots=args.bandwidth or 32,
         polish_band_words=args.polish_band,
         seed_density=args.seeds_minimizer_density,
-        compare_with_baseline=args.compare_baseline)
+        compare_with_baseline=args.compare_baseline,
+        fast_mode=args.fast_mode)
     params = PipelineParams(
         graph_file=args.graph, read_files=list(args.reads),
         batch_size=args.batch_size, mpc_index_file=args.mpc_index,

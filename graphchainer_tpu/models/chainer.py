@@ -48,25 +48,32 @@ class ChainerConfig:
     band_slack: int = 8
     seed_density: float = constants.DEFAULT_SEED_MINIMIZER_DENSITY
     max_anchor_error: float = 0.5      # drop anchors with score > err*len
+    seeds_per_fragment: int = 2        # try the k rarest seeds per window
+                                       # (reference extends multiple seed
+                                       # clusters, src/GraphAligner.h:121)
     polish_band_words: int = 8         # 256-row polish band
     # run the whole-read seed-and-extend baseline too and keep the better
     # alignment per read (reference src/Aligner.cpp:901-920).  Off by
     # default: it multiplies device round-trips, and the CLC path alone
     # already matches the baseline's accuracy on the test sets.
     compare_with_baseline: bool = False
+    # reference --fast-mode (src/Aligner.cpp:834-843): skip the base-level
+    # polish; score = positional mismatch count along the path, no CIGAR.
+    fast_mode: bool = False
 
 
 @dataclass
 class ReadAlignment:
     name: str
     seq: str
-    positions: List[Tuple[int, int]]   # per path char: (split node, offset)
+    positions: np.ndarray              # (N,2) per path char (node, offset)
     ops: Optional[np.ndarray]          # edit ops (polish.py codes)
     score: int                         # edit distance read vs path
     seq_start: int = 0
     seq_end: int = 0
     n_anchors: int = 0
     n_chained: int = 0
+    error: Optional[str] = None        # per-read fault isolation marker
 
     @property
     def failed(self) -> bool:
@@ -111,28 +118,31 @@ class ChainerModel:
             else:
                 windows = [(l, l + flen)
                            for l in range(0, len(seq) - flen + 1, sep)]
-            si = 0
             for (l, r) in windows:
-                # seeds fully inside the window
-                best = None
-                for s in seeds:
-                    if s.seq_pos < l:
-                        continue
-                    if s.seq_pos + s.match_len > r:
-                        continue
-                    if best is None or s.goodness > best.goodness:
-                        best = s
-                if best is None:
-                    continue
-                v, off = self.g.find_split(best.di_node, best.node_offset)
-                fwd, bwd = build_jobs(mm, l, r, v, off, best.seq_pos, self.g)
-                fi_fwd = len(jobs)
-                jobs.append(fwd)
-                fi_bwd = -1
-                if len(bwd.rmm) > 0:
-                    fi_bwd = len(jobs)
-                    jobs.append(bwd)
-                frags.append((ri, l, r, fi_fwd, fi_bwd, v, off))
+                # the k rarest seeds fully inside the window
+                inside = [s for s in seeds
+                          if l <= s.seq_pos and s.seq_pos + s.match_len <= r]
+                inside.sort(key=lambda s: -s.goodness)
+                picked = []
+                for s in inside:
+                    if any(p.di_node == s.di_node
+                           and abs(p.node_offset - s.node_offset) < 8
+                           for p in picked):
+                        continue   # near-duplicate hit
+                    picked.append(s)
+                    if len(picked) >= cfg.seeds_per_fragment:
+                        break
+                for s in picked:
+                    v, off = self.g.find_split(s.di_node, s.node_offset)
+                    fwd, bwd = build_jobs(mm, l, r, v, off, s.seq_pos,
+                                          self.g)
+                    fi_fwd = len(jobs)
+                    jobs.append(fwd)
+                    fi_bwd = -1
+                    if len(bwd.rmm) > 0:
+                        fi_bwd = len(jobs)
+                        jobs.append(bwd)
+                    frags.append((ri, l, r, fi_fwd, fi_bwd, v, off))
         return jobs, frags
 
     # ------------------------------------------------------------------
@@ -178,21 +188,37 @@ class ChainerModel:
 
         polish_reads, polish_paths, polish_refs = [], [], []
         for bi, ri in enumerate(live):
-            anchors = per_read_anchors[ri]
-            ids, score = best_chain(self.g, anchors,
-                                    c_val[bi, :len(anchors)],
-                                    c_pred[bi, :len(anchors)])
-            out[ri].n_chained = len(ids)
-            st = stitch(self.g, anchors, ids, cfg.colinear_gap)
-            if st is None:
+            # per-read fault isolation (reference ThreadReadAssertion /
+            # assertionBroke semantics, src/Aligner.cpp:585-592): a failure
+            # in one read's host stages must not take down the batch.
+            try:
+                anchors = per_read_anchors[ri]
+                ids, score = best_chain(self.g, anchors,
+                                        c_val[bi, :len(anchors)],
+                                        c_pred[bi, :len(anchors)])
+                out[ri].n_chained = len(ids)
+                st = stitch(self.g, anchors, ids, cfg.colinear_gap)
+                if st is None:
+                    continue
+                read = reads[ri][1]
+                head = int(anchors[ids[0]].x)
+                tail = len(read) - 1 - int(anchors[ids[-1]].y)
+                positions = extend_tails(self.g, st.positions, read,
+                                         max(head, 0), max(tail, 0))
+                out[ri].positions = positions
+                pathseq = self.gx.positions_seq(positions)
+            except Exception as e:          # noqa: BLE001
+                out[ri].positions = np.zeros((0, 2), dtype=np.int64)
+                out[ri].error = f"{type(e).__name__}: {e}"
                 continue
-            read = reads[ri][1]
-            head = int(anchors[ids[0]].x)
-            tail = len(read) - 1 - int(anchors[ids[-1]].y)
-            positions = extend_tails(self.g, st.positions, read,
-                                     max(head, 0), max(tail, 0))
-            out[ri].positions = positions
-            pathseq = self.gx.positions_seq(positions)
+            if cfg.fast_mode:
+                # positional mismatch count (no CIGAR)
+                x = int(anchors[ids[0]].x) - max(head, 0)
+                n = min(len(pathseq), len(read) - x)
+                a = np.frombuffer(pathseq[:n].encode(), np.uint8)
+                b = np.frombuffer(read[x:x + n].encode(), np.uint8)
+                out[ri].score = int((a != b).sum()) + abs(len(read) - n)
+                continue
             polish_reads.append(reads[ri][1])
             polish_paths.append(pathseq)
             polish_refs.append(ri)

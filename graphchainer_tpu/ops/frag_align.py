@@ -75,19 +75,21 @@ def _score_at_row(vp, vn, sb, r_mask):
             + pc(vn & r_mask).astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("n_slices", "max_in"))
+@partial(jax.jit, static_argnames=("n_slices", "max_in", "full_start"))
 def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                     band_nodes: jax.Array, band_in: jax.Array,
                     seed_shift: jax.Array, req: jax.Array,
                     frag_len: jax.Array, n_slices: int, max_in: int,
-                    seed_base: jax.Array | None = None) -> FragResult:
+                    seed_base: jax.Array | None = None,
+                    full_start: bool = False) -> FragResult:
     """Run the banded DP.
 
     node_eq:    (N2, 4) uint32  HBM-resident Eq bitplanes (fwd ++ reversed)
     node_len:   (N2,) int32
     band_nodes: (F, B) int32    per-slot node id into the tables, -1 = pad
                                  (backward jobs use ids offset by +N)
-    band_in:    (F, B, max_in) int8  in-edge slot ids (< slot), -1 = none
+    band_in:    (F, B, max_in) int8/int16  in-edge slot ids (< slot),
+                                 -1 = none
     seed_shift: (F,) int32      columns trimmed from slot 0's start
     req:        (F, S, 4) uint32  read-row match planes per slice
     frag_len:   (F,) int32      fragment rows (1..S*32)
@@ -95,6 +97,10 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                                  (0 for fresh extension; the accumulated
                                  score when continuing a windowed
                                  whole-read extension)
+    full_start: True injects the boundary word at EVERY active slot
+                (free alignment start anywhere — the reference's
+                getBacktraceFullStart semantics for --optimal-alignment,
+                src/GraphAlignerBitvectorDijkstra.h)
     """
     F, B = band_nodes.shape
     S = n_slices
@@ -180,7 +186,10 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
 
             # seed injection (slice 0 only)
             if not prev_exists:
-                seed_valid = jnp.full((F,), slot_is_seed)
+                if full_start:
+                    seed_valid = slot_active | jnp.full((F,), slot_is_seed)
+                else:
+                    seed_valid = jnp.full((F,), slot_is_seed)
                 avp, avn, asb, _ = advance_word(
                     b0_vp, b0_vn, b0_sb, eq0, jnp.int32(1))
                 avp, avn, asb = sanitize(avp, avn, asb, seed_valid)
@@ -261,6 +270,19 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                 wvp, wvn, wsb, hout = advance_word(wvp, wvn, wsb, eqc, hin)
                 hp_acc |= (hout > 0).astype(jnp.uint32) << jnp.uint32(c)
                 hn_acc |= (hout < 0).astype(jnp.uint32) << jnp.uint32(c)
+                if full_start:
+                    # free start directly into THIS column at any row: the
+                    # boundary column is logically adjacent to every column
+                    bs_vp, bs_vn, bs_sb = source_word(
+                        seed_base.astype(jnp.int32) + W * s)
+                    fin = jnp.int32(0 if s == 0 else 1)
+                    fvp, fvn, fsb, _ = advance_word(bs_vp, bs_vn, bs_sb,
+                                                    eqc, fin)
+                    fsb = jnp.where(slot_active & (c < slot_len), fsb, BIG)
+                    fvp, fvn, fsb = sanitize(fvp, fvn, fsb,
+                                             slot_active & (c < slot_len))
+                    wvp, wvn, wsb = merge_words(wvp, wvn, wsb,
+                                                fvp, fvn, fsb)
                 in_node = c < slot_len
                 sr = _score_at_row(wvp, wvn, wsb, end_row_mask)
                 upd = at_end & in_node & (sr < best_sc)

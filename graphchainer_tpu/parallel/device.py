@@ -15,6 +15,39 @@ import numpy as np
 
 MAX_TRANSFER = 256 * 1024
 
+_mesh = None
+
+
+def data_mesh():
+    """A 1-D data-parallel mesh over all local devices (None if single
+    device — e.g. the tunneled dev TPU)."""
+    global _mesh
+    devs = jax.devices()
+    if len(devs) <= 1:
+        return None
+    if _mesh is None or _mesh.devices.size != len(devs):
+        from jax.sharding import Mesh
+        _mesh = Mesh(np.array(devs), ("dp",))
+    return _mesh
+
+
+def shard_rows(arr):
+    """Shard axis 0 over the data mesh (no-op on a single device)."""
+    mesh = data_mesh()
+    if mesh is None:
+        return arr
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    spec = P("dp", *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def replicated_sharding():
+    mesh = data_mesh()
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return NamedSharding(mesh, P())
+
 
 @jax.jit
 def _identity(x):
@@ -27,7 +60,12 @@ def _rows_per_chunk(arr: np.ndarray) -> int:
 
 
 def device_put_chunked(arr: np.ndarray) -> jax.Array:
-    """Upload a numpy array in <=MAX_TRANSFER pieces along axis 0."""
+    """Upload a numpy array in <=MAX_TRANSFER pieces along axis 0.  On a
+    multi-device mesh the array is replicated with a plain device_put (the
+    transfer cap is a tunneled-single-chip artifact)."""
+    repl = replicated_sharding()
+    if repl is not None:
+        return jax.device_put(arr, repl)
     if arr.nbytes <= MAX_TRANSFER:
         return _identity(arr)
     step = _rows_per_chunk(arr)

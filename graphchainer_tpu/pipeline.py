@@ -155,6 +155,8 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
         for aln in alns:
             stats.reads += 1
             stats.bp_in_reads += len(aln.seq)
+            if aln.error is not None:
+                stats.assertion_broke = True
             if aln.failed:
                 continue
             stats.reads_with_an_alignment += 1

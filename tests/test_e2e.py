@@ -118,3 +118,44 @@ def test_simulated_reads_on_bubble_graph(err):
                              max_ed=int(len(read) * (err * 1.6 + 0.02)) + 2)
         ok += 1
     assert ok >= 3, f"only {ok}/4 reads aligned"
+
+
+def test_reverse_strand_read():
+    """A reverse-complement read must align to the rc strand nodes."""
+    rng = np.random.default_rng(77)
+    bg = bubble_graph(rng)
+    g = build_alignment_graph(bg)
+    model = make_model(g, k=13, w=10)
+    from graphchainer_tpu.utils.seq import revcomp
+    read, _ = simulate(rng, g, err=0.05, min_len=250)
+    rc = revcomp(read)
+    alns = model.align_batch([("rc", rc)])
+    aln = alns[0]
+    ed = check_alignment(g, rc, aln, max_ed=int(len(rc) * 0.12) + 2)
+    # the alignment path must be on the reverse strand (odd digraph nodes)
+    assert all(int(g.orig_node[v]) % 2 == 1 for v, _ in aln.positions)
+
+
+def test_read_with_n_bases():
+    rng = np.random.default_rng(5)
+    bg = bubble_graph(rng)
+    g = build_alignment_graph(bg)
+    model = make_model(g, k=13, w=10)
+    read, _ = simulate(rng, g, err=0.0, min_len=250)
+    # inject N runs; N matches everything so they cost nothing
+    read = read[:100] + "NNNN" + read[104:]
+    aln = model.align_batch([("n", read)])[0]
+    assert not aln.failed
+    assert aln.score <= 6
+
+
+def test_fast_mode():
+    rng = np.random.default_rng(9)
+    bg = bubble_graph(rng)
+    g = build_alignment_graph(bg)
+    model = make_model(g, k=13, w=10, fast_mode=True)
+    read, _ = simulate(rng, g, err=0.0, min_len=250)
+    aln = model.align_batch([("f", read)])[0]
+    assert not aln.failed
+    assert aln.ops is None          # no CIGAR in fast mode
+    assert aln.score <= 4           # positional mismatches only
