@@ -49,9 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     clc.add_argument("--fast-mode", action="store_true",
                      help="skip the final base-level polish alignment "
                           "(positional mismatch count only)")
-    clc.add_argument("--mode", choices=["clc", "ga"], default="clc",
+    clc.add_argument("--mode", choices=["clc", "ga", "optimal"],
+                     default="clc",
                      help="clc = co-linear chaining (default); ga = plain "
                           "whole-read seed-and-extend (GraphAligner-style)")
+    clc.add_argument("--optimal-alignment",
+                     action="store_true",
+                     help="alias for --mode optimal (reference flag)")
     clc.add_argument("--compare-baseline", action="store_true",
                      help="in clc mode, also run the whole-read baseline "
                           "and keep the better alignment per read (the "
@@ -79,6 +83,8 @@ def build_parser() -> argparse.ArgumentParser:
     gen.add_argument("--graph-statistics", action="store_true",
                      help="print graph statistics and exit")
     seed = p.add_argument_group("seeding")
+    seed.add_argument("--seeds-file", default=None,
+                      help="external seeds from a .gam file (reference -s)")
     seed.add_argument("--seeds-minimizer-length", type=int,
                       default=constants.DEFAULT_SEED_MINIMIZER_LENGTH)
     seed.add_argument("--seeds-minimizer-windowsize", type=int,
@@ -122,6 +128,7 @@ def params_from_args(args) -> PipelineParams:
         seed_w=args.seeds_minimizer_windowsize,
         discard_fraction=args.seeds_minimizer_ignore_frequent,
         chainer=cfg, mode=args.mode, verbose=args.verbose,
+        seed_file=args.seeds_file,
         out_corrected=args.corrected_out,
         out_corrected_clipped=args.corrected_clipped_out)
     for out in args.alignments_out:
@@ -139,6 +146,8 @@ def params_from_args(args) -> PipelineParams:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "optimal_alignment", False):
+        args.mode = "optimal"
     if args.graph_statistics:
         from graphchainer_tpu.pipeline import load_graph
         g = load_graph(args.graph)

@@ -73,13 +73,25 @@ def load_gam_alignments(path: str) -> List[GamAlignment]:
     return [parse_alignment(msg) for msg in read_gam(path)]
 
 
-def load_gam_seeds(path: str):
-    """name -> list of (node_id, offset, is_reverse) seed positions."""
+def load_gam_seeds(path: str, name_to_id=None):
+    """name -> list of SeedHit (reference file-seed semantics,
+    src/Aligner.cpp:1169-1190): the first mapping of each stored alignment
+    seeds the read at its query_position/first mapping position."""
+    from graphchainer_tpu.index.minimizer import SeedHit
     seeds = {}
     for aln in load_gam_alignments(path):
         if not aln.mappings:
             continue
         m = aln.mappings[0]
-        seeds.setdefault(aln.name, []).append(
-            (m.node_id, m.offset, m.is_reverse))
+        if name_to_id is not None:
+            base = name_to_id.get(str(m.node_id))
+            if base is None:
+                continue
+            di = 2 * base + (1 if m.is_reverse else 0)
+        else:
+            di = 2 * m.node_id + (1 if m.is_reverse else 0)
+        match_len = sum(e.get("from_length", 0) for e in m.edits) or 15
+        seeds.setdefault(aln.name, []).append(SeedHit(
+            di_node=di, node_offset=m.offset, seq_pos=0,
+            match_len=min(match_len, 32), goodness=1.0))
     return seeds

@@ -83,13 +83,17 @@ class ReadAlignment:
 class ChainerModel:
     def __init__(self, g: AlignmentGraph, mpc: MPCIndex,
                  index: MinimizerIndex,
-                 cfg: Optional[ChainerConfig] = None):
+                 cfg: Optional[ChainerConfig] = None,
+                 file_seeds: Optional[dict] = None):
         self.g = g
         self.mpc = mpc
         self.index = index
         self.cfg = cfg or ChainerConfig()
         self.gx = GraphTensors.build(g)
         self._baseline = None
+        # external seeds: read name -> [SeedHit] (reference .gam seed
+        # files, src/Aligner.cpp:1169-1190)
+        self.file_seeds = file_seeds
 
     def baseline(self):
         if self._baseline is None:
@@ -109,7 +113,10 @@ class ChainerModel:
         jobs: List[FragJob] = []
         frags = []   # (read_idx, l, fi_fwd, fi_bwd, seed split, seed off)
         for ri, (name, seq) in enumerate(reads):
-            seeds = get_seeds(self.index, seq, cfg.seed_density)
+            if self.file_seeds is not None:
+                seeds = list(self.file_seeds.get(name, []))
+            else:
+                seeds = get_seeds(self.index, seq, cfg.seed_density)
             seeds.sort(key=lambda s: s.seq_pos)
             mm = match_masks(seq)
             flen, sep = cfg.colinear_split_len, cfg.colinear_split_gap

@@ -133,8 +133,6 @@ class OptimalAlignerModel:
             best = None
             for c in comps[:16]:
                 score, path, end_col = self._align_component(read, c)
-                if path is None:
-                    continue
                 if best is None or score < best[0]:
                     best = (score, c, path, end_col)
             if best is None:
@@ -155,11 +153,13 @@ class OptimalAlignerModel:
                 positions, ops = orc.backtrace(cg, D, read, inject, end)
                 out[ri].positions = positions
                 out[ri].ops = ops
-            else:
+            elif path is not None:
                 positions = path_to_positions(self.g, path, 0, end_col)
                 oc = polish.polish_batch(
                     [read], [self.gx.positions_seq(positions)],
                     bw=self.cfg.polish_band_words)[0]
                 out[ri].positions = positions
                 out[ri].ops = oc.ops
+            else:
+                out[ri].error = "optimal: path recovery failed"
         return out

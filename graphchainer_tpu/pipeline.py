@@ -44,7 +44,8 @@ class PipelineParams:
     seed_w: int = 20
     discard_fraction: float = 0.0002
     chainer: ChainerConfig = field(default_factory=ChainerConfig)
-    mode: str = "clc"          # "clc" (chaining) or "ga" (plain extension)
+    mode: str = "clc"          # clc (chaining) / ga (extension) / optimal
+    seed_file: Optional[str] = None   # external .gam seeds
     verbose: bool = False
 
 
@@ -58,6 +59,10 @@ class AlignmentStats:
     bp_in_alignments: int = 0
     assertion_broke: bool = False
     seconds: float = 0.0
+
+
+def g_name_ids(g: AlignmentGraph):
+    return {name: i for i, name in enumerate(g.names)}
 
 
 def load_graph(path: str) -> AlignmentGraph:
@@ -118,9 +123,20 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
             g, index,
             AlignerConfig(seed_density=params.chainer.seed_density,
                           polish_band_words=params.chainer.polish_band_words))
+    elif params.mode == "optimal":
+        from graphchainer_tpu.models.optimal import (OptimalAlignerModel,
+                                                     OptimalConfig)
+        model = OptimalAlignerModel(
+            g, index,
+            OptimalConfig(polish_band_words=params.chainer.polish_band_words))
     else:
         mpc = get_or_build_mpc(g, params.mpc_index_file, params.verbose)
-        model = ChainerModel(g, mpc, index, params.chainer)
+        file_seeds = None
+        if params.seed_file:
+            from graphchainer_tpu.io.gam_reader import load_gam_seeds
+            file_seeds = load_gam_seeds(params.seed_file, g_name_ids(g))
+        model = ChainerModel(g, mpc, index, params.chainer,
+                             file_seeds=file_seeds)
     stats = AlignmentStats()
 
     batch_q: "queue.Queue" = queue.Queue(maxsize=4)

@@ -140,3 +140,24 @@ def test_vg_reverse_edge(tmp_path):
         v = int(outs[0])
         seq += g.node_seq(v)
     assert seq == "ACGT" + revcomp("GGCC")
+
+
+def test_file_seeds(cli_outputs, tmp_path):
+    """A GAM produced by the aligner can seed a re-alignment run
+    (reference external-seed files, src/Aligner.cpp:1169-1190)."""
+    from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+    from graphchainer_tpu.graph.mpc import build_mpc
+    from graphchainer_tpu.index.minimizer import build_index
+    from graphchainer_tpu.io.gam_reader import load_gam_seeds
+    from graphchainer_tpu.io.gfa import load_gfa
+    from graphchainer_tpu.models.chainer import ChainerConfig, ChainerModel
+    g = build_alignment_graph(load_gfa(cli_outputs["graph"]))
+    name_ids = {n: i for i, n in enumerate(g.names)}
+    seeds = load_gam_seeds(cli_outputs["gam"], name_ids)
+    assert "read" in seeds and len(seeds["read"]) >= 1
+    model = ChainerModel(g, build_mpc(g),
+                         build_index(g, k=11, w=5),
+                         ChainerConfig(band_slots=16, polish_band_words=4),
+                         file_seeds=seeds)
+    aln = model.align_batch([("read", TOY_READ)])[0]
+    assert not aln.failed
