@@ -102,6 +102,17 @@ class AlignmentGraph:
     def is_reverse(self, v: int) -> bool:
         return bool(int(self.orig_node[v]) & 1)
 
+    def approx_linear_pos(self) -> np.ndarray:
+        """Approximate linear coordinate per split node: cumulative bp in
+        topo order (the TPU stand-in for the reference's chain approximate
+        positions, fixChainApproxPos src/AlignmentGraph.cpp:407-438, used
+        for diagonal seed clustering).  Cached."""
+        if not hasattr(self, "_approx_pos"):
+            prefix = np.zeros(self.n_nodes, dtype=np.int64)
+            np.cumsum(self.node_len[:-1], out=prefix[1:])
+            self._approx_pos = prefix
+        return self._approx_pos
+
     def stats(self) -> Dict[str, int]:
         return dict(n_split_nodes=self.n_nodes,
                     n_edges=len(self.out_idx),

@@ -190,3 +190,50 @@ def get_seeds(index: MinimizerIndex, read: str,
                 seq_pos=int(pos[i]), match_len=index.k,
                 goodness=float(index.count_cap - c)))
     return hits
+
+
+def cluster_seeds(g, seeds, tolerance: int = 100):
+    """Diagonal seed clustering (reference orderSeedsByChaining,
+    src/GraphAligner.h:233-295): group seeds by approximate diagonal
+    (graph linear position - read position) within `tolerance` bp, score
+    each cluster by its non-overlapping matched read bp, and return seeds
+    ordered by descending cluster goodness (cluster order preserved
+    within)."""
+    if not seeds:
+        return []
+    approx = g.approx_linear_pos()
+    diag = []
+    for s in seeds:
+        v, off = g.find_split(s.di_node, s.node_offset)
+        diag.append(int(approx[v]) + off - s.seq_pos)
+    order = sorted(range(len(seeds)), key=lambda i: diag[i])
+    clusters = []
+    cur = [order[0]]
+    for i in order[1:]:
+        if diag[i] - diag[cur[-1]] <= tolerance:
+            cur.append(i)
+        else:
+            clusters.append(cur)
+            cur = [i]
+    clusters.append(cur)
+    scored = []
+    for cl in clusters:
+        # non-overlapping matched bp along the read
+        ivs = sorted((seeds[i].seq_pos,
+                      seeds[i].seq_pos + seeds[i].match_len) for i in cl)
+        covered = 0
+        end = -1
+        for a, b in ivs:
+            a = max(a, end)
+            if b > a:
+                covered += b - a
+                end = b
+        scored.append((covered, cl))
+    scored.sort(key=lambda t: -t[0])
+    out = []
+    for covered, cl in scored:
+        for i in sorted(cl, key=lambda i: -seeds[i].goodness):
+            s = seeds[i]
+            s.goodness = float(covered)
+            out.append(s)
+    return out

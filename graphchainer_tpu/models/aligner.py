@@ -30,12 +30,14 @@ import numpy as np
 
 from graphchainer_tpu import constants
 from graphchainer_tpu.align import polish
+from graphchainer_tpu.align.correctness import CorrectnessState
 from graphchainer_tpu.align.anchors import (FragJob, GraphTensors,
                                             assemble_batch, backwalk,
                                             run_fragments)
 from graphchainer_tpu.align.stitch import path_to_positions
 from graphchainer_tpu.graph.alignment_graph import AlignmentGraph
-from graphchainer_tpu.index.minimizer import MinimizerIndex, get_seeds
+from graphchainer_tpu.index.minimizer import (MinimizerIndex,
+                                              cluster_seeds, get_seeds)
 from graphchainer_tpu.models.chainer import ReadAlignment
 from graphchainer_tpu.ops import frag_align
 from graphchainer_tpu.utils.seq import match_masks
@@ -69,6 +71,10 @@ class _ExtState:
     path: List[int] = field(default_factory=list)  # original node ids
     last_off: int = -1      # direction-local end offset in the last node
     active: bool = True
+    # correctness HMM over per-window error fractions (reference
+    # AlignmentCorrectnessEstimation drives band break decisions,
+    # src/GraphAlignerBitvectorBanded.h:572-644)
+    hmm: CorrectnessState = field(default_factory=CorrectnessState)
 
 
 class GraphAlignerModel:
@@ -123,8 +129,10 @@ class GraphAlignerModel:
             nrows = int(rows_arr[i])
             best = int(res.best_score[i])
             delta = best - st.base
-            if delta > cfg.window_error_cutoff * nrows:
-                st.active = False       # X-drop style clip
+            st.hmm = st.hmm.next_state(delta, nrows)
+            if (delta > cfg.window_error_cutoff * nrows
+                    or not st.hmm.current_is_correct()):
+                st.active = False       # X-drop / correctness-HMM clip
                 continue
             slot = int(res.best_slot[i])
             walk = backwalk(np.asarray(res.best_in)[i], band_nodes[i],
@@ -192,7 +200,9 @@ class GraphAlignerModel:
         seed_lists = []
         for name, seq in reads:
             seeds = get_seeds(self.index, seq, cfg.seed_density)
-            seeds.sort(key=lambda s: -s.goodness)
+            # diagonal clustering picks seeds from the best-supported
+            # cluster first (reference OrderSeeds, src/GraphAligner.h:233)
+            seeds = cluster_seeds(self.g, seeds)
             seed_lists.append(seeds[:cfg.max_seed_tries])
 
         best_positions = [None] * len(reads)

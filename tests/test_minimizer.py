@@ -80,3 +80,22 @@ def test_save_load(tmp_path, rng):
     idx2 = MinimizerIndex.load(f)
     np.testing.assert_array_equal(idx.codes, idx2.codes)
     assert idx.count_cap == idx2.count_cap
+
+
+def test_cluster_seeds(rng):
+    from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+    from graphchainer_tpu.index.minimizer import SeedHit, cluster_seeds
+    seq = "".join(rng.choice(list("ACGT"), 600))
+    bg = Bigraph()
+    bg.add_segment("x", seq)
+    g = build_alignment_graph(bg)
+    # three colinear seeds on one diagonal + one off-diagonal decoy
+    seeds = [SeedHit(0, 100, 10, 15, 1.0),
+             SeedHit(0, 160, 70, 15, 1.0),
+             SeedHit(0, 220, 130, 15, 1.0),
+             SeedHit(0, 400, 20, 15, 5.0)]
+    out = cluster_seeds(g, seeds)
+    # the 3-seed diagonal cluster (45 matched bp) outranks the decoy (15)
+    assert out[0].node_offset in (100, 160, 220)
+    assert out[-1].node_offset == 400
+    assert out[0].goodness == 45.0
