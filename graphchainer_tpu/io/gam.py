@@ -29,7 +29,8 @@ def alignment_message(g: AlignmentGraph, aln: ReadAlignment) -> bytes:
     path_msg = vg_wire.path(wire_mappings) if wire_mappings else None
     return vg_wire.alignment(sequence=aln.seq, path_msg=path_msg,
                              name=aln.name, score=int(aln.score),
-                             identity=identity(aln))
+                             identity=identity(aln),
+                             is_secondary=aln.is_secondary)
 
 
 class GamWriter:

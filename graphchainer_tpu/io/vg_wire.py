@@ -85,13 +85,14 @@ def path(mappings: List[bytes], name: str = "") -> bytes:
 
 def alignment(sequence: str, path_msg: Optional[bytes], name: str,
               score: int = 0, identity: float = 0.0,
-              mapping_quality: int = 0) -> bytes:
+              mapping_quality: int = 0, is_secondary: bool = False) -> bytes:
     out = f_str(1, sequence)
     if path_msg is not None:
         out += f_msg(2, path_msg)
     out += f_str(3, name)
     out += f_varint(5, mapping_quality)
     out += f_varint(6, score)
+    out += f_bool(15, is_secondary)
     out += f_double(16, identity)
     return out
 

@@ -49,6 +49,8 @@ WINDOW_ROWS = 64           # rows per extension window (2 slices)
 @dataclass
 class AlignerConfig:
     band_slots: int = 48
+    max_alignments: int = 4            # emit up to N selected alignments
+                                       # per read (multimapping)
     max_in: int = constants.MAX_IN_DEGREE
     band_slack: int = 16
     seed_density: float = constants.DEFAULT_SEED_MINIMIZER_DENSITY
@@ -205,7 +207,7 @@ class GraphAlignerModel:
             seeds = cluster_seeds(self.g, seeds)
             seed_lists.append(seeds[:cfg.max_seed_tries])
 
-        best_positions = [None] * len(reads)
+        candidates = [[] for _ in reads]   # (positions, span) per try
         best_span = [(0, 0)] * len(reads)
         pending = [(ri, 0) for ri in range(len(reads))
                    if seed_lists[ri]]
@@ -229,28 +231,52 @@ class GraphAlignerModel:
                 cov = (span[1] - span[0]) / max(len(reads[ri][1]), 1)
                 prev_cov = ((best_span[ri][1] - best_span[ri][0])
                             / max(len(reads[ri][1]), 1))
+                if len(positions):
+                    candidates[ri].append((positions, span))
                 if cov > prev_cov:
-                    best_positions[ri] = positions
                     best_span[ri] = span
                 if cov < cfg.min_coverage_frac \
                         and si + 1 < len(seed_lists[ri]):
                     next_pending.append((ri, si + 1))
             pending = next_pending
 
+        # polish every candidate alignment (batched), then select a
+        # non-overlapping subset per read (multimapping; reference
+        # AlignmentSelection over per-seed alignments)
         polish_reads, polish_paths, refs = [], [], []
         for ri in range(len(reads)):
-            if best_positions[ri] is None:
-                continue
-            out[ri].positions = best_positions[ri]
-            out[ri].seq_start = 0
-            out[ri].seq_end = len(reads[ri][1])
-            polish_reads.append(reads[ri][1])
-            polish_paths.append(self.gx.positions_seq(best_positions[ri]))
-            refs.append(ri)
+            for ci, (positions, span) in enumerate(candidates[ri]):
+                polish_reads.append(reads[ri][1])
+                polish_paths.append(self.gx.positions_seq(positions))
+                refs.append((ri, ci))
+        scored = {}
         if polish_reads:
             outcomes = polish.polish_batch(polish_reads, polish_paths,
                                            bw=cfg.polish_band_words)
-            for ri, oc in zip(refs, outcomes):
-                out[ri].score = oc.score
-                out[ri].ops = oc.ops
+            for (ri, ci), oc in zip(refs, outcomes):
+                scored[(ri, ci)] = oc
+        from graphchainer_tpu.align.selection import (SelectionMethod,
+                                                      SelectionOptions,
+                                                      select_alignments)
+        for ri in range(len(reads)):
+            alts = []
+            for ci, (positions, span) in enumerate(candidates[ri]):
+                oc = scored.get((ri, ci))
+                if oc is None:
+                    continue
+                a = ReadAlignment(name=out[ri].name, seq=out[ri].seq,
+                                  positions=positions, ops=oc.ops,
+                                  score=oc.score, seq_start=span[0],
+                                  seq_end=span[1])
+                alts.append(a)
+            if not alts:
+                continue
+            sel = select_alignments(
+                alts, SelectionOptions(SelectionMethod.GREEDY_LENGTH))
+            sel = sel[:cfg.max_alignments]
+            primary = sel[0]
+            primary.secondary = sel[1:]
+            for a in primary.secondary:
+                a.is_secondary = True
+            out[ri] = primary
         return out

@@ -74,6 +74,8 @@ class ReadAlignment:
     n_anchors: int = 0
     n_chained: int = 0
     error: Optional[str] = None        # per-read fault isolation marker
+    is_secondary: bool = False
+    secondary: List["ReadAlignment"] = field(default_factory=list)
 
     @property
     def failed(self) -> bool:

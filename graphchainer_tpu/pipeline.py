@@ -176,10 +176,13 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
             if aln.failed:
                 continue
             stats.reads_with_an_alignment += 1
-            stats.alignments += 1
-            stats.bp_in_alignments += aln.seq_end - aln.seq_start
+            emitted = [aln] + list(aln.secondary)
+            stats.alignments += len(emitted)
+            stats.bp_in_alignments += sum(a.seq_end - a.seq_start
+                                          for a in emitted)
             if gam_w:
-                gam_w.write(gam.alignment_message(g, aln))
+                for a in emitted:
+                    gam_w.write(gam.alignment_message(g, a))
             if gaf_f:
                 line = gaf.gaf_line(g, aln)
                 if line:
