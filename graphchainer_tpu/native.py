@@ -52,6 +52,11 @@ def get_lib() -> ctypes.CDLL:
         lib.band_build.argtypes = ([ctypes.c_int64, _I64P, _I64P, _I64P,
                                     ctypes.c_int64, _I64P, _I64P]
                                    + [ctypes.c_int64] * 4 + [_I64P, _I64P])
+        _U8P = ctypes.POINTER(ctypes.c_uint8)
+        lib.suffix_array.argtypes = [_U8P, ctypes.c_int64, _I64P]
+        lib.matching_stats.argtypes = [_U8P, ctypes.c_int64, _I64P,
+                                       _U8P, ctypes.c_int64,
+                                       _I64P, _I64P, _I64P]
         lib.chain_paths.restype = ctypes.c_void_p
         lib.paths_sizes.argtypes = [ctypes.c_void_p, _I64P]
         lib.paths_copy.argtypes = [ctypes.c_void_p, _I64P, _I64P]
@@ -185,3 +190,32 @@ def chain_paths(n: int, src: np.ndarray, dst: np.ndarray,
     lib.paths_copy(h, _ptr(offsets), _ptr(data))
     lib.paths_free(h)
     return [data[offsets[i]:offsets[i + 1]] for i in range(nq)]
+
+
+def suffix_array(text: np.ndarray) -> np.ndarray:
+    """Suffix array of a uint8 text (prefix doubling, offline build)."""
+    lib = get_lib()
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    sa = np.empty(len(text), dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.suffix_array(text.ctypes.data_as(u8p), ctypes.c_int64(len(text)),
+                     _ptr(sa))
+    return sa
+
+
+def matching_stats(text: np.ndarray, sa: np.ndarray, read: np.ndarray):
+    """Per read position: (longest match length, SA interval lo, hi)."""
+    lib = get_lib()
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    sa = np.ascontiguousarray(sa, dtype=np.int64)
+    read = np.ascontiguousarray(read, dtype=np.uint8)
+    m = len(read)
+    ms_len = np.empty(m, dtype=np.int64)
+    ms_lo = np.empty(m, dtype=np.int64)
+    ms_hi = np.empty(m, dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.matching_stats(text.ctypes.data_as(u8p), ctypes.c_int64(len(text)),
+                       _ptr(sa), read.ctypes.data_as(u8p),
+                       ctypes.c_int64(m), _ptr(ms_len), _ptr(ms_lo),
+                       _ptr(ms_hi))
+    return ms_len, ms_lo, ms_hi

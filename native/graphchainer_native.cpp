@@ -520,6 +520,101 @@ void band_build(int64_t n, const int64_t* ptr, const int64_t* idx,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Suffix array + matching statistics for the MUM/MEM seeder (re-design of
+// the reference MummerSeeder, src/MummerSeeder.cpp, which vendors mummer4's
+// sparseSA + libdivsufsort).  Prefix-doubling construction, O(n log^2 n) —
+// an offline index build.
+
+void suffix_array(const uint8_t* text, int64_t n, int64_t* sa) {
+  vector<int64_t> rank(n), tmp(n), idx(n);
+  for (int64_t i = 0; i < n; i++) {
+    sa[i] = i;
+    rank[i] = text[i];
+  }
+  for (int64_t k = 1;; k <<= 1) {
+    auto cmp = [&](int64_t a, int64_t b) {
+      if (rank[a] != rank[b]) return rank[a] < rank[b];
+      int64_t ra = a + k < n ? rank[a + k] : -1;
+      int64_t rb = b + k < n ? rank[b + k] : -1;
+      return ra < rb;
+    };
+    std::sort(sa, sa + n, cmp);
+    tmp[sa[0]] = 0;
+    for (int64_t i = 1; i < n; i++)
+      tmp[sa[i]] = tmp[sa[i - 1]] + (cmp(sa[i - 1], sa[i]) ? 1 : 0);
+    rank = tmp;
+    if (rank[sa[n - 1]] == n - 1) break;
+    if (k > n) break;
+  }
+}
+
+namespace {
+// longest common prefix of text[p..] and pattern[0..m)
+inline int64_t lcp_text(const uint8_t* text, int64_t n, int64_t p,
+                        const uint8_t* pat, int64_t m) {
+  int64_t l = 0;
+  while (p + l < n && l < m && text[p + l] == pat[l]) l++;
+  return l;
+}
+}
+
+// Matching statistics: for each read position i, ms_len[i] = length of the
+// longest prefix of read[i..] occurring in text; ms_lo/ms_hi = the SA
+// interval of that prefix (occurrence count = hi - lo).
+void matching_stats(const uint8_t* text, int64_t n, const int64_t* sa,
+                    const uint8_t* read, int64_t m, int64_t* ms_len,
+                    int64_t* ms_lo, int64_t* ms_hi) {
+  for (int64_t i = 0; i < m; i++) {
+    const uint8_t* pat = read + i;
+    int64_t plen = m - i;
+    // binary search: position with the longest common prefix
+    int64_t lo = 0, hi = n;
+    // find lower bound of pat
+    while (lo < hi) {
+      int64_t mid = (lo + hi) / 2;
+      int64_t l = lcp_text(text, n, sa[mid], pat, plen);
+      bool less;
+      if (l == plen) less = false;              // suffix >= pattern
+      else if (sa[mid] + l == n) less = true;   // suffix is a proper prefix
+      else less = text[sa[mid] + l] < pat[l];
+      if (less) lo = mid + 1; else hi = mid;
+    }
+    // best match length is around position lo (check lo and lo-1)
+    int64_t best = 0;
+    if (lo < n) best = std::max(best, lcp_text(text, n, sa[lo], pat, plen));
+    if (lo > 0) best = std::max(best, lcp_text(text, n, sa[lo - 1], pat, plen));
+    ms_len[i] = best;
+    if (best == 0) {
+      ms_lo[i] = ms_hi[i] = 0;
+      continue;
+    }
+    // SA interval of the length-`best` prefix
+    int64_t llo = 0, lhi = n;
+    while (llo < lhi) {   // first suffix with lcp >= best
+      int64_t mid = (llo + lhi) / 2;
+      int64_t l = lcp_text(text, n, sa[mid], pat, best);
+      bool less;
+      if (l == best) less = false;
+      else if (sa[mid] + l == n) less = true;
+      else less = text[sa[mid] + l] < pat[l];
+      if (less) llo = mid + 1; else lhi = mid;
+    }
+    int64_t rlo = llo, rhi = n;
+    while (rlo < rhi) {   // first suffix strictly greater than the prefix
+      int64_t mid = (rlo + rhi) / 2;
+      int64_t l = lcp_text(text, n, sa[mid], pat, best);
+      bool le;
+      if (l == best) le = true;
+      else if (sa[mid] + l == n) le = true;
+      else le = text[sa[mid] + l] < pat[l];
+      if (le) rlo = mid + 1; else rhi = mid;
+    }
+    ms_lo[i] = llo;
+    ms_hi[i] = rlo;
+  }
+}
+
 void paths_sizes(void* h, int64_t* sizes) {
   auto* r = (PathsResult*)h;
   sizes[0] = (int64_t)r->offsets.size() - 1;

