@@ -95,6 +95,25 @@ class GraphTensors:
             node_len64=g.node_len.astype(np.int64),
             seq_bytes=seq_bytes, di_base=di_base)
 
+    def find_splits(self, di: np.ndarray, off: np.ndarray):
+        """Vectorized find_split for (digraph node, offset) arrays:
+        returns (split node ids, offsets within split)."""
+        g = self.g
+        if not hasattr(self, "_split_keys"):
+            # di_splits is grouped by digraph node (ascending) with
+            # ascending offsets inside: keys are globally sorted
+            splits = g.di_splits.astype(np.int64)
+            owner_di = np.repeat(np.arange(g.n_digraph, dtype=np.int64),
+                                 np.diff(g.di_ptr))
+            self._split_keys = (owner_di << 33) | g.orig_offset[splits].astype(np.int64)
+            self._split_vals = splits
+        keys = (np.asarray(di, dtype=np.int64) << 33) | np.asarray(
+            off, dtype=np.int64)
+        j = np.searchsorted(self._split_keys, keys, side="right") - 1
+        v = self._split_vals[j]
+        return v, (np.asarray(off, dtype=np.int64)
+                   - g.orig_offset[v].astype(np.int64))
+
     def positions_seq(self, positions) -> str:
         """Vectorized path-sequence extraction for (node, offset) rows."""
         if len(positions) == 0:

@@ -166,30 +166,52 @@ def get_seeds(index: MinimizerIndex, read: str,
     strictly more frequent than the last one added (reference getSeeds +
     addMinimizers, src/MinimizerSeeder.cpp:494-545).  density == -1 keeps
     everything under the index frequency cap."""
+    arrs = get_seed_arrays(index, read, density)
+    if arrs is None:
+        return []
+    di, off, sp, good = arrs
+    return [SeedHit(di_node=int(di[j]), node_offset=int(off[j]),
+                    seq_pos=int(sp[j]), match_len=index.k,
+                    goodness=float(good[j]))
+            for j in range(len(di))]
+
+
+def get_seed_arrays(index: MinimizerIndex, read: str, density: float = 10.0):
+    """Vectorized seed lookup: returns (di_node, node_offset, seq_pos,
+    goodness) arrays sorted by ascending seq_pos, or None."""
     pos, kv = minimizers(_encode(read), index.k, index.w)
     if len(pos) == 0:
-        return []
+        return None
     lo = np.searchsorted(index.codes, kv, side="left")
     hi = np.searchsorted(index.codes, kv, side="right")
     counts = (hi - lo).astype(np.int64)
     budget = float("inf") if density < 0 else density * len(read)
-    order = np.argsort(np.where(counts == 0, 1 << 60, counts), kind="stable")
-    hits: List[SeedHit] = []
-    allowed = 0
-    for i in order:
-        c = int(counts[i])
-        if c == 0 or c >= index.count_cap:
-            break
-        if len(hits) >= budget and c > allowed:
-            break
-        allowed = c
-        for j in range(int(lo[i]), int(hi[i])):
-            hits.append(SeedHit(
-                di_node=int(index.di_node[j]),
-                node_offset=int(index.offset[j]),
-                seq_pos=int(pos[i]), match_len=index.k,
-                goodness=float(index.count_cap - c)))
-    return hits
+    keep = (counts > 0) & (counts < index.count_cap)
+    if not keep.any():
+        return None
+    order = np.argsort(np.where(keep, counts, 1 << 60), kind="stable")
+    csum = np.cumsum(np.where(keep, counts, 0)[order])
+    kept = int(keep.sum())
+    # emit whole equal-frequency groups until the budget is crossed
+    # (reference addMinimizers, src/MinimizerSeeder.cpp:494-520)
+    ncut = int(np.searchsorted(csum[:kept], budget, side="left")) + 1
+    if ncut < kept:
+        cval = counts[order[ncut - 1]]
+        while ncut < kept and counts[order[ncut]] == cval:
+            ncut += 1
+    sel = order[:min(ncut, kept)]
+    # expand hit ranges vectorized
+    reps = counts[sel]
+    j = np.repeat(lo[sel], reps) + (
+        np.arange(int(reps.sum())) -
+        np.repeat(np.cumsum(reps) - reps, reps))
+    sp = np.repeat(pos[sel], reps)
+    good = np.repeat((index.count_cap - counts[sel]).astype(np.float64),
+                     reps)
+    di = index.di_node[j].astype(np.int64)
+    off = index.offset[j].astype(np.int64)
+    o2 = np.argsort(sp, kind="stable")
+    return di[o2], off[o2], sp[o2], good[o2]
 
 
 def cluster_seeds(g, seeds, tolerance: int = 100):

@@ -110,48 +110,87 @@ class ChainerModel:
 
     # ------------------------------------------------------------------
     def _fragment_jobs(self, reads: Sequence[Tuple[str, str]]):
-        """Seeds + fragment windows -> kernel job list."""
+        """Seeds + fragment windows -> kernel job list (vectorized window
+        assignment and top-k-per-window selection)."""
         cfg = self.cfg
+        from graphchainer_tpu.index.minimizer import get_seed_arrays
         jobs: List[FragJob] = []
-        frags = []   # (read_idx, l, fi_fwd, fi_bwd, seed split, seed off)
+        frags = []   # (read_idx, l, r, fi_fwd, fi_bwd, seed split, seed off)
+        flen, sep = cfg.colinear_split_len, cfg.colinear_split_gap
+        kper = cfg.seeds_per_fragment
         for ri, (name, seq) in enumerate(reads):
             if self.file_seeds is not None:
-                seeds = list(self.file_seeds.get(name, []))
+                fs = self.file_seeds.get(name, [])
+                if not fs:
+                    continue
+                di = np.array([s.di_node for s in fs], dtype=np.int64)
+                off = np.array([s.node_offset for s in fs], dtype=np.int64)
+                sp = np.array([s.seq_pos for s in fs], dtype=np.int64)
+                good = np.array([s.goodness for s in fs])
+                mlen = np.array([s.match_len for s in fs], dtype=np.int64)
             else:
-                seeds = get_seeds(self.index, seq, cfg.seed_density)
-            seeds.sort(key=lambda s: s.seq_pos)
+                arrs = get_seed_arrays(self.index, seq, cfg.seed_density)
+                if arrs is None:
+                    continue
+                di, off, sp, good = arrs
+                mlen = np.full(len(di), self.index.k, dtype=np.int64)
             mm = match_masks(seq)
-            flen, sep = cfg.colinear_split_len, cfg.colinear_split_gap
             if len(seq) < flen:
-                windows = [(0, len(seq))] if len(seq) >= 5 else []
+                if len(seq) < 5:
+                    continue
+                nwin, wl, wr = 1, 0, len(seq)
+                wmin = np.zeros(len(di), dtype=np.int64)
+                wmax = np.where(sp + mlen <= len(seq), 0, -1)
             else:
-                windows = [(l, l + flen)
-                           for l in range(0, len(seq) - flen + 1, sep)]
-            for (l, r) in windows:
-                # the k rarest seeds fully inside the window
-                inside = [s for s in seeds
-                          if l <= s.seq_pos and s.seq_pos + s.match_len <= r]
-                inside.sort(key=lambda s: -s.goodness)
-                picked = []
-                for s in inside:
-                    if any(p.di_node == s.di_node
-                           and abs(p.node_offset - s.node_offset) < 8
-                           for p in picked):
-                        continue   # near-duplicate hit
-                    picked.append(s)
-                    if len(picked) >= cfg.seeds_per_fragment:
-                        break
-                for s in picked:
-                    v, off = self.g.find_split(s.di_node, s.node_offset)
-                    fwd, bwd = build_jobs(mm, l, r, v, off, s.seq_pos,
-                                          self.g)
-                    fi_fwd = len(jobs)
-                    jobs.append(fwd)
-                    fi_bwd = -1
-                    if len(bwd.rmm) > 0:
-                        fi_bwd = len(jobs)
-                        jobs.append(bwd)
-                    frags.append((ri, l, r, fi_fwd, fi_bwd, v, off))
+                nwin = (len(seq) - flen) // sep + 1
+                # windows containing the whole seed k-mer
+                wmin = -(-(sp + mlen - flen) // sep)
+                wmax = np.minimum(sp // sep, nwin - 1)
+                wmin = np.maximum(wmin, 0)
+            valid = wmax >= wmin
+            if not valid.any():
+                continue
+            reps = np.where(valid, wmax - wmin + 1, 0)
+            total = int(reps.sum())
+            sidx = np.repeat(np.arange(len(di)), reps)
+            run0 = np.cumsum(reps) - reps
+            widx = (np.arange(total) - np.repeat(run0, reps)
+                    + np.repeat(wmin, reps))
+            # near-duplicate collapse: same (window, node, offset bucket)
+            dkey = (widx << 44) | (di[sidx] << 12) | (off[sidx] >> 3)
+            o = np.lexsort((-good[sidx], dkey))
+            first = np.ones(total, dtype=bool)
+            first[1:] = dkey[o][1:] != dkey[o][:-1]
+            o = o[first]
+            # top-k per window by goodness
+            o2 = o[np.lexsort((-good[sidx[o]], widx[o]))]
+            w_sorted = widx[o2]
+            grp_first = np.ones(len(o2), dtype=bool)
+            grp_first[1:] = w_sorted[1:] != w_sorted[:-1]
+            grp_id = np.cumsum(grp_first) - 1
+            grp_start = np.nonzero(grp_first)[0]
+            rank = np.arange(len(o2)) - grp_start[grp_id]
+            o2 = o2[rank < kper]
+            # vectorized split lookup
+            v_all, voff_all = self.gx.find_splits(di[sidx[o2]],
+                                                  off[sidx[o2]])
+            for t, e in enumerate(o2):
+                w = int(widx[e])
+                s_i = int(sidx[e])
+                if len(seq) < flen:
+                    l, r = 0, len(seq)
+                else:
+                    l, r = w * sep, w * sep + flen
+                v, s_off = int(v_all[t]), int(voff_all[t])
+                fwd, bwd = build_jobs(mm, l, r, v, s_off, int(sp[s_i]),
+                                      self.g)
+                fi_fwd = len(jobs)
+                jobs.append(fwd)
+                fi_bwd = -1
+                if len(bwd.rmm) > 0:
+                    fi_bwd = len(jobs)
+                    jobs.append(bwd)
+                frags.append((ri, l, r, fi_fwd, fi_bwd, v, s_off))
         return jobs, frags
 
     # ------------------------------------------------------------------
