@@ -290,21 +290,39 @@ def backwalk(best_in: np.ndarray, band_nodes: np.ndarray, end_slot: int,
     return None
 
 
+def batch_backwalks(res, band_nodes: np.ndarray, rows: np.ndarray):
+    """All fragment backwalks in one native call; returns a list of
+    node-id arrays in walk order (end -> seed), empty on failure."""
+    from graphchainer_tpu import native
+    end_slice = (rows.astype(np.int64) - 1) // W
+    return native.backwalks(np.asarray(res.best_in),
+                            np.asarray(res.best_slot, dtype=np.int64),
+                            end_slice, band_nodes)
+
+
 def extract_anchor(g: AlignmentGraph, jobs: Sequence[FragJob],
                    band_nodes: np.ndarray, res, fi_fwd: int, fi_bwd: int,
                    frag_start: int, frag_end: int, seed_node: int,
-                   seed_offset: int, rows: np.ndarray) -> Optional[Anchor]:
+                   seed_offset: int, rows: np.ndarray,
+                   walks=None) -> Optional[Anchor]:
     """Join the forward and backward half-walks of one fragment into an
-    Anchor.  fi_bwd < 0 means no backward half (seed at fragment start)."""
-    best_in = np.asarray(res.best_in)
+    Anchor.  fi_bwd < 0 means no backward half (seed at fragment start).
+    `walks` are precomputed native backwalks (batch_backwalks)."""
     end_slot_f = int(res.best_slot[fi_fwd])
     sc_f = int(res.best_score[fi_fwd])
-    end_slice_f = (int(rows[fi_fwd]) - 1) // W
-    walk_f = backwalk(best_in[fi_fwd], band_nodes[fi_fwd], end_slot_f,
-                      end_slice_f)
-    if walk_f is None or sc_f >= frag_align.BIG:
+    if walks is not None:
+        nodes_f = walks[fi_fwd]
+        walk_ok_f = len(nodes_f) > 0
+    else:
+        best_in = np.asarray(res.best_in)
+        end_slice_f = (int(rows[fi_fwd]) - 1) // W
+        w = backwalk(best_in[fi_fwd], band_nodes[fi_fwd], end_slot_f,
+                     end_slice_f)
+        walk_ok_f = w is not None
+        nodes_f = [int(band_nodes[fi_fwd][s]) for s in w] if w else []
+    if not walk_ok_f or sc_f >= frag_align.BIG:
         return None
-    path_f = [int(band_nodes[fi_fwd][s]) for s in reversed(walk_f)]
+    path_f = [int(x) for x in reversed(nodes_f)]
     # trace end position: best slot's argmin column -> node offset
     cf = int(np.asarray(res.end_col)[fi_fwd][end_slot_f])
     last_node = int(band_nodes[fi_fwd][end_slot_f])
@@ -315,15 +333,21 @@ def extract_anchor(g: AlignmentGraph, jobs: Sequence[FragJob],
     first_node, first_off = seed_node, seed_offset
     if fi_bwd >= 0 and len(jobs[fi_bwd].rmm) > 0:
         sc_b = int(res.best_score[fi_bwd])
-        end_slice_b = (int(rows[fi_bwd]) - 1) // W
         end_slot_b = int(res.best_slot[fi_bwd])
-        walk_b = backwalk(best_in[fi_bwd], band_nodes[fi_bwd], end_slot_b,
-                          end_slice_b)
-        if walk_b is None or sc_b >= frag_align.BIG:
+        if walks is not None:
+            nodes_b = walks[fi_bwd]
+            walk_ok_b = len(nodes_b) > 0
+        else:
+            end_slice_b = (int(rows[fi_bwd]) - 1) // W
+            w = backwalk(np.asarray(res.best_in)[fi_bwd],
+                         band_nodes[fi_bwd], end_slot_b, end_slice_b)
+            walk_ok_b = w is not None
+            nodes_b = [int(band_nodes[fi_bwd][s]) for s in w] if w else []
+        if not walk_ok_b or sc_b >= frag_align.BIG:
             return None
         score += sc_b
         # bwd walk [end ... seed] is already in original path order
-        path_b = [int(band_nodes[fi_bwd][s]) for s in walk_b]
+        path_b = [int(x) for x in nodes_b]
         cb = int(np.asarray(res.end_col)[fi_bwd][end_slot_b])
         first_node = int(band_nodes[fi_bwd][end_slot_b])
         if end_slot_b == 0:

@@ -26,8 +26,9 @@ import numpy as np
 from graphchainer_tpu import constants
 from graphchainer_tpu.align import polish
 from graphchainer_tpu.align.anchors import (Anchor, FragJob, GraphTensors,
-                                            assemble_batch, build_jobs,
-                                            extract_anchor, run_fragments)
+                                            assemble_batch, batch_backwalks,
+                                            build_jobs, extract_anchor,
+                                            run_fragments)
 from graphchainer_tpu.align.chaining import batch_arrays, best_chain
 from graphchainer_tpu.align.stitch import extend_tails, stitch
 from graphchainer_tpu.graph.alignment_graph import AlignmentGraph
@@ -210,10 +211,11 @@ class ChainerModel:
         res = run_fragments(self.gx, band_nodes_cat, band_in, seed_shift,
                             req, rows, S, cfg.max_in)
 
+        walks = batch_backwalks(res, band_nodes, rows)
         per_read_anchors: List[List[Anchor]] = [[] for _ in reads]
         for (ri, l, r, fi_fwd, fi_bwd, v, off) in frags:
             a = extract_anchor(self.g, jobs, band_nodes, res, fi_fwd,
-                               fi_bwd, l, r, v, off, rows)
+                               fi_bwd, l, r, v, off, rows, walks=walks)
             if a is None:
                 continue
             if a.score > cfg.max_anchor_error * (r - l):

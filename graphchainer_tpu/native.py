@@ -57,6 +57,10 @@ def get_lib() -> ctypes.CDLL:
         lib.matching_stats.argtypes = [_U8P, ctypes.c_int64, _I64P,
                                        _U8P, ctypes.c_int64,
                                        _I64P, _I64P, _I64P]
+        _I8P = ctypes.POINTER(ctypes.c_int8)
+        lib.backwalks.restype = ctypes.c_void_p
+        lib.backwalks.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                  ctypes.c_int64, _I8P, _I64P, _I64P, _I64P]
         lib.chain_paths.restype = ctypes.c_void_p
         lib.paths_sizes.argtypes = [ctypes.c_void_p, _I64P]
         lib.paths_copy.argtypes = [ctypes.c_void_p, _I64P, _I64P]
@@ -219,3 +223,28 @@ def matching_stats(text: np.ndarray, sa: np.ndarray, read: np.ndarray):
                        ctypes.c_int64(m), _ptr(ms_len), _ptr(ms_lo),
                        _ptr(ms_hi))
     return ms_len, ms_lo, ms_hi
+
+
+def backwalks(best_in: np.ndarray, best_slot: np.ndarray,
+              end_slice: np.ndarray, band_nodes: np.ndarray):
+    """Batched fragment path backwalks.  best_in [F,B,S] int8; returns a
+    list of node-id arrays in walk order (end -> seed), empty on fail."""
+    lib = get_lib()
+    best_in = np.ascontiguousarray(best_in, dtype=np.int8)
+    F, B, S = best_in.shape
+    best_slot = np.ascontiguousarray(best_slot, dtype=np.int64)
+    end_slice = np.ascontiguousarray(end_slice, dtype=np.int64)
+    band_nodes = np.ascontiguousarray(band_nodes, dtype=np.int64)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    h = lib.backwalks(ctypes.c_int64(F), ctypes.c_int64(B),
+                      ctypes.c_int64(S),
+                      best_in.ctypes.data_as(i8p), _ptr(best_slot),
+                      _ptr(end_slice), _ptr(band_nodes))
+    sizes = np.empty(2, dtype=np.int64)
+    lib.paths_sizes(h, _ptr(sizes))
+    nq, ndata = int(sizes[0]), int(sizes[1])
+    offsets = np.empty(nq + 1, dtype=np.int64)
+    data = np.empty(max(ndata, 1), dtype=np.int64)
+    lib.paths_copy(h, _ptr(offsets), _ptr(data))
+    lib.paths_free(h)
+    return [data[offsets[i]:offsets[i + 1]] for i in range(nq)]

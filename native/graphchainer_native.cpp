@@ -521,6 +521,41 @@ void band_build(int64_t n, const int64_t* ptr, const int64_t* idx,
 }
 
 // ---------------------------------------------------------------------------
+// Batched backwalks over the fragment kernel's best_in pointers
+// (ops/frag_align.py): codes >=0 are band slot indices, -2 = seed start,
+// -3 = vertical (previous slice, same slot), -1 = none/fail.
+// Emits per-fragment node paths in walk order (end -> seed); empty on a
+// broken walk.  Reuses the ragged PathsResult protocol.
+
+void* backwalks(int64_t F, int64_t B, int64_t S, const int8_t* best_in,
+                const int64_t* best_slot, const int64_t* end_slice,
+                const int64_t* band_nodes) {
+  auto* res = new PathsResult();
+  res->offsets.push_back(0);
+  for (int64_t f = 0; f < F; f++) {
+    int64_t slot = best_slot[f], s = end_slice[f];
+    std::vector<int64_t> walk;
+    bool ok = false;
+    walk.push_back(band_nodes[f * B + slot]);
+    for (int64_t step = 0; step < B * S + 4; step++) {
+      int8_t e = best_in[(f * B + slot) * S + s];
+      if (e == -2) { ok = true; break; }
+      if (e == -3) {
+        if (--s < 0) break;
+        continue;
+      }
+      if (e < 0) break;
+      slot = e;
+      walk.push_back(band_nodes[f * B + slot]);
+    }
+    if (ok)
+      for (int64_t v : walk) res->data.push_back(v);
+    res->offsets.push_back((int64_t)res->data.size());
+  }
+  return (void*)res;
+}
+
+// ---------------------------------------------------------------------------
 // Suffix array + matching statistics for the MUM/MEM seeder (re-design of
 // the reference MummerSeeder, src/MummerSeeder.cpp, which vendors mummer4's
 // sparseSA + libdivsufsort).  Prefix-doubling construction, O(n log^2 n) —
