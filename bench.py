@@ -111,14 +111,18 @@ def main():
     aligned = 0
     scores = []
     total_bp = 0
-    for lo in range(batch, len(reads), batch):
-        chunk = reads[lo:lo + batch]
-        alns = model.align_batch(chunk)
-        for (name, seq), a in zip(chunk, alns):
-            total_bp += len(seq)
-            if not a.failed:
-                aligned += 1
-                scores.append(a.score / max(len(seq), 1))
+    # two batches in flight: host prep of one overlaps device waits of the
+    # other (mirrors the pipeline's inflight batching)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        chunks = [reads[lo:lo + batch]
+                  for lo in range(batch, len(reads), batch)]
+        for chunk, alns in zip(chunks, pool.map(model.align_batch, chunks)):
+            for (name, seq), a in zip(chunk, alns):
+                total_bp += len(seq)
+                if not a.failed:
+                    aligned += 1
+                    scores.append(a.score / max(len(seq), 1))
     dt = time.time() - t1
     n_timed = len(reads) - batch
     reads_per_s = n_timed / dt

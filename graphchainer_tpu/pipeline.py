@@ -38,6 +38,8 @@ class PipelineParams:
     out_corrected: Optional[str] = None
     out_corrected_clipped: Optional[str] = None
     batch_size: int = 64
+    inflight: int = 2          # batches processed concurrently (host work
+                               # of one overlaps device waits of another)
     mpc_index_file: Optional[str] = None
     minimizer_index_file: Optional[str] = None
     seed_k: int = 15
@@ -163,11 +165,19 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
 
     rt = threading.Thread(target=reader, daemon=True)
     rt.start()
-    while True:
-        batch = batch_q.get()
-        if batch is None:
-            break
-        alns = model.align_batch(batch)
+
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=max(params.inflight, 1))
+    futures = []
+
+    def drain(block_all=False):
+        done = []
+        while futures and (block_all or futures[0].done()
+                           or len(futures) >= max(params.inflight, 1)):
+            done.append(futures.pop(0).result())
+        return done
+
+    def consume(alns):
         for aln in alns:
             stats.reads += 1
             stats.bp_in_reads += len(aln.seq)
@@ -197,6 +207,17 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
                 c = corrected_read(aln, model.gx, clipped=True)
                 if c:
                     clip_f.write(f">{aln.name}\n{c}\n")
+
+    while True:
+        batch = batch_q.get()
+        if batch is None:
+            break
+        futures.append(pool.submit(model.align_batch, batch))
+        for alns in drain():
+            consume(alns)
+    for alns in drain(block_all=True):
+        consume(alns)
+    pool.shutdown()
     rt.join()
     if gam_w:
         gam_w.close()
