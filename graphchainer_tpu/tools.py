@@ -18,6 +18,12 @@ Commands:
                           (reference ReverseReads.cpp)
   node-pos-csv            graph node -> approximate linear position CSV
                           (reference NodePosCsv.cpp)
+  subsequence-identity    alignment path vs truth path agreement
+                          (reference AlignmentSubsequenceIdentity.cpp)
+  visualize               render an alignment as read/path text
+                          (reference VisualizeAlignment.cpp)
+  pick-adjacent-pairs     report read-adjacent alignment pairs
+                          (reference PickAdjacentAlnPairs.cpp)
 """
 from __future__ import annotations
 
@@ -171,6 +177,98 @@ def cmd_node_pos_csv(args):
             f.write(f"{g.gfa_name(v)},{int(prefix[v])}\n")
 
 
+def _lcs_len(a, b):
+    """Longest common subsequence length of two sequences."""
+    import numpy as np
+    if not a or not b:
+        return 0
+    prev = np.zeros(len(b) + 1, dtype=np.int64)
+    for x in a:
+        cur = prev.copy()
+        match = np.array([1 if x == y else 0 for y in b], dtype=np.int64)
+        for j in range(1, len(b) + 1):
+            cur[j] = max(cur[j - 1], prev[j], prev[j - 1] + match[j - 1])
+        prev = cur
+    return int(prev[-1])
+
+
+def cmd_subsequence_identity(args):
+    """Fraction of the alignment's node path contained (in order) in the
+    truth path."""
+    from graphchainer_tpu.io.gam_reader import load_gam_alignments
+    truth = open(args.truth).read().split()
+    with _out(args.output) as f:
+        f.write("read,path_len,in_truth,identity\n")
+        for aln in load_gam_alignments(args.gam):
+            path = [str(m.node_id) for m in aln.mappings]
+            common = _lcs_len(path, truth)
+            ident = common / max(len(path), 1)
+            f.write(f"{aln.name},{len(path)},{common},{ident:.4f}\n")
+
+
+def cmd_visualize(args):
+    from graphchainer_tpu.io.gam_reader import load_gam_alignments
+    node_seqs = _load_node_seqs(args.graph)
+    width = args.width
+    with _out(args.output) as f:
+        for aln in load_gam_alignments(args.gam):
+            pathseq = _mapping_seq(node_seqs, aln)
+            read = aln.sequence
+            # walk edits to build aligned strings
+            top, mid, bot = [], [], []
+            pi = si = 0
+            for m in aln.mappings:
+                for e in m.edits:
+                    fl, tl = e.get("from_length", 0), e.get("to_length", 0)
+                    seq = e.get("sequence", "")
+                    if fl == tl:
+                        for k in range(fl):
+                            a = pathseq[pi] if pi < len(pathseq) else "?"
+                            b = read[si] if si < len(read) else "?"
+                            top.append(a)
+                            bot.append(b)
+                            mid.append("|" if a == b else "X")
+                            pi += 1
+                            si += 1
+                    elif tl == 0:
+                        for k in range(fl):
+                            top.append(pathseq[pi] if pi < len(pathseq)
+                                       else "?")
+                            bot.append("-")
+                            mid.append(" ")
+                            pi += 1
+                    else:
+                        for k in range(tl):
+                            top.append("-")
+                            bot.append(read[si] if si < len(read) else "?")
+                            mid.append(" ")
+                            si += 1
+            f.write(f">{aln.name} score={aln.score}\n")
+            for lo in range(0, len(top), width):
+                f.write("P " + "".join(top[lo:lo + width]) + "\n")
+                f.write("  " + "".join(mid[lo:lo + width]) + "\n")
+                f.write("R " + "".join(bot[lo:lo + width]) + "\n\n")
+
+
+def cmd_pick_adjacent_pairs(args):
+    """Pairs of alignments of the same read whose read intervals are
+    adjacent within --max-gap bp."""
+    from graphchainer_tpu.io.gam_reader import load_gam_alignments
+    per_read = {}
+    for aln in load_gam_alignments(args.gam):
+        ln = sum(e.get("to_length", 0) for m in aln.mappings
+                 for e in m.edits)
+        per_read.setdefault(aln.name, []).append((0, ln, aln))
+    with _out(args.output) as f:
+        f.write("read,left_end,right_start,gap\n")
+        for name, items in per_read.items():
+            items.sort(key=lambda t: t[0])
+            for (s1, e1, a1), (s2, e2, a2) in zip(items[:-1], items[1:]):
+                gap = s2 - e1
+                if 0 <= gap <= args.max_gap:
+                    f.write(f"{name},{e1},{s2},{gap}\n")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="graphchainer-tpu-tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -218,6 +316,27 @@ def main(argv=None) -> int:
     s.add_argument("--graph", required=True)
     s.add_argument("--output", "-o", default="-")
     s.set_defaults(fn=cmd_node_pos_csv)
+
+    s = sub.add_parser("subsequence-identity")
+    s.add_argument("--gam", required=True)
+    s.add_argument("--truth", required=True,
+                   help="whitespace-separated truth node names "
+                        "(--generate-path .nodes output)")
+    s.add_argument("--output", "-o", default="-")
+    s.set_defaults(fn=cmd_subsequence_identity)
+
+    s = sub.add_parser("visualize")
+    s.add_argument("--gam", required=True)
+    s.add_argument("--graph", required=True)
+    s.add_argument("--width", type=int, default=80)
+    s.add_argument("--output", "-o", default="-")
+    s.set_defaults(fn=cmd_visualize)
+
+    s = sub.add_parser("pick-adjacent-pairs")
+    s.add_argument("--gam", required=True)
+    s.add_argument("--max-gap", type=int, default=100)
+    s.add_argument("--output", "-o", default="-")
+    s.set_defaults(fn=cmd_pick_adjacent_pairs)
 
     args = p.parse_args(argv)
     args.fn(args)

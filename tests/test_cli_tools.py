@@ -161,3 +161,21 @@ def test_file_seeds(cli_outputs, tmp_path):
                          file_seeds=seeds)
     aln = model.align_batch([("read", TOY_READ)])[0]
     assert not aln.failed
+
+
+def test_visualize_and_identity_tools(cli_outputs, tmp_path):
+    out = str(tmp_path / "vis.txt")
+    tools.main(["visualize", "--gam", cli_outputs["gam"],
+                "--graph", cli_outputs["graph"], "-o", out])
+    txt = open(out).read()
+    assert txt.startswith(">read")
+    assert "|" in txt
+    truth = tmp_path / "truth.nodes"
+    truth.write_text("1 2 3 4\n")  # both alleles in truth
+    out2 = str(tmp_path / "ident.csv")
+    tools.main(["subsequence-identity", "--gam", cli_outputs["gam"],
+                "--truth", str(truth), "-o", out2])
+    lines = open(out2).read().strip().split("\n")
+    assert lines[0].startswith("read,")
+    ident = float(lines[1].split(",")[-1])
+    assert ident >= 0.99  # path is a subsequence of the truth
