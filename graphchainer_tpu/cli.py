@@ -83,6 +83,18 @@ def build_parser() -> argparse.ArgumentParser:
     gen.add_argument("--graph-statistics", action="store_true",
                      help="print graph statistics and exit")
     seed = p.add_argument_group("seeding")
+    seed.add_argument("--seeds-mem-count", type=int, default=0,
+                      help="use MEM seeds: max occurrences per match "
+                           "(reference --seeds-mem-count)")
+    seed.add_argument("--seeds-mum-count", type=int, default=0,
+                      help="use MUM seeds (unique matches) "
+                           "(reference --seeds-mum-count)")
+    seed.add_argument("--seeds-mxm-length", type=int, default=20,
+                      help="min MUM/MEM length (reference "
+                           "--seeds-mxm-length)")
+    seed.add_argument("--seeds-mxm-cache-prefix", default=None,
+                      help="suffix-array cache file prefix (reference "
+                           "--seeds-mxm-cache-prefix)")
     seed.add_argument("--seeds-file", default=None,
                       help="external seeds from a .gam file (reference -s)")
     seed.add_argument("--seeds-minimizer-length", type=int,
@@ -129,6 +141,9 @@ def params_from_args(args) -> PipelineParams:
         discard_fraction=args.seeds_minimizer_ignore_frequent,
         chainer=cfg, mode=args.mode, verbose=args.verbose,
         seed_file=args.seeds_file,
+        mem_count=args.seeds_mem_count, mum_count=args.seeds_mum_count,
+        mxm_length=args.seeds_mxm_length,
+        mxm_cache_prefix=args.seeds_mxm_cache_prefix,
         out_corrected=args.corrected_out,
         out_corrected_clipped=args.corrected_clipped_out)
     for out in args.alignments_out:

@@ -87,7 +87,8 @@ class ChainerModel:
     def __init__(self, g: AlignmentGraph, mpc: MPCIndex,
                  index: MinimizerIndex,
                  cfg: Optional[ChainerConfig] = None,
-                 file_seeds: Optional[dict] = None):
+                 file_seeds: Optional[dict] = None,
+                 seed_fn=None):
         self.g = g
         self.mpc = mpc
         self.index = index
@@ -97,6 +98,9 @@ class ChainerModel:
         # external seeds: read name -> [SeedHit] (reference .gam seed
         # files, src/Aligner.cpp:1169-1190)
         self.file_seeds = file_seeds
+        # alternative seeder callable (name, seq) -> [SeedHit]
+        # (e.g. the MUM/MEM seeder, index/mem.py)
+        self.seed_fn = seed_fn
 
     def baseline(self):
         if self._baseline is None:
@@ -120,8 +124,11 @@ class ChainerModel:
         flen, sep = cfg.colinear_split_len, cfg.colinear_split_gap
         kper = cfg.seeds_per_fragment
         for ri, (name, seq) in enumerate(reads):
-            if self.file_seeds is not None:
-                fs = self.file_seeds.get(name, [])
+            if self.file_seeds is not None or self.seed_fn is not None:
+                if self.seed_fn is not None:
+                    fs = self.seed_fn(name, seq)
+                else:
+                    fs = self.file_seeds.get(name, [])
                 if not fs:
                     continue
                 di = np.array([s.di_node for s in fs], dtype=np.int64)
@@ -136,16 +143,20 @@ class ChainerModel:
                 di, off, sp, good = arrs
                 mlen = np.full(len(di), self.index.k, dtype=np.int64)
             mm = match_masks(seq)
+            # long seeds (MEMs can exceed the fragment length) anchor a
+            # window by their start; clamp the effective length so they
+            # are not dropped for spanning window boundaries
+            mlen_eff = np.minimum(mlen, max(flen // 2, 1))
             if len(seq) < flen:
                 if len(seq) < 5:
                     continue
-                nwin, wl, wr = 1, 0, len(seq)
+                nwin = 1
                 wmin = np.zeros(len(di), dtype=np.int64)
-                wmax = np.where(sp + mlen <= len(seq), 0, -1)
+                wmax = np.where(sp + mlen_eff <= len(seq), 0, -1)
             else:
                 nwin = (len(seq) - flen) // sep + 1
-                # windows containing the whole seed k-mer
-                wmin = -(-(sp + mlen - flen) // sep)
+                # windows containing the (clamped) seed match
+                wmin = -(-(sp + mlen_eff - flen) // sep)
                 wmax = np.minimum(sp // sep, nwin - 1)
                 wmin = np.maximum(wmin, 0)
             valid = wmax >= wmin

@@ -48,6 +48,10 @@ class PipelineParams:
     chainer: ChainerConfig = field(default_factory=ChainerConfig)
     mode: str = "clc"          # clc (chaining) / ga (extension) / optimal
     seed_file: Optional[str] = None   # external .gam seeds
+    mem_count: int = 0                # >0: MEM seeding with this max count
+    mum_count: int = 0                # >0: MUM seeding (unique matches)
+    mxm_length: int = 20
+    mxm_cache_prefix: Optional[str] = None
     verbose: bool = False
 
 
@@ -134,11 +138,30 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
     else:
         mpc = get_or_build_mpc(g, params.mpc_index_file, params.verbose)
         file_seeds = None
+        seed_fn = None
         if params.seed_file:
             from graphchainer_tpu.io.gam_reader import load_gam_seeds
             file_seeds = load_gam_seeds(params.seed_file, g_name_ids(g))
+        elif params.mem_count > 0 or params.mum_count > 0:
+            import os as _os
+
+            from graphchainer_tpu.index.mem import (MemIndex, MemSeeder,
+                                                    build_mem_index)
+            cache = (params.mxm_cache_prefix + ".sa.npz"
+                     if params.mxm_cache_prefix else None)
+            if cache and _os.path.exists(cache):
+                mem_index = MemIndex.load(cache)
+            else:
+                mem_index = build_mem_index(g)
+                if cache:
+                    mem_index.save(cache)
+            seeder = MemSeeder(
+                g, mem_index, min_len=params.mxm_length,
+                max_count=params.mum_count or params.mem_count,
+                unique_only=params.mum_count > 0)
+            seed_fn = lambda name, seq: seeder.get_seeds(seq)  # noqa: E731
         model = ChainerModel(g, mpc, index, params.chainer,
-                             file_seeds=file_seeds)
+                             file_seeds=file_seeds, seed_fn=seed_fn)
     stats = AlignmentStats()
 
     batch_q: "queue.Queue" = queue.Queue(maxsize=4)

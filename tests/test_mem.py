@@ -91,3 +91,20 @@ def test_mum_unique_only(rng):
                                           + s.match_len])
                   for d in range(g.n_digraph))
         assert occ == 1
+
+
+def test_mem_seeding_cli(toy_gfa, tmp_path):
+    """End-to-end CLC run with MEM seeding instead of minimizers."""
+    from graphchainer_tpu.cli import main as cli_main
+    from tests.conftest import TOY_READ
+    reads = tmp_path / "r.fa"
+    reads.write_text(f">read\n{TOY_READ}\n")
+    out = str(tmp_path / "out.gaf")
+    rc = cli_main(["-g", toy_gfa, "-f", str(reads), "-a", out,
+                   "--seeds-mem-count", "8", "--seeds-mxm-length", "12",
+                   "--seeds-mxm-cache-prefix", str(tmp_path / "sa"),
+                   "-b", "16", "--polish-band", "4"])
+    assert rc == 0
+    assert open(out).read().startswith("read\t")
+    import os
+    assert os.path.exists(str(tmp_path / "sa") + ".sa.npz")
