@@ -56,7 +56,7 @@ def to_mappings(g: AlignmentGraph, aln: ReadAlignment
     mappings: List[MappingItem] = []
     read = aln.seq
     pi = 0   # path char index
-    si = 0   # read index
+    si = aln.seq_start   # read index (ops cover the aligned span)
     cur: Optional[MappingItem] = None
     cur_d = None
     next_off = -1   # expected offset of the next path char in cur mapping

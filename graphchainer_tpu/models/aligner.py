@@ -246,7 +246,9 @@ class GraphAlignerModel:
         polish_reads, polish_paths, refs = [], [], []
         for ri in range(len(reads)):
             for ci, (positions, span) in enumerate(candidates[ri]):
-                polish_reads.append(reads[ri][1])
+                # clipped alignments polish span-locally (the unaligned
+                # read head/tail is clipped, not charged as indels)
+                polish_reads.append(reads[ri][1][span[0]:span[1]])
                 polish_paths.append(self.gx.positions_seq(positions))
                 refs.append((ri, ci))
         scored = {}

@@ -92,3 +92,28 @@ def test_ga_mode_cli(toy_gfa, tmp_path):
                    "--seeds-minimizer-windowsize", "5"])
     assert rc == 0
     assert open(out).read().startswith("read\t")
+
+
+def test_ga_clipped_alignment_span():
+    """A read with a garbage tail must come back clipped, with the polish
+    score covering only the aligned span."""
+    rng = np.random.default_rng(33)
+    from tests.test_e2e import bubble_graph, simulate
+    bg = bubble_graph(rng)
+    g = build_alignment_graph(bg)
+    idx = build_index(g, k=13, w=10)
+    model = GraphAlignerModel(g, idx, AlignerConfig(band_slots=24,
+                                                    polish_band_words=4))
+    read, _ = simulate(rng, g, err=0.0, min_len=300)
+    garbage = "".join(rng.choice(list("ACGT"), 150))
+    full = read + garbage
+    aln = model.align_batch([("clip", full)])[0]
+    assert not aln.failed
+    # aligned span stops near the real read; score is small
+    assert aln.seq_end <= len(read) + 70
+    assert aln.score <= 40  # at most one partial garbage window before the clip
+    # emitted mappings consume exactly the span
+    from graphchainer_tpu.align.emit import to_mappings
+    mappings = to_mappings(g, aln)
+    to_len = sum(e.to_length for m in mappings for e in m.edits)
+    assert to_len == aln.seq_end - aln.seq_start
