@@ -179,3 +179,43 @@ def test_visualize_and_identity_tools(cli_outputs, tmp_path):
     assert lines[0].startswith("read,")
     ident = float(lines[1].split(",")[-1])
     assert ident >= 0.99  # path is a subsequence of the truth
+
+
+def test_cli_gzip_inputs_and_caches(toy_gfa, tmp_path):
+    import gzip as _gz
+    # gzip the graph and reads
+    gz_graph = str(tmp_path / "g.gfa.gz")
+    with open(toy_gfa) as f, _gz.open(gz_graph, "wt") as out:
+        out.write(f.read())
+    reads = str(tmp_path / "r.fq.gz")
+    with _gz.open(reads, "wt") as f:
+        f.write(f"@read\n{TOY_READ}\n+\n{'I' * len(TOY_READ)}\n")
+    out = str(tmp_path / "o.gaf")
+    mpc_cache = str(tmp_path / "mpc.npz")
+    mini_cache = str(tmp_path / "mini.npz")
+    args = ["-g", gz_graph, "-f", reads, "-a", out,
+            "--mpc-index", mpc_cache, "--minimizer-index", mini_cache,
+            "--sampling-step", "1.0",
+            "-b", "16", "--polish-band", "4",
+            "--seeds-minimizer-length", "11",
+            "--seeds-minimizer-windowsize", "5"]
+    assert cli_main(args) == 0
+    assert open(out).read().startswith("read\t")
+    assert os.path.exists(mpc_cache) and os.path.exists(mini_cache)
+    # second run loads the caches
+    assert cli_main(args) == 0
+
+
+def test_cli_graph_statistics_and_generate_path(toy_gfa, tmp_path, capsys):
+    assert cli_main(["-g", toy_gfa, "--graph-statistics"]) == 0
+    outp = capsys.readouterr().out
+    assert "n_split_nodes" in outp
+    prefix = str(tmp_path / "gen")
+    assert cli_main(["-g", toy_gfa, "--generate-path", prefix]) == 0
+    fa = open(prefix + ".fasta").read()
+    assert fa.startswith(">")
+    nodes = open(prefix + ".nodes").read().split()
+    assert nodes[0] in {"1", "2", "3", "4"}
+    # the generated path must spell a real walk: simulate from it
+    seq = fa.strip().split("\n")[1]
+    assert len(seq) >= 44
