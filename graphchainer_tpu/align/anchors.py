@@ -244,7 +244,8 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
     import jax as _jax
     ndev = len(_jax.devices())
     fchunk = max(ndev, (fchunk // ndev) * ndev)   # even mesh sharding
-    outs = []
+    # phase 1: dispatch every chunk (async; uploads/compute pipeline)
+    pending = []
     for lo in range(0, F, fchunk):
         hi = min(F, lo + fchunk)
         pad = fchunk - (hi - lo)
@@ -262,9 +263,19 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
         res = frag_align.align_fragments(dev_eq, dev_len, bn, bi, ss, rq,
                                          rw, n_slices=S, max_in=max_in,
                                          seed_base=sb)
-        outs.append(tuple(asarray_chunked(a)[:hi - lo] for a in res))
-    return frag_align.FragResult(*[np.concatenate(parts, axis=0)
-                                   for parts in zip(*outs)])
+        pending.append((res, hi - lo))
+    # phase 2: download only the per-fragment best results (the full
+    # per-slot matrices stay on device)
+    outs = []
+    for res, keep in pending:
+        outs.append((np.asarray(res.best_score)[:keep],
+                     np.asarray(res.best_slot)[:keep],
+                     np.asarray(res.best_col)[:keep],
+                     asarray_chunked(res.best_in)[:keep]))
+    cat = [np.concatenate(parts, axis=0) for parts in zip(*outs)]
+    return frag_align.FragResult(best_score=cat[0], best_slot=cat[1],
+                                 best_col=cat[2], best_in=cat[3],
+                                 end_score=None, end_col=None)
 
 
 def backwalk(best_in: np.ndarray, band_nodes: np.ndarray, end_slot: int,
@@ -324,7 +335,7 @@ def extract_anchor(g: AlignmentGraph, jobs: Sequence[FragJob],
         return None
     path_f = [int(x) for x in reversed(nodes_f)]
     # trace end position: best slot's argmin column -> node offset
-    cf = int(np.asarray(res.end_col)[fi_fwd][end_slot_f])
+    cf = int(res.best_col[fi_fwd])
     last_node = int(band_nodes[fi_fwd][end_slot_f])
     last_off = cf + (seed_offset if end_slot_f == 0 else 0)
 
@@ -348,7 +359,7 @@ def extract_anchor(g: AlignmentGraph, jobs: Sequence[FragJob],
         score += sc_b
         # bwd walk [end ... seed] is already in original path order
         path_b = [int(x) for x in nodes_b]
-        cb = int(np.asarray(res.end_col)[fi_bwd][end_slot_b])
+        cb = int(res.best_col[fi_bwd])
         first_node = int(band_nodes[fi_bwd][end_slot_b])
         if end_slot_b == 0:
             first_off = (seed_offset - 1) - cb

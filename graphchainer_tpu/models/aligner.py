@@ -148,7 +148,7 @@ class GraphAlignerModel:
             for nd in nodes[1:]:
                 st.path.append(nd)
             end_node = nodes[-1]
-            cb = int(np.asarray(res.end_col)[i][slot])
+            cb = int(res.best_col[i])
             # direction-local offset of the last consumed char
             if slot == 0:
                 ln = int(g.node_len[st.node])

@@ -108,7 +108,7 @@ class OptimalAlignerModel:
         if walk is None:
             return score, None, 0
         path = [int(band_nodes[0][s]) for s in reversed(walk)]
-        end_col = int(np.asarray(res.end_col)[0][slot])
+        end_col = int(np.asarray(res.best_col)[0])
         return score, path, end_col
 
     def align_batch(self, reads: Sequence[Tuple[str, str]]

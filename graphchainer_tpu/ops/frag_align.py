@@ -54,12 +54,13 @@ IN_VERT = -3      # vertical continuation from previous slice, same slot
 
 
 class FragResult(NamedTuple):
-    end_score: jax.Array   # (F, B) int32: score at the fragment's last row,
-                           # minimized over the slot's columns
-    end_col: jax.Array     # (F, B) int32: argmin column
-    best_in: jax.Array     # (F, B, S) int8: winning incoming candidate
     best_score: jax.Array  # (F,) int32 overall best end score
     best_slot: jax.Array   # (F,) int32 argmin slot
+    best_col: jax.Array    # (F,) int32 argmin column within the best slot
+    best_in: jax.Array     # (F, B, S) int8: winning incoming candidate
+    end_score: jax.Array   # (F, B) int32 per-slot end scores (device-side;
+                           # not downloaded on the hot path)
+    end_col: jax.Array     # (F, B) int32 per-slot argmin columns
 
 
 def _above_mask(r):
@@ -331,6 +332,8 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
     end_score = state["end_score"]
     best_slot = jnp.argmin(end_score, axis=1).astype(jnp.int32)
     best_score = jnp.min(end_score, axis=1)
-    return FragResult(end_score=end_score, end_col=state["end_col"],
-                      best_in=state["best_in"], best_score=best_score,
-                      best_slot=best_slot)
+    best_col = jnp.take_along_axis(state["end_col"], best_slot[:, None],
+                                   1)[:, 0]
+    return FragResult(best_score=best_score, best_slot=best_slot,
+                      best_col=best_col, best_in=state["best_in"],
+                      end_score=end_score, end_col=state["end_col"])
