@@ -176,11 +176,12 @@ def batch_arrays(g: AlignmentGraph, mpc: MPCIndex,
     x = np.zeros((R, A), dtype=np.int32)
     y = np.zeros((R, A), dtype=np.int32)
     valid = np.zeros((R, A), dtype=bool)
-    ev_type = np.full((R, E), -1, dtype=np.int32)
-    ev_anchor = np.zeros((R, E), dtype=np.int32)
-    ev_k = np.full((R, E), -1, dtype=np.int32)
+    # int16 event arrays halve the per-batch upload (A, E < 32768)
+    ev_type = np.full((R, E), -1, dtype=np.int16)
+    ev_anchor = np.zeros((R, E), dtype=np.int16)
+    ev_k = np.full((R, E), -1, dtype=np.int16)
     ev_kmask = np.zeros((R, E, kw), dtype=np.uint32)
-    ev_group = np.full((R, E), -1, dtype=np.int32)
+    ev_group = np.full((R, E), -1, dtype=np.int16)
     for r, (anchors, e) in enumerate(zip(per_read_anchors, evs)):
         n = min(len(anchors), A)
         for j in range(n):

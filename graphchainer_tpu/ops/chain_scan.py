@@ -61,6 +61,10 @@ def chain_scan(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask, ev_group):
     def step(state, ev):
         c_val, c_pred, ins, tmp_tag = state
         t, j, k, kmask, grp = ev
+        t = t.astype(jnp.int32)
+        j = j.astype(jnp.int32)
+        k = k.astype(jnp.int32)
+        grp = grp.astype(jnp.int32)
         j = jnp.clip(j, 0, A - 1)
         onehot = arangeA[None, :] == j[:, None]          # (R, A)
 
