@@ -80,10 +80,10 @@ def build_bench_graph(rng, total_bp: int):
 
 
 def main():
-    n_reads = int(os.environ.get("BENCH_READS", 96))
+    n_reads = int(os.environ.get("BENCH_READS", 192))
     read_len = int(os.environ.get("BENCH_READ_LEN", 3000))
     graph_bp = int(os.environ.get("BENCH_GRAPH_BP", 60_000))
-    batch = int(os.environ.get("BENCH_BATCH", 32))
+    batch = int(os.environ.get("BENCH_BATCH", 64))
 
     from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
     from graphchainer_tpu.graph.mpc import build_mpc
