@@ -44,5 +44,5 @@ DEFAULT_SEED_EXTEND_DENSITY = 0.002
 # Padded CSR widths for device-side neighbor gathers.  Nodes with higher
 # degree are handled by the host fallback paths; variation graphs after
 # split-node transformation almost never exceed these.
-MAX_IN_DEGREE = 8
+MAX_IN_DEGREE = 4
 MAX_OUT_DEGREE = 8

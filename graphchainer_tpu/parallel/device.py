@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MAX_TRANSFER = 256 * 1024
+MAX_TRANSFER = 384 * 1024   # tunnel hangs at ~512KB; 400KB measured safe
 
 _mesh = None
 
