@@ -74,6 +74,7 @@ class ReadAlignment:
     seq_end: int = 0
     n_anchors: int = 0
     n_chained: int = 0
+    n_seeds: int = 0
     error: Optional[str] = None        # per-read fault isolation marker
     is_secondary: bool = False
     secondary: List["ReadAlignment"] = field(default_factory=list)
@@ -121,6 +122,7 @@ class ChainerModel:
         from graphchainer_tpu.index.minimizer import get_seed_arrays
         jobs: List[FragJob] = []
         frags = []   # (read_idx, l, r, fi_fwd, fi_bwd, seed split, seed off)
+        self._seed_counts = [0] * len(reads)
         flen, sep = cfg.colinear_split_len, cfg.colinear_split_gap
         kper = cfg.seeds_per_fragment
         for ri, (name, seq) in enumerate(reads):
@@ -142,6 +144,7 @@ class ChainerModel:
                     continue
                 di, off, sp, good = arrs
                 mlen = np.full(len(di), self.index.k, dtype=np.int64)
+            self._seed_counts[ri] = len(di)
             mm = match_masks(seq)
             # long seeds (MEMs can exceed the fragment length) anchor a
             # window by their start; clamp the effective length so they
@@ -213,6 +216,8 @@ class ChainerModel:
                              score=len(s), seq_end=len(s))
                for n, s in reads]
         jobs, frags = self._fragment_jobs(reads)
+        for ri, n in enumerate(getattr(self, "_seed_counts", [])):
+            out[ri].n_seeds = n
         if not jobs:
             return out
 

@@ -60,6 +60,8 @@ class AlignmentStats:
     """Reference src/Aligner.cpp:111-144."""
     reads: int = 0
     bp_in_reads: int = 0
+    seeds_found: int = 0
+    reads_with_a_seed: int = 0
     reads_with_an_alignment: int = 0
     alignments: int = 0
     bp_in_alignments: int = 0
@@ -206,6 +208,9 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
             stats.bp_in_reads += len(aln.seq)
             if aln.error is not None:
                 stats.assertion_broke = True
+            stats.seeds_found += aln.n_seeds
+            if aln.n_seeds:
+                stats.reads_with_a_seed += 1
             if aln.failed:
                 continue
             stats.reads_with_an_alignment += 1
@@ -250,6 +255,8 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
     stats.seconds = time.time() - t0
     if params.verbose:
         print(f"Input reads: {stats.reads} ({stats.bp_in_reads}bp)")
+        print(f"Seeds found: {stats.seeds_found}")
+        print(f"Reads with a seed: {stats.reads_with_a_seed}")
         print(f"Reads with an alignment: {stats.reads_with_an_alignment}")
         print(f"Alignments: {stats.alignments} "
               f"({stats.bp_in_alignments}bp)")
