@@ -128,8 +128,9 @@ def main():
     reads_per_s = n_timed / dt
 
     result = {
-        "metric": "reads/s/chip (3kb 10%-err reads vs synthetic "
-                  "variation graph, default CLC params)",
+        "metric": f"reads/s/chip ({read_len}bp 10%-err reads vs "
+                  f"{graph_bp}bp synthetic variation graph, default CLC "
+                  "params)",
         "value": round(reads_per_s, 3),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
