@@ -58,6 +58,12 @@ class ChainerConfig:
     # default: it multiplies device round-trips, and the CLC path alone
     # already matches the baseline's accuracy on the test sets.
     compare_with_baseline: bool = False
+    # selective rescue: reads whose CLC edit distance exceeds this
+    # fraction of the read length (or that failed entirely) are re-aligned
+    # with the whole-read baseline and the better result kept.  Cheap (it
+    # only triggers on poor alignments) and recovers most of the
+    # reference's always-compare behavior.
+    rescue_threshold: float = 0.35
     # reference --fast-mode (src/Aligner.cpp:834-843): skip the base-level
     # polish; score = positional mismatch count along the path, no CIGAR.
     fast_mode: bool = False
@@ -297,14 +303,23 @@ class ChainerModel:
                 out[ri].ops = oc.ops
 
         if cfg.compare_with_baseline:
+            retry = list(range(len(reads)))
+        elif cfg.rescue_threshold > 0:
+            retry = [ri for ri in range(len(reads))
+                     if out[ri].failed
+                     or out[ri].score > cfg.rescue_threshold
+                     * max(len(reads[ri][1]), 1)]
+        else:
+            retry = []
+        if retry:
             # keep the better of CLC / whole-read baseline per read
             # (reference src/Aligner.cpp:901-920: CLC wins only when the
             # baseline is absent or strictly worse by edit distance)
-            ga = self.baseline().align_batch(reads)
-            for ri in range(len(reads)):
-                clc_better = ga[ri].failed or (not out[ri].failed
-                                               and ga[ri].score
+            ga = self.baseline().align_batch([reads[ri] for ri in retry])
+            for bi, ri in enumerate(retry):
+                clc_better = ga[bi].failed or (not out[ri].failed
+                                               and ga[bi].score
                                                > out[ri].score)
                 if not clc_better:
-                    out[ri] = ga[ri]
+                    out[ri] = ga[bi]
         return out
