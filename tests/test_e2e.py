@@ -159,3 +159,18 @@ def test_fast_mode():
     assert not aln.failed
     assert aln.ops is None          # no CIGAR in fast mode
     assert aln.score <= 4           # positional mismatches only
+
+
+def test_baseline_rescue_path():
+    """A tiny rescue threshold forces the whole-read baseline path; the
+    result must still be a valid alignment at least as good as CLC."""
+    rng = np.random.default_rng(11)
+    bg = bubble_graph(rng)
+    g = build_alignment_graph(bg)
+    model = make_model(g, k=13, w=10, rescue_threshold=0.001)
+    read, _ = simulate(rng, g, err=0.1, min_len=250)
+    aln = model.align_batch([("resc", read)])[0]
+    assert not aln.failed
+    pathseq = "".join(g.node_seq(v)[o] for v, o in aln.positions)
+    # rescued (span-local) alignments cover at least most of the read
+    assert aln.seq_end - aln.seq_start >= len(read) * 0.8
