@@ -4,6 +4,8 @@ SURVEY.md §2.9 / reference makefile:34-70).
 Usage: python -m graphchainer_tpu.tools <command> [args]
 
 Commands:
+  gfa-path-sequence       GFA P/W paths -> FASTA (truth sequences; the
+                          reference obtains these via external vg paths)
   extract-path-sequence   GAM -> FASTA of alignment path sequences
                           (reference ExtractPathSequence.cpp)
   select-longest          keep the longest alignment per read
@@ -269,9 +271,30 @@ def cmd_pick_adjacent_pairs(args):
                     f.write(f"{name},{e1},{s2},{gap}\n")
 
 
+def cmd_gfa_path_sequence(args):
+    """FASTA of named P/W paths embedded in a GFA (truth sequences for
+    simulation/eval; the reference gets these externally via vg paths)."""
+    from graphchainer_tpu.io.gfa import load_gfa, path_sequence
+    g = load_gfa(args.graph)
+    names = [args.name] if args.name else sorted(g.paths)
+    if args.name and args.name not in g.paths:
+        raise SystemExit(f"no path {args.name!r}; available: "
+                         f"{', '.join(sorted(g.paths)) or '(none)'}")
+    with _out(args.output) as f:
+        for name in names:
+            f.write(f">{name}\n{path_sequence(g, name)}\n")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="graphchainer-tpu-tools")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("gfa-path-sequence")
+    s.add_argument("--graph", required=True)
+    s.add_argument("--name", default=None,
+                   help="path/walk name (default: all)")
+    s.add_argument("--output", "-o", default="-")
+    s.set_defaults(fn=cmd_gfa_path_sequence)
 
     s = sub.add_parser("extract-path-sequence")
     s.add_argument("--gam", required=True)

@@ -16,6 +16,13 @@ def setup():
         return
     _done = True
     import jax
+    # the axon TPU plugin overrides jax_platforms at registration; honor an
+    # explicit JAX_PLATFORMS=cpu request from the user
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     cache = os.environ.get("GRAPHCHAINER_JAX_CACHE",
                            os.path.expanduser("~/.cache/jax"))
     try:

@@ -120,3 +120,38 @@ def test_mappings_consume_path_and_read(toy_gfa):
     # mapping offsets are within their nodes
     for m in mappings:
         assert 0 <= m.offset < m.node_len
+
+
+def test_gfa_paths_and_walks(tmp_path):
+    from graphchainer_tpu.io.gfa import load_gfa, path_sequence
+    gfa = tmp_path / "p.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.1\n"
+        "S\ta\tACGTT\n"
+        "S\tb\tTTGCA\n"
+        "S\tc\tGGG\n"
+        "L\ta\t+\tb\t+\t2M\n"
+        "L\tb\t+\tc\t+\t0M\n"
+        "L\tc\t+\ta\t-\t0M\n"
+        "P\tp1\ta+,b+,c+\t*\n"
+        "W\tsample\t1\tchr1\t0\t13\t>a>b>c<a\n"
+    )
+    g = load_gfa(str(gfa))
+    assert set(g.paths) == {"p1", "sample#1#chr1:0-13"}
+    # overlap 2 between a and b: ACGTT + GCA + GGG
+    assert path_sequence(g, "p1") == "ACGTTGCAGGG"
+    # walk adds reverse-complement of a: AACGT
+    assert path_sequence(g, "sample#1#chr1:0-13") == "ACGTTGCAGGGAACGT"
+    import pytest
+    with pytest.raises(KeyError):
+        path_sequence(g, "nope")
+
+
+def test_gfa_path_sequence_tool(tmp_path, capsys):
+    from graphchainer_tpu import tools
+    gfa = tmp_path / "p.gfa"
+    gfa.write_text("S\tx\tACGT\nS\ty\tTTTT\nL\tx\t+\ty\t+\t*\nP\tp\tx+,y+\t*\n")
+    out = tmp_path / "out.fa"
+    assert tools.main(["gfa-path-sequence", "--graph", str(gfa),
+                       "-o", str(out)]) == 0
+    assert out.read_text() == ">p\nACGTTTTT\n"
