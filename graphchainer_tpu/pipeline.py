@@ -74,10 +74,11 @@ def g_name_ids(g: AlignmentGraph):
 
 
 def load_graph(path: str) -> AlignmentGraph:
+    """GFA (.gfa[.gz]) or vg protobuf (.vg) input, like the reference's
+    -g dispatch (src/Aligner.cpp / BigraphToDigraph.cpp)."""
     if path.endswith(".vg"):
-        raise NotImplementedError(
-            "vg protobuf graph input lands in a later round; convert with "
-            "`vg view -g graph.vg > graph.gfa` for now")
+        from graphchainer_tpu.io.vg_graph import load_vg
+        return build_alignment_graph(load_vg(path))
     return build_alignment_graph(load_gfa(path))
 
 

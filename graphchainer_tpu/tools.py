@@ -275,7 +275,9 @@ def cmd_gfa_path_sequence(args):
     """FASTA of named P/W paths embedded in a GFA (truth sequences for
     simulation/eval; the reference gets these externally via vg paths)."""
     from graphchainer_tpu.io.gfa import load_gfa, path_sequence
-    g = load_gfa(args.graph)
+    from graphchainer_tpu.io.vg_graph import load_vg
+    g = load_vg(args.graph) if args.graph.endswith(".vg") \
+        else load_gfa(args.graph)
     names = [args.name] if args.name else sorted(g.paths)
     if args.name and args.name not in g.paths:
         raise SystemExit(f"no path {args.name!r}; available: "

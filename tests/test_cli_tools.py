@@ -219,3 +219,42 @@ def test_cli_graph_statistics_and_generate_path(toy_gfa, tmp_path, capsys):
     # the generated path must spell a real walk: simulate from it
     seq = fa.strip().split("\n")[1]
     assert len(seq) >= 44
+
+
+def test_vg_embedded_paths(tmp_path):
+    from graphchainer_tpu.io.gfa import path_sequence
+    p = str(tmp_path / "g3.vg")
+    graph_msg = b""
+    for nid, seq in [(7, "ACGTT"), (8, "GGCA"), (9, "TTT")]:
+        node = vg_wire.f_str(1, seq) + vg_wire.f_varint(3, nid)
+        graph_msg += vg_wire.f_msg(1, node)
+    for f, t in [(7, 8), (8, 9)]:
+        graph_msg += vg_wire.f_msg(2, vg_wire.f_varint(1, f)
+                                   + vg_wire.f_varint(2, t))
+    # Path "ref": 7+ then 8- (ranks given out of order to test sorting)
+    m2 = vg_wire.mapping(vg_wire.position(8, 0, True), [], rank=2)
+    m1 = vg_wire.mapping(vg_wire.position(7, 0, False), [], rank=1)
+    graph_msg += vg_wire.f_msg(3, vg_wire.f_str(1, "ref")
+                               + vg_wire.f_msg(2, m2) + vg_wire.f_msg(2, m1))
+    framed = vg_wire.varint(1) + vg_wire.varint(len(graph_msg)) + graph_msg
+    with gzip.open(p, "wb") as fh:
+        fh.write(framed)
+    bg = load_vg(p)
+    assert bg.paths == {"ref": [(0, False), (1, True)]}
+    # 7 forward then 8 reverse-complemented
+    assert path_sequence(bg, "ref") == "ACGTT" + "TGCC"
+    # the tool surfaces it too
+    out = str(tmp_path / "ref.fa")
+    assert tools.main(["gfa-path-sequence", "--graph", p, "-o", out]) == 0
+    assert open(out).read() == ">ref\nACGTTTGCC\n"
+
+
+def test_pipeline_loads_vg(tmp_path):
+    """pipeline.load_graph dispatches .vg -> load_vg (reference -g accepts
+    both .gfa and .vg)."""
+    from graphchainer_tpu.pipeline import load_graph
+    p = str(tmp_path / "pipe.vg")
+    make_vg_file(p, [(1, "ACGTACGTAC"), (2, "TTTTCCCC")],
+                 [(1, 2, False, False, 0)])
+    g = load_graph(p)
+    assert g.stats()["total_bp"] == 2 * 18
