@@ -113,10 +113,25 @@ def build_parser() -> argparse.ArgumentParser:
                           "(default 64)")
     ext.add_argument("--polish-band", type=int, default=8,
                      help="polish band in 32-row words (default 8 = 256)")
+    ext.add_argument("--X-drop", dest="x_drop", type=int, default=None,
+                     help="end extension when the X-score drops more than "
+                          "arg below its max (GA mode; reference "
+                          "src/AlignerMain.cpp:68)")
+    ext.add_argument("--precise-clipping", type=float, default=None,
+                     help="identity cutoff between correct and wrong "
+                          "alignment ends (GA mode; reference "
+                          "src/AlignerMain.cpp:69)")
     return p
 
 
 def params_from_args(args) -> PipelineParams:
+    if args.precise_clipping is not None \
+            and not 0.0 < args.precise_clipping < 1.0:
+        raise SystemExit("graphchainer-tpu: error: --precise-clipping "
+                         "must be in (0, 1)")
+    if args.x_drop is not None and args.x_drop <= 1:
+        raise SystemExit("graphchainer-tpu: error: --X-drop score cutoff "
+                         "must be > 1")
     split_gap = args.colinear_split_gap
     if args.sampling_step is not None:
         split_gap = int(math.ceil(args.sampling_step
@@ -144,6 +159,7 @@ def params_from_args(args) -> PipelineParams:
         mem_count=args.seeds_mem_count, mum_count=args.seeds_mum_count,
         mxm_length=args.seeds_mxm_length,
         mxm_cache_prefix=args.seeds_mxm_cache_prefix,
+        x_drop=args.x_drop, precise_clipping=args.precise_clipping,
         out_corrected=args.corrected_out,
         out_corrected_clipped=args.corrected_clipped_out)
     for out in args.alignments_out:

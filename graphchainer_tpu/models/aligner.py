@@ -58,6 +58,22 @@ class AlignerConfig:
     min_coverage_frac: float = 0.3      # retry next seed below this
     max_seed_tries: int = 5
     polish_band_words: int = 8
+    # reference --X-drop (src/AlignerMain.cpp:68,314-319): end the
+    # extension when the running X-score (match +1 / edit -4, the vg
+    # convention) drops more than this below its maximum.  None = off.
+    x_drop: Optional[int] = None
+    # reference --precise-clipping (src/AlignerMain.cpp:69,300-303):
+    # identity cutoff between correct and wrong alignment; maps onto the
+    # per-window error cutoff as (1 - identity).  None = keep default.
+    precise_clipping: Optional[float] = None
+
+    def __post_init__(self):
+        if self.precise_clipping is not None:
+            if not 0.0 < self.precise_clipping < 1.0:
+                raise ValueError("precise-clipping must be in (0, 1)")
+            self.window_error_cutoff = 1.0 - self.precise_clipping
+        if self.x_drop is not None and self.x_drop <= 1:
+            raise ValueError("X-drop score cutoff must be > 1")
 
 
 @dataclass
@@ -73,6 +89,8 @@ class _ExtState:
     path: List[int] = field(default_factory=list)  # original node ids
     last_off: int = -1      # direction-local end offset in the last node
     active: bool = True
+    xscore: float = 0.0     # running X-score (match +1 / edit -4)
+    xscore_max: float = 0.0
     # correctness HMM over per-window error fractions (reference
     # AlignmentCorrectnessEstimation drives band break decisions,
     # src/GraphAlignerBitvectorBanded.h:572-644)
@@ -132,8 +150,12 @@ class GraphAlignerModel:
             best = int(res.best_score[i])
             delta = best - st.base
             st.hmm = st.hmm.next_state(delta, nrows)
+            st.xscore += (nrows - delta) - 4.0 * delta
+            st.xscore_max = max(st.xscore_max, st.xscore)
             if (delta > cfg.window_error_cutoff * nrows
-                    or not st.hmm.current_is_correct()):
+                    or not st.hmm.current_is_correct()
+                    or (cfg.x_drop is not None
+                        and st.xscore_max - st.xscore > cfg.x_drop)):
                 st.active = False       # X-drop / correctness-HMM clip
                 continue
             slot = int(res.best_slot[i])

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import queue
+import sys
 import threading
 import time
 from dataclasses import dataclass, field
@@ -53,6 +54,8 @@ class PipelineParams:
     mxm_length: int = 20
     mxm_cache_prefix: Optional[str] = None
     verbose: bool = False
+    x_drop: Optional[int] = None              # --X-drop (GA mode)
+    precise_clipping: Optional[float] = None  # --precise-clipping (GA mode)
 
 
 @dataclass
@@ -125,13 +128,23 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
     if params.verbose:
         print(f"graph: {g.stats()}")
     index = get_or_build_minimizer(g, params)
+    if params.mode != "ga" and (params.x_drop is not None
+                                or params.precise_clipping is not None):
+        print("WARNING: --X-drop / --precise-clipping only apply to "
+              "--mode ga; ignored", file=sys.stderr)
     if params.mode == "ga":
         from graphchainer_tpu.models.aligner import (AlignerConfig,
                                                      GraphAlignerModel)
+        # X-drop without precise-clipping defaults the identity cutoff to
+        # .66, like the reference (src/AlignerMain.cpp:443-447)
+        pc = params.precise_clipping
+        if params.x_drop is not None and pc is None:
+            pc = 0.66
         model = GraphAlignerModel(
             g, index,
             AlignerConfig(seed_density=params.chainer.seed_density,
-                          polish_band_words=params.chainer.polish_band_words))
+                          polish_band_words=params.chainer.polish_band_words,
+                          x_drop=params.x_drop, precise_clipping=pc))
     elif params.mode == "optimal":
         from graphchainer_tpu.models.optimal import (OptimalAlignerModel,
                                                      OptimalConfig)

@@ -117,3 +117,33 @@ def test_ga_clipped_alignment_span():
     mappings = to_mappings(g, aln)
     to_len = sum(e.to_length for m in mappings for e in m.edits)
     assert to_len == aln.seq_end - aln.seq_start
+
+
+def test_ga_x_drop_and_precise_clipping():
+    """--X-drop / --precise-clipping map onto the GA window cutoffs
+    (reference src/AlignerMain.cpp:68-69,300-319)."""
+    import pytest
+    # precise-clipping sets the window error cutoff to 1 - identity
+    cfg = AlignerConfig(precise_clipping=0.8)
+    assert abs(cfg.window_error_cutoff - 0.2) < 1e-9
+    with pytest.raises(ValueError):
+        AlignerConfig(precise_clipping=1.5)
+    with pytest.raises(ValueError):
+        AlignerConfig(x_drop=1)
+
+    # a tight X-drop still aligns a clean read fully and clips garbage
+    rng = np.random.default_rng(41)
+    from tests.test_e2e import bubble_graph, simulate
+    g = build_alignment_graph(bubble_graph(rng))
+    idx = build_index(g, k=13, w=10)
+    model = GraphAlignerModel(
+        g, idx, AlignerConfig(band_slots=24, polish_band_words=4,
+                              x_drop=30, precise_clipping=0.66))
+    read, _ = simulate(rng, g, err=0.0, min_len=300)
+    aln = model.align_batch([("clean", read)])[0]
+    assert not aln.failed
+    assert aln.seq_end - aln.seq_start >= 0.9 * len(read)
+    garbage = "".join(rng.choice(list("ACGT"), 200))
+    aln2 = model.align_batch([("chimera", read + garbage)])[0]
+    assert not aln2.failed
+    assert aln2.seq_end <= len(read) + 70
