@@ -113,6 +113,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "(default 64)")
     ext.add_argument("--polish-band", type=int, default=8,
                      help="polish band in 32-row words (default 8 = 256)")
+    ext.add_argument("-B", "--ramp-bandwidth", type=int, default=0,
+                     help="retry failing GA windows once with this wider "
+                          "band before clipping (reference "
+                          "src/AlignerMain.cpp:95; 0 = off)")
     ext.add_argument("--X-drop", dest="x_drop", type=int, default=None,
                      help="end extension when the X-score drops more than "
                           "arg below its max (GA mode; reference "
@@ -132,6 +136,10 @@ def params_from_args(args) -> PipelineParams:
     if args.x_drop is not None and args.x_drop <= 1:
         raise SystemExit("graphchainer-tpu: error: --X-drop score cutoff "
                          "must be > 1")
+    if args.ramp_bandwidth and args.bandwidth \
+            and args.ramp_bandwidth <= args.bandwidth:
+        raise SystemExit("graphchainer-tpu: error: ramp bandwidth must be "
+                         "higher than default bandwidth")
     split_gap = args.colinear_split_gap
     if args.sampling_step is not None:
         split_gap = int(math.ceil(args.sampling_step
@@ -160,6 +168,7 @@ def params_from_args(args) -> PipelineParams:
         mxm_length=args.seeds_mxm_length,
         mxm_cache_prefix=args.seeds_mxm_cache_prefix,
         x_drop=args.x_drop, precise_clipping=args.precise_clipping,
+        ramp_band_slots=args.ramp_bandwidth, bandwidth=args.bandwidth,
         out_corrected=args.corrected_out,
         out_corrected_clipped=args.corrected_clipped_out)
     for out in args.alignments_out:

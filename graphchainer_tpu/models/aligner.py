@@ -66,6 +66,10 @@ class AlignerConfig:
     # identity cutoff between correct and wrong alignment; maps onto the
     # per-window error cutoff as (1 - identity).  None = keep default.
     precise_clipping: Optional[float] = None
+    # reference --ramp-bandwidth/-B (src/AlignerMain.cpp:95): windows
+    # that fail the error/HMM cutoff retry once with this band before
+    # being clipped.  0 = off; must exceed band_slots otherwise.
+    ramp_band_slots: int = 0
 
     def __post_init__(self):
         if self.precise_clipping is not None:
@@ -74,6 +78,9 @@ class AlignerConfig:
             self.window_error_cutoff = 1.0 - self.precise_clipping
         if self.x_drop is not None and self.x_drop <= 1:
             raise ValueError("X-drop score cutoff must be > 1")
+        if self.ramp_band_slots and self.ramp_band_slots <= self.band_slots:
+            raise ValueError(
+                "ramp bandwidth must be higher than default bandwidth")
 
 
 @dataclass
@@ -126,12 +133,27 @@ class GraphAlignerModel:
 
     # ------------------------------------------------------------------
     def _extend_round(self, states: List[_ExtState]):
-        """One batched window step over all active states."""
+        """One batched window step over all active states.  Windows that
+        fail the error/HMM cutoff are retried once with the ramp band
+        before being clipped (reference backtrack-and-retry with
+        rampBandwidth, src/GraphAlignerBitvectorBanded.h:572-644)."""
         cfg = self.cfg
-        g = self.g
         act = [st for st in states if st.active]
         if not act:
             return False
+        ramp = (cfg.ramp_band_slots
+                if cfg.ramp_band_slots > cfg.band_slots else 0)
+        retry = self._run_window(act, cfg.band_slots, can_retry=bool(ramp))
+        if retry:
+            self._run_window(retry, ramp, can_retry=False)
+        return any(st.active for st in states)
+
+    def _run_window(self, act: List[_ExtState], band_slots: int,
+                    can_retry: bool) -> List[_ExtState]:
+        """Run one window for `act`; commit results.  Returns the states
+        whose commit was deferred for a wider-band retry."""
+        cfg = self.cfg
+        g = self.g
         jobs = []
         for st in act:
             rows = st.mm[st.row:st.row + WINDOW_ROWS]
@@ -139,22 +161,27 @@ class GraphAlignerModel:
                                 seed_trim_len=st.trim_len,
                                 reverse=st.reverse))
         band_nodes, band_nodes_cat, band_in, seed_shift, req, rows_arr, S = \
-            assemble_batch(self.gx, jobs, B=cfg.band_slots,
+            assemble_batch(self.gx, jobs, B=band_slots,
                            max_in=cfg.max_in, slack=cfg.band_slack)
         seed_base = np.array([st.base for st in act], dtype=np.int32)
         res = run_fragments(self.gx, band_nodes_cat, band_in, seed_shift,
                             req, rows_arr, S, cfg.max_in,
                             seed_base=seed_base)
+        retry = []
         for i, st in enumerate(act):
             nrows = int(rows_arr[i])
             best = int(res.best_score[i])
             delta = best - st.base
+            bad = (delta > cfg.window_error_cutoff * nrows
+                   or not st.hmm.next_state(delta, nrows)
+                          .current_is_correct())
+            if bad and can_retry:
+                retry.append(st)        # state untouched; rerun wider
+                continue
             st.hmm = st.hmm.next_state(delta, nrows)
             st.xscore += (nrows - delta) - 4.0 * delta
             st.xscore_max = max(st.xscore_max, st.xscore)
-            if (delta > cfg.window_error_cutoff * nrows
-                    or not st.hmm.current_is_correct()
-                    or (cfg.x_drop is not None
+            if (bad or (cfg.x_drop is not None
                         and st.xscore_max - st.xscore > cfg.x_drop)):
                 st.active = False       # X-drop / correctness-HMM clip
                 continue
@@ -182,7 +209,7 @@ class GraphAlignerModel:
             st.trim_len = int(g.node_len[end_node]) - (cb + 1)
             if st.row >= len(st.mm):
                 st.active = False
-        return any(st.active for st in states)
+        return retry
 
     # ------------------------------------------------------------------
     def _finalize(self, read: str, fwd: _ExtState, bwd: _ExtState,

@@ -56,6 +56,9 @@ class PipelineParams:
     verbose: bool = False
     x_drop: Optional[int] = None              # --X-drop (GA mode)
     precise_clipping: Optional[float] = None  # --precise-clipping (GA mode)
+    ramp_band_slots: int = 0                  # --ramp-bandwidth/-B (GA mode)
+    bandwidth: Optional[int] = None           # -b (GA band slots; CLC via
+                                              # chainer.band_slots)
 
 
 @dataclass
@@ -144,7 +147,10 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
             g, index,
             AlignerConfig(seed_density=params.chainer.seed_density,
                           polish_band_words=params.chainer.polish_band_words,
-                          x_drop=params.x_drop, precise_clipping=pc))
+                          x_drop=params.x_drop, precise_clipping=pc,
+                          ramp_band_slots=params.ramp_band_slots,
+                          **({"band_slots": params.bandwidth}
+                             if params.bandwidth else {})))
     elif params.mode == "optimal":
         from graphchainer_tpu.models.optimal import (OptimalAlignerModel,
                                                      OptimalConfig)

@@ -147,3 +147,30 @@ def test_ga_x_drop_and_precise_clipping():
     aln2 = model.align_batch([("chimera", read + garbage)])[0]
     assert not aln2.failed
     assert aln2.seq_end <= len(read) + 70
+
+
+def test_ga_ramp_bandwidth():
+    """-B/--ramp-bandwidth: a window that fails the cutoff retries once
+    with the wider band before clipping (reference backtrack-and-retry,
+    src/GraphAlignerBitvectorBanded.h:572-644)."""
+    import pytest
+    with pytest.raises(ValueError):
+        AlignerConfig(band_slots=48, ramp_band_slots=32)
+
+    rng = np.random.default_rng(57)
+    from tests.test_e2e import bubble_graph, simulate
+    g = build_alignment_graph(bubble_graph(rng))
+    idx = build_index(g, k=13, w=10)
+    # a band of 4 slots cannot hold the true path through the bubbles at
+    # 8% error; the ramp retry (48 slots) recovers the full read
+    read, _ = simulate(rng, g, err=0.08, min_len=420)
+    span = {}
+    for ramp in (0, 48):
+        model = GraphAlignerModel(
+            g, idx, AlignerConfig(band_slots=4, band_slack=2,
+                                  polish_band_words=4,
+                                  ramp_band_slots=ramp))
+        a = model.align_batch([("r", read)])[0]
+        span[ramp] = 0 if a.failed else a.seq_end - a.seq_start
+    assert span[0] < 0.6 * len(read)       # narrow band clips early
+    assert span[48] >= 0.95 * len(read)    # ramp retry recovers it
