@@ -107,6 +107,28 @@ def build_parser() -> argparse.ArgumentParser:
                       default=0.0002,
                       help="discard the most frequent fraction of "
                            "minimizers")
+    sel = p.add_argument_group("alignment selection")
+    sel.add_argument("--all-alignments", action="store_true",
+                     help="return all alignments instead of the best "
+                          "non-overlapping set (reference "
+                          "src/AlignerMain.cpp:63)")
+    sel.add_argument("--greedy-length", action="store_true",
+                     help="greedy non-overlapping selection by length "
+                          "(default; reference src/AlignerMain.cpp:105)")
+    sel.add_argument("--greedy-E", dest="greedy_e", action="store_true",
+                     help="greedy non-overlapping selection by E-value")
+    sel.add_argument("--schedule-inverse-E-sum", dest="sched_e_sum",
+                     action="store_true",
+                     help="optimal non-overlapping set by sum of inverse "
+                          "E-values")
+    sel.add_argument("--schedule-inverse-E-product", dest="sched_e_product",
+                     action="store_true",
+                     help="optimal non-overlapping set by product of "
+                          "inverse E-values")
+    sel.add_argument("--E-cutoff", dest="e_cutoff", type=float,
+                     default=-1.0,
+                     help="discard alignments with E-value > arg "
+                          "(reference src/AlignerMain.cpp:62)")
     ext = p.add_argument_group("extension")
     ext.add_argument("-b", "--bandwidth", type=int, default=None,
                      help="alignment band slots per fragment "
@@ -140,6 +162,19 @@ def params_from_args(args) -> PipelineParams:
             and args.ramp_bandwidth <= args.bandwidth:
         raise SystemExit("graphchainer-tpu: error: ramp bandwidth must be "
                          "higher than default bandwidth")
+    picked = [(f, m) for f, m in
+              [("--all-alignments", args.all_alignments and "All"),
+               ("--greedy-length", args.greedy_length and "GreedyLength"),
+               ("--greedy-E", args.greedy_e and "GreedyE"),
+               ("--schedule-inverse-E-sum",
+                args.sched_e_sum and "ScheduleInverseESum"),
+               ("--schedule-inverse-E-product",
+                args.sched_e_product and "ScheduleInverseEProduct")] if m]
+    if len(picked) > 1:
+        raise SystemExit("graphchainer-tpu: error: only one alignment "
+                         "selection method can be set ("
+                         + ", ".join(f for f, _ in picked) + ")")
+    selection_method = picked[0][1] if picked else "GreedyLength"
     split_gap = args.colinear_split_gap
     if args.sampling_step is not None:
         split_gap = int(math.ceil(args.sampling_step
@@ -169,6 +204,7 @@ def params_from_args(args) -> PipelineParams:
         mxm_cache_prefix=args.seeds_mxm_cache_prefix,
         x_drop=args.x_drop, precise_clipping=args.precise_clipping,
         ramp_band_slots=args.ramp_bandwidth, bandwidth=args.bandwidth,
+        selection_method=selection_method, e_cutoff=args.e_cutoff,
         out_corrected=args.corrected_out,
         out_corrected_clipped=args.corrected_clipped_out)
     for out in args.alignments_out:

@@ -70,6 +70,11 @@ class AlignerConfig:
     # that fail the error/HMM cutoff retry once with this band before
     # being clipped.  0 = off; must exceed band_slots otherwise.
     ramp_band_slots: int = 0
+    # reference selection flags (src/AlignerMain.cpp:63,101-106): method
+    # for picking the emitted non-overlapping alignment subset, and the
+    # --E-cutoff filter (-1 = off)
+    selection_method: str = "GreedyLength"
+    e_cutoff: float = -1.0
 
     def __post_init__(self):
         if self.precise_clipping is not None:
@@ -112,6 +117,8 @@ class GraphAlignerModel:
         self.index = index
         self.cfg = cfg or AlignerConfig()
         self.gx = gx or GraphTensors.build(g)
+        # single-strand graph bp, the E-value database size
+        self._db_size = int(np.sum(g.node_len)) // 2
 
     # ------------------------------------------------------------------
     def _init_states(self, ri: int, read_mm: np.ndarray, seed_node: int,
@@ -322,9 +329,20 @@ class GraphAlignerModel:
                 alts.append(a)
             if not alts:
                 continue
+            from graphchainer_tpu.align.evalue import EValueCalculator
             sel = select_alignments(
-                alts, SelectionOptions(SelectionMethod.GREEDY_LENGTH))
-            sel = sel[:cfg.max_alignments]
+                alts, SelectionOptions(
+                    method=SelectionMethod(cfg.selection_method),
+                    graph_size=self._db_size,
+                    read_size=len(out[ri].seq),
+                    e_cutoff=cfg.e_cutoff,
+                    evalue_calc=EValueCalculator(
+                        cfg.precise_clipping
+                        if cfg.precise_clipping is not None else 0.5)))
+            if not sel:
+                continue
+            if cfg.selection_method != "All":
+                sel = sel[:cfg.max_alignments]
             primary = sel[0]
             primary.secondary = sel[1:]
             for a in primary.secondary:

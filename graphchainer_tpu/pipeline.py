@@ -59,6 +59,8 @@ class PipelineParams:
     ramp_band_slots: int = 0                  # --ramp-bandwidth/-B (GA mode)
     bandwidth: Optional[int] = None           # -b (GA band slots; CLC via
                                               # chainer.band_slots)
+    selection_method: str = "GreedyLength"    # --all-alignments/--greedy-*
+    e_cutoff: float = -1.0                    # --E-cutoff (-1 = off)
 
 
 @dataclass
@@ -131,10 +133,13 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
     if params.verbose:
         print(f"graph: {g.stats()}")
     index = get_or_build_minimizer(g, params)
-    if params.mode != "ga" and (params.x_drop is not None
-                                or params.precise_clipping is not None):
-        print("WARNING: --X-drop / --precise-clipping only apply to "
-              "--mode ga; ignored", file=sys.stderr)
+    if params.mode != "ga" and (
+            params.x_drop is not None
+            or (params.precise_clipping is not None
+                and params.e_cutoff == -1.0)):
+        print("WARNING: outside --mode ga, --X-drop is ignored and "
+              "--precise-clipping only feeds --E-cutoff E-values",
+              file=sys.stderr)
     if params.mode == "ga":
         from graphchainer_tpu.models.aligner import (AlignerConfig,
                                                      GraphAlignerModel)
@@ -149,6 +154,8 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
                           polish_band_words=params.chainer.polish_band_words,
                           x_drop=params.x_drop, precise_clipping=pc,
                           ramp_band_slots=params.ramp_band_slots,
+                          selection_method=params.selection_method,
+                          e_cutoff=params.e_cutoff,
                           **({"band_slots": params.bandwidth}
                              if params.bandwidth else {})))
     elif params.mode == "optimal":
@@ -185,6 +192,15 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
         model = ChainerModel(g, mpc, index, params.chainer,
                              file_seeds=file_seeds, seed_fn=seed_fn)
     stats = AlignmentStats()
+
+    ecalc = None
+    if params.e_cutoff != -1.0:
+        from graphchainer_tpu.align.evalue import EValueCalculator
+        # identity defaults to .5 like the reference (AlignerMain.cpp:172)
+        ecalc = EValueCalculator(params.precise_clipping
+                                 if params.precise_clipping is not None
+                                 else 0.5)
+        db_size = int(np.sum(g.node_len)) // 2
 
     batch_q: "queue.Queue" = queue.Queue(maxsize=4)
 
@@ -233,8 +249,16 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
                 stats.reads_with_a_seed += 1
             if aln.failed:
                 continue
-            stats.reads_with_an_alignment += 1
             emitted = [aln] + list(aln.secondary)
+            if ecalc is not None:
+                emitted = [a for a in emitted
+                           if ecalc.evalue(db_size, len(aln.seq),
+                                           a.seq_end - a.seq_start, a.score)
+                           <= params.e_cutoff]
+                if not emitted:
+                    continue
+                aln = emitted[0]
+            stats.reads_with_an_alignment += 1
             stats.alignments += len(emitted)
             stats.bp_in_alignments += sum(a.seq_end - a.seq_start
                                           for a in emitted)

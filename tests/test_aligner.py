@@ -174,3 +174,33 @@ def test_ga_ramp_bandwidth():
         span[ramp] = 0 if a.failed else a.seq_end - a.seq_start
     assert span[0] < 0.6 * len(read)       # narrow band clips early
     assert span[48] >= 0.95 * len(read)    # ramp retry recovers it
+
+
+def test_ga_selection_methods_and_e_cutoff():
+    """Selection-method + --E-cutoff wiring (reference
+    src/AlignerMain.cpp:62-63,101-106)."""
+    rng = np.random.default_rng(71)
+    from tests.test_e2e import bubble_graph, simulate
+    g = build_alignment_graph(bubble_graph(rng))
+    idx = build_index(g, k=13, w=10)
+    read, _ = simulate(rng, g, err=0.05, min_len=300)
+    for method in ("GreedyLength", "GreedyE", "ScheduleInverseESum",
+                   "ScheduleInverseEProduct", "All"):
+        m = GraphAlignerModel(g, idx, AlignerConfig(
+            band_slots=24, polish_band_words=4, selection_method=method))
+        a = m.align_batch([("r", read)])[0]
+        assert not a.failed, method
+        assert a.seq_end - a.seq_start >= 0.9 * len(read), method
+    # E-cutoff filtering (with --precise-clipping, which makes the
+    # Karlin-Altschul lambda non-degenerate; at the identity-0.5 default
+    # E-values are ~K*m*n like the reference's)
+    m = GraphAlignerModel(g, idx, AlignerConfig(
+        band_slots=24, polish_band_words=4, precise_clipping=0.66,
+        e_cutoff=1e-300))
+    a = m.align_batch([("r", read)])[0]
+    assert a.failed            # strict cutoff suppresses everything
+    m = GraphAlignerModel(g, idx, AlignerConfig(
+        band_slots=24, polish_band_words=4, precise_clipping=0.66,
+        e_cutoff=1e9))
+    a = m.align_batch([("r", read)])[0]
+    assert not a.failed        # permissive cutoff keeps it
