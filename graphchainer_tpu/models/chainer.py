@@ -21,6 +21,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
+import threading
+
 import numpy as np
 
 from graphchainer_tpu import constants
@@ -102,6 +104,7 @@ class ChainerModel:
         self.cfg = cfg or ChainerConfig()
         self.gx = GraphTensors.build(g)
         self._baseline = None
+        self._baseline_lock = threading.Lock()
         # external seeds: read name -> [SeedHit] (reference .gam seed
         # files, src/Aligner.cpp:1169-1190)
         self.file_seeds = file_seeds
@@ -110,6 +113,10 @@ class ChainerModel:
         self.seed_fn = seed_fn
 
     def baseline(self):
+        with self._baseline_lock:
+            return self._baseline_locked()
+
+    def _baseline_locked(self):
         if self._baseline is None:
             from graphchainer_tpu.models.aligner import (AlignerConfig,
                                                          GraphAlignerModel)
@@ -128,7 +135,9 @@ class ChainerModel:
         from graphchainer_tpu.index.minimizer import get_seed_arrays
         jobs: List[FragJob] = []
         frags = []   # (read_idx, l, r, fi_fwd, fi_bwd, seed split, seed off)
-        self._seed_counts = [0] * len(reads)
+        # local, not instance state: align_batch runs concurrently from
+        # the pipeline's in-flight batches
+        seed_counts = [0] * len(reads)
         flen, sep = cfg.colinear_split_len, cfg.colinear_split_gap
         kper = cfg.seeds_per_fragment
         for ri, (name, seq) in enumerate(reads):
@@ -150,7 +159,7 @@ class ChainerModel:
                     continue
                 di, off, sp, good = arrs
                 mlen = np.full(len(di), self.index.k, dtype=np.int64)
-            self._seed_counts[ri] = len(di)
+            seed_counts[ri] = len(di)
             mm = match_masks(seq)
             # long seeds (MEMs can exceed the fragment length) anchor a
             # window by their start; clamp the effective length so they
@@ -212,7 +221,7 @@ class ChainerModel:
                     fi_bwd = len(jobs)
                     jobs.append(bwd)
                 frags.append((ri, l, r, fi_fwd, fi_bwd, v, s_off))
-        return jobs, frags
+        return jobs, frags, seed_counts
 
     # ------------------------------------------------------------------
     def align_batch(self, reads: Sequence[Tuple[str, str]]
@@ -221,8 +230,8 @@ class ChainerModel:
         out = [ReadAlignment(name=n, seq=s, positions=[], ops=None,
                              score=len(s), seq_end=len(s))
                for n, s in reads]
-        jobs, frags = self._fragment_jobs(reads)
-        for ri, n in enumerate(getattr(self, "_seed_counts", [])):
+        jobs, frags, seed_counts = self._fragment_jobs(reads)
+        for ri, n in enumerate(seed_counts):
             out[ri].n_seeds = n
         if not jobs:
             return out
