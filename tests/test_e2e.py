@@ -174,3 +174,32 @@ def test_baseline_rescue_path():
     pathseq = "".join(g.node_seq(v)[o] for v, o in aln.positions)
     # rescued (span-local) alignments cover at least most of the read
     assert aln.seq_end - aln.seq_start >= len(read) * 0.8
+
+
+def test_pipeline_concurrent_uneven_batches(tmp_path):
+    """Regression: concurrent in-flight batches of different sizes raced
+    on model-instance per-batch state (IndexError in _fragment_jobs)."""
+    from graphchainer_tpu.io.gfa import Bigraph
+    from graphchainer_tpu.pipeline import PipelineParams, align_reads
+    rng = np.random.default_rng(17)
+    bg = bubble_graph(rng)
+    gfa = tmp_path / "g.gfa"
+    with open(gfa, "w") as f:
+        for name, seq in zip(bg.names, bg.seqs):
+            f.write(f"S\t{name}\t{seq}\n")
+        for u, ur, v, vr, ov in bg.links:
+            f.write(f"L\t{bg.names[u]}\t{'-' if ur else '+'}\t"
+                    f"{bg.names[v]}\t{'-' if vr else '+'}\t{ov}M\n")
+    g = build_alignment_graph(bg)
+    reads = tmp_path / "reads.fa"
+    with open(reads, "w") as f:
+        for i in range(7):   # batch_size 3 -> batches of 3, 3, 1
+            seq, _ = simulate(rng, g, err=0.05, min_len=200)
+            f.write(f">r{i}\n{seq}\n")
+    out = tmp_path / "out.json"
+    stats = align_reads(PipelineParams(
+        graph_file=str(gfa), read_files=[str(reads)],
+        out_json=str(out), batch_size=3, inflight=2, seed_k=13, seed_w=10))
+    assert stats.reads == 7
+    assert not stats.assertion_broke
+    assert stats.reads_with_an_alignment == 7
