@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
                      default="clc",
                      help="clc = co-linear chaining (default); ga = plain "
                           "whole-read seed-and-extend (GraphAligner-style)")
+    clc.add_argument("--global-alignment", action="store_true",
+                     help="force the read to be aligned end-to-end even "
+                          "if the alignment score is poor (GA mode; "
+                          "reference src/AlignerMain.cpp:66)")
+    clc.add_argument("--no-colinear-chaining", action="store_true",
+                     help="do not run colinear chaining; align as plain "
+                          "GraphAligner (alias for --mode ga; reference "
+                          "src/AlignerMain.cpp:107)")
     clc.add_argument("--optimal-alignment",
                      action="store_true",
                      help="alias for --mode optimal (reference flag)")
@@ -65,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     gen.add_argument("-t", "--threads", type=int, default=1,
                      help="host worker threads (device work is batched)")
     gen.add_argument("--verbose", action="store_true")
+    gen.add_argument("--cigar-match-mismatch", action="store_true",
+                     help="use M for matches and mismatches in cigar "
+                          "strings instead of = and X (reference "
+                          "src/AlignerMain.cpp:70)")
     gen.add_argument("--batch-size", type=int, default=64,
                      help="reads per device batch")
     gen.add_argument("--mpc-index", default=None,
@@ -95,6 +107,16 @@ def build_parser() -> argparse.ArgumentParser:
     seed.add_argument("--seeds-mxm-cache-prefix", default=None,
                       help="suffix-array cache file prefix (reference "
                            "--seeds-mxm-cache-prefix)")
+    seed.add_argument("--seeds-clustersize", type=int, default=0,
+                      help="discard seed clusters with fewer than arg "
+                           "seeds (reference src/AlignerMain.cpp:79)")
+    seed.add_argument("--seeds-extend-density", type=float, default=-1.0,
+                      help="extend up to approximately the best "
+                           "(arg * sequence length) seeds; -1 = default "
+                           "policy (reference src/AlignerMain.cpp:80)")
+    seed.add_argument("--try-all-seeds", action="store_true",
+                      help="don't use heuristics to discard seed hits "
+                           "(reference src/AlignerMain.cpp:65)")
     seed.add_argument("--seeds-file", default=None,
                       help="external seeds from a .gam file (reference -s)")
     seed.add_argument("--seeds-minimizer-length", type=int,
@@ -117,6 +139,16 @@ def build_parser() -> argparse.ArgumentParser:
                           "(default; reference src/AlignerMain.cpp:105)")
     sel.add_argument("--greedy-E", dest="greedy_e", action="store_true",
                      help="greedy non-overlapping selection by E-value")
+    sel.add_argument("--greedy-score", dest="greedy_score",
+                     action="store_true",
+                     help="greedy non-overlapping selection by alignment "
+                          "score")
+    sel.add_argument("--schedule-score", dest="sched_score",
+                     action="store_true",
+                     help="optimal non-overlapping set by alignment score")
+    sel.add_argument("--schedule-length", dest="sched_length",
+                     action="store_true",
+                     help="optimal non-overlapping set by alignment length")
     sel.add_argument("--schedule-inverse-E-sum", dest="sched_e_sum",
                      action="store_true",
                      help="optimal non-overlapping set by sum of inverse "
@@ -166,6 +198,10 @@ def params_from_args(args) -> PipelineParams:
               [("--all-alignments", args.all_alignments and "All"),
                ("--greedy-length", args.greedy_length and "GreedyLength"),
                ("--greedy-E", args.greedy_e and "GreedyE"),
+               ("--greedy-score", args.greedy_score and "GreedyScore"),
+               ("--schedule-score", args.sched_score and "ScheduleScore"),
+               ("--schedule-length",
+                args.sched_length and "ScheduleLength"),
                ("--schedule-inverse-E-sum",
                 args.sched_e_sum and "ScheduleInverseESum"),
                ("--schedule-inverse-E-product",
@@ -175,6 +211,11 @@ def params_from_args(args) -> PipelineParams:
                          "selection method can be set ("
                          + ", ".join(f for f, _ in picked) + ")")
     selection_method = picked[0][1] if picked else "GreedyLength"
+    if args.try_all_seeds and args.seeds_extend_density != -1.0:
+        print("WARNING: --try-all-seeds and --seeds-extend-density are "
+              "both set! --seeds-extend-density will be ignored",
+              file=sys.stderr)
+        args.seeds_extend_density = -1.0
     split_gap = args.colinear_split_gap
     if args.sampling_step is not None:
         split_gap = int(math.ceil(args.sampling_step
@@ -205,6 +246,11 @@ def params_from_args(args) -> PipelineParams:
         x_drop=args.x_drop, precise_clipping=args.precise_clipping,
         ramp_band_slots=args.ramp_bandwidth, bandwidth=args.bandwidth,
         selection_method=selection_method, e_cutoff=args.e_cutoff,
+        cigar_match_mismatch=args.cigar_match_mismatch,
+        try_all_seeds=args.try_all_seeds,
+        seed_extend_density=args.seeds_extend_density,
+        min_cluster_size=args.seeds_clustersize,
+        global_alignment=args.global_alignment,
         out_corrected=args.corrected_out,
         out_corrected_clipped=args.corrected_clipped_out)
     for out in args.alignments_out:
@@ -224,6 +270,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if getattr(args, "optimal_alignment", False):
         args.mode = "optimal"
+    if getattr(args, "no_colinear_chaining", False):
+        args.mode = "ga"
     if args.graph_statistics:
         from graphchainer_tpu.pipeline import load_graph
         g = load_graph(args.graph)

@@ -214,7 +214,8 @@ def get_seed_arrays(index: MinimizerIndex, read: str, density: float = 10.0):
     return di[o2], off[o2], sp[o2], good[o2]
 
 
-def cluster_seeds(g, seeds, tolerance: int = 100):
+def cluster_seeds(g, seeds, tolerance: int = 100,
+                  min_cluster_size: int = 0):
     """Diagonal seed clustering (reference orderSeedsByChaining,
     src/GraphAligner.h:233-295): group seeds by approximate diagonal
     (graph linear position - read position) within `tolerance` bp, score
@@ -238,6 +239,12 @@ def cluster_seeds(g, seeds, tolerance: int = 100):
             clusters.append(cur)
             cur = [i]
     clusters.append(cur)
+    if min_cluster_size > 1:
+        # reference --seeds-clustersize (src/AlignerMain.cpp:79): discard
+        # clusters with fewer seeds
+        kept = [cl for cl in clusters if len(cl) >= min_cluster_size]
+        if kept:
+            clusters = kept
     scored = []
     for cl in clusters:
         # non-overlapping matched bp along the read

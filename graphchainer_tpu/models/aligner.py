@@ -75,6 +75,15 @@ class AlignerConfig:
     # --E-cutoff filter (-1 = off)
     selection_method: str = "GreedyLength"
     e_cutoff: float = -1.0
+    # reference seed-control flags (src/AlignerMain.cpp:64-65,79-80):
+    # try every seed / extend up to density*len(read) seeds / discard
+    # small diagonal clusters
+    try_all_seeds: bool = False
+    seed_extend_density: float = -1.0
+    min_cluster_size: int = 0
+    # reference --global-alignment (src/AlignerMain.cpp:66): never clip
+    # on score cutoffs; extend to the read ends regardless
+    global_alignment: bool = False
 
     def __post_init__(self):
         if self.precise_clipping is not None:
@@ -182,13 +191,16 @@ class GraphAlignerModel:
             bad = (delta > cfg.window_error_cutoff * nrows
                    or not st.hmm.next_state(delta, nrows)
                           .current_is_correct())
+            if cfg.global_alignment:
+                bad = False             # --global-alignment: never clip
             if bad and can_retry:
                 retry.append(st)        # state untouched; rerun wider
                 continue
             st.hmm = st.hmm.next_state(delta, nrows)
             st.xscore += (nrows - delta) - 4.0 * delta
             st.xscore_max = max(st.xscore_max, st.xscore)
-            if (bad or (cfg.x_drop is not None
+            if (bad or (not cfg.global_alignment
+                        and cfg.x_drop is not None
                         and st.xscore_max - st.xscore > cfg.x_drop)):
                 st.active = False       # X-drop / correctness-HMM clip
                 continue
@@ -260,8 +272,15 @@ class GraphAlignerModel:
             seeds = get_seeds(self.index, seq, cfg.seed_density)
             # diagonal clustering picks seeds from the best-supported
             # cluster first (reference OrderSeeds, src/GraphAligner.h:233)
-            seeds = cluster_seeds(self.g, seeds)
-            seed_lists.append(seeds[:cfg.max_seed_tries])
+            seeds = cluster_seeds(self.g, seeds,
+                                  min_cluster_size=cfg.min_cluster_size)
+            if cfg.try_all_seeds:
+                ntry = len(seeds)
+            elif cfg.seed_extend_density > 0:
+                ntry = max(1, int(cfg.seed_extend_density * len(seq)))
+            else:
+                ntry = cfg.max_seed_tries
+            seed_lists.append(seeds[:ntry])
 
         candidates = [[] for _ in reads]   # (positions, span) per try
         best_span = [(0, 0)] * len(reads)

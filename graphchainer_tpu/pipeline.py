@@ -61,6 +61,13 @@ class PipelineParams:
                                               # chainer.band_slots)
     selection_method: str = "GreedyLength"    # --all-alignments/--greedy-*
     e_cutoff: float = -1.0                    # --E-cutoff (-1 = off)
+    cigar_match_mismatch: bool = False        # --cigar-match-mismatch (M
+                                              # instead of =/X, reference
+                                              # src/AlignerMain.cpp:70)
+    try_all_seeds: bool = False               # --try-all-seeds (GA mode)
+    seed_extend_density: float = -1.0         # --seeds-extend-density
+    min_cluster_size: int = 0                 # --seeds-clustersize
+    global_alignment: bool = False            # --global-alignment (GA)
 
 
 @dataclass
@@ -156,6 +163,10 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
                           ramp_band_slots=params.ramp_band_slots,
                           selection_method=params.selection_method,
                           e_cutoff=params.e_cutoff,
+                          try_all_seeds=params.try_all_seeds,
+                          seed_extend_density=params.seed_extend_density,
+                          min_cluster_size=params.min_cluster_size,
+                          global_alignment=params.global_alignment,
                           **({"band_slots": params.bandwidth}
                              if params.bandwidth else {})))
     elif params.mode == "optimal":
@@ -266,7 +277,9 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
                 for a in emitted:
                     gam_w.write(gam.alignment_message(g, a))
             if gaf_f:
-                line = gaf.gaf_line(g, aln)
+                line = gaf.gaf_line(
+                    g, aln,
+                    cigar_merge_mm=params.cigar_match_mismatch)
                 if line:
                     gaf_f.write(line + "\n")
             if json_f:

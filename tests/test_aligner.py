@@ -204,3 +204,46 @@ def test_ga_selection_methods_and_e_cutoff():
         e_cutoff=1e9))
     a = m.align_batch([("r", read)])[0]
     assert not a.failed        # permissive cutoff keeps it
+
+
+def test_ga_seed_policy_and_global_alignment():
+    """--try-all-seeds / --seeds-extend-density / --seeds-clustersize /
+    --global-alignment (reference src/AlignerMain.cpp:64-66,79-80)."""
+    rng = np.random.default_rng(83)
+    from tests.test_e2e import bubble_graph, simulate
+    g = build_alignment_graph(bubble_graph(rng))
+    idx = build_index(g, k=13, w=10)
+    read, _ = simulate(rng, g, err=0.0, min_len=300)
+    garbage = "".join(rng.choice(list("ACGT"), 120))
+    chimera = read + garbage
+
+    # X-drop clips the garbage tail; --global-alignment overrides every
+    # cutoff and spans end-to-end
+    m = GraphAlignerModel(g, idx, AlignerConfig(band_slots=24,
+                                                polish_band_words=4,
+                                                x_drop=30))
+    a = m.align_batch([("c", chimera)])[0]
+    assert a.seq_end <= len(read) + 70
+    m = GraphAlignerModel(g, idx, AlignerConfig(band_slots=24,
+                                                polish_band_words=4,
+                                                x_drop=30,
+                                                global_alignment=True))
+    a = m.align_batch([("c", chimera)])[0]
+    assert not a.failed
+    assert a.seq_end - a.seq_start == len(chimera)
+
+    # cluster-size filter drops singleton clusters
+    from graphchainer_tpu.index.minimizer import cluster_seeds, get_seeds
+    seeds = get_seeds(idx, read, 0.5)
+    assert len(seeds) > 3
+    filtered = cluster_seeds(g, seeds, min_cluster_size=2)
+    assert 0 < len(filtered) <= len(seeds)
+
+    # seed policies still align the clean read
+    for kw in (dict(try_all_seeds=True),
+               dict(seed_extend_density=0.05)):
+        m = GraphAlignerModel(g, idx, AlignerConfig(
+            band_slots=24, polish_band_words=4, **kw))
+        a = m.align_batch([("r", read)])[0]
+        assert not a.failed
+        assert a.seq_end - a.seq_start >= 0.9 * len(read)
