@@ -114,7 +114,11 @@ def main():
     # two batches in flight: host prep of one overlaps device waits of the
     # other (mirrors the pipeline's inflight batching)
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    # 3-deep batch overlap measured best over the tunneled TPU (2: ~65-70
+    # reads/s, 3: ~73-76, 4: ~66): host stages of two batches hide one
+    # batch's device round-trips
+    workers = int(os.environ.get("BENCH_WORKERS", 3))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
         chunks = [reads[lo:lo + batch]
                   for lo in range(batch, len(reads), batch)]
         for chunk, alns in zip(chunks, pool.map(model.align_batch, chunks)):

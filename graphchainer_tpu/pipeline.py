@@ -39,8 +39,9 @@ class PipelineParams:
     out_corrected: Optional[str] = None
     out_corrected_clipped: Optional[str] = None
     batch_size: int = 64
-    inflight: int = 2          # batches processed concurrently (host work
-                               # of one overlaps device waits of another)
+    inflight: int = 3          # batches processed concurrently (host work
+                               # of two overlaps device waits of another;
+                               # 3 measured best over the tunneled TPU)
     mpc_index_file: Optional[str] = None
     minimizer_index_file: Optional[str] = None
     seed_k: int = 15
