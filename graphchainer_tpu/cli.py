@@ -70,8 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "reference always does this; costs extra device "
                           "rounds)")
     gen = p.add_argument_group("general")
-    gen.add_argument("-t", "--threads", type=int, default=1,
-                     help="host worker threads (device work is batched)")
+    gen.add_argument("-t", "--threads", type=int, default=None,
+                     help="concurrent in-flight batches (the analogue of "
+                          "the reference's worker threads; device work is "
+                          "batched). Default 3")
     gen.add_argument("--verbose", action="store_true")
     gen.add_argument("--cigar-match-mismatch", action="store_true",
                      help="use M for matches and mismatches in cigar "
@@ -247,6 +249,8 @@ def params_from_args(args) -> PipelineParams:
         ramp_band_slots=args.ramp_bandwidth, bandwidth=args.bandwidth,
         selection_method=selection_method, e_cutoff=args.e_cutoff,
         cigar_match_mismatch=args.cigar_match_mismatch,
+        **({"inflight": max(args.threads, 1)}
+           if args.threads is not None else {}),
         try_all_seeds=args.try_all_seeds,
         seed_extend_density=args.seeds_extend_density,
         min_cluster_size=args.seeds_clustersize,
