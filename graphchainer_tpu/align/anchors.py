@@ -155,6 +155,23 @@ def build_jobs(read_mm: np.ndarray, frag_start: int, frag_end: int,
     return fwd, bwd
 
 
+_trunc_warned = False
+
+
+def _warn_truncated(n: int, max_in: int):
+    """One-shot warning when band in-edge lists hit the max_in cap (the
+    kernel then overestimates scores on those slots; raise --max-in or
+    accept the approximation on dense graphs)."""
+    global _trunc_warned
+    if not _trunc_warned:
+        import sys
+        print(f"WARNING: {n} in-band in-edges dropped by the "
+              f"max_in={max_in} cap; DP scores may overestimate on "
+              "dense-graph slots (further warnings suppressed)",
+              file=sys.stderr)
+        _trunc_warned = True
+
+
 def assemble_batch(gx: GraphTensors, jobs: Sequence[FragJob], B: int,
                    max_in: int = MAX_IN_DEGREE, slack: int = 8):
     """Build kernel index tensors for a batch of jobs.
@@ -162,9 +179,12 @@ def assemble_batch(gx: GraphTensors, jobs: Sequence[FragJob], B: int,
     Returns (band_nodes [F,B] int64 ORIGINAL node ids (host use),
     band_nodes_cat [F,B] int32 ids into the concatenated fwd++rev device
     tables, band_in [F,B,max_in] int8, seed_shift [F] int32, req,
-    frag_len, n_slices)."""
+    frag_len, n_slices, band_level [F,B] int32)."""
     g = gx.g
-    assert B <= 127, "band slots are int8-indexed"
+    if B > 127:
+        raise ValueError(
+            f"band slots B={B} exceeds 127: the CLC band is int8-indexed "
+            "(native backwalks); use -b/-B <= 127 or optimal mode")
     F = len(jobs)
     rows = np.array([max(1, len(j.rmm)) for j in jobs], dtype=np.int32)
     S = int(max(1, -(-int(rows.max()) // W)))
@@ -172,6 +192,7 @@ def assemble_batch(gx: GraphTensors, jobs: Sequence[FragJob], B: int,
     # band selection, forward and backward seeds in separate native calls
     band_nodes = np.full((F, B), -1, dtype=np.int64)
     band_in = np.full((F, B, max_in), -1, dtype=np.int64)
+    band_level = np.full((F, B), -1, dtype=np.int64)
     for rev in (False, True):
         sel = [i for i, j in enumerate(jobs) if j.reverse == rev]
         if not sel:
@@ -181,10 +202,14 @@ def assemble_batch(gx: GraphTensors, jobs: Sequence[FragJob], B: int,
                          dtype=np.int64)
         max_bp = int(rows[sel].max()) + slack
         ptr, idx = (gx.in_ptr, gx.in_idx) if rev else (gx.out_ptr, gx.out_idx)
-        bn, bi = native.band_build(g.n_nodes, ptr, idx, gx.node_len64,
-                                   seeds, slens, B, max_bp, max_in, rev)
+        bn, bi, bl, trunc = native.band_build(g.n_nodes, ptr, idx,
+                                              gx.node_len64, seeds, slens,
+                                              B, max_bp, max_in, rev)
+        if trunc:
+            _warn_truncated(trunc, max_in)
         band_nodes[sel] = bn
         band_in[sel] = bi
+        band_level[sel] = bl
 
     # ids into the concatenated device tables: reversed nodes offset by +N
     is_rev = np.array([j.reverse for j in jobs], dtype=bool)
@@ -206,7 +231,7 @@ def assemble_batch(gx: GraphTensors, jobs: Sequence[FragJob], B: int,
     req = pack_row_planes(mm_pad).reshape(F, S, 4)
 
     return (band_nodes, band_nodes_cat, band_in.astype(np.int8),
-            seed_shift, req, rows, S)
+            seed_shift, req, rows, S, band_level.astype(np.int32))
 
 
 def pack_row_planes(mm: np.ndarray) -> np.ndarray:
@@ -223,10 +248,21 @@ def pack_row_planes(mm: np.ndarray) -> np.ndarray:
     return planes
 
 
+def level_bucket(band_level: np.ndarray, B: int) -> int:
+    """Static level-loop trip count: next power of two >= max level + 1
+    (coarse buckets keep the number of compiled kernel variants small)."""
+    max_l = int(band_level.max(initial=0)) + 1
+    n = 4
+    while n < max_l:
+        n *= 2
+    return min(n, B)
+
+
 def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                   band_in: np.ndarray, seed_shift: np.ndarray,
                   req: np.ndarray, rows: np.ndarray, S: int, max_in: int,
-                  seed_base: Optional[np.ndarray] = None
+                  seed_base: Optional[np.ndarray] = None,
+                  band_level: Optional[np.ndarray] = None
                   ) -> frag_align.FragResult:
     """Run the fragment kernel over the whole job list, chunking the
     fragment axis so every transferred array stays under the device
@@ -239,6 +275,7 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
     F, B = band_nodes_cat.shape
     if seed_base is None:
         seed_base = np.zeros(F, dtype=np.int32)
+    n_levels = level_bucket(band_level, B) if band_level is not None else None
     row_bytes = max(B * 4, B * max_in, S * 16, B * S)
     fchunk = min(max_batch_rows(row_bytes), 2048)
     import jax as _jax
@@ -257,12 +294,18 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
         rq = np.pad(req[lo:hi], ((0, pad), (0, 0), (0, 0)))
         rw = np.pad(rows[lo:hi], (0, pad), constant_values=1)
         sb = np.pad(seed_base[lo:hi], (0, pad)).astype(np.int32)
+        bl = (np.pad(band_level[lo:hi], ((0, pad), (0, 0)),
+                     constant_values=-1)
+              if band_level is not None else None)
         # fragment axis rides the data mesh when >1 device is present
         bn, bi, ss, rq, rw, sb = (shard_rows(a)
                                   for a in (bn, bi, ss, rq, rw, sb))
+        if bl is not None:
+            bl = shard_rows(bl)
         res = frag_align.align_fragments(dev_eq, dev_len, bn, bi, ss, rq,
                                          rw, n_slices=S, max_in=max_in,
-                                         seed_base=sb)
+                                         seed_base=sb, band_level=bl,
+                                         n_levels=n_levels)
         pending.append((res, hi - lo))
     # phase 2: download only the per-fragment best results (the full
     # per-slot matrices stay on device)

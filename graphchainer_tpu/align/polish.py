@@ -34,6 +34,8 @@ def _round_up(x: int, m: int) -> int:
 class PolishOutcome:
     score: int
     ops: Optional[np.ndarray]   # uint8 edit ops (None if band overflowed)
+    touched: bool = False       # backtrace touched a band edge (score may
+                                # overestimate full NW; retried wider)
 
 
 def read_planes_of(mm: np.ndarray, rw: int) -> np.ndarray:
@@ -50,9 +52,38 @@ def read_planes_of(mm: np.ndarray, rw: int) -> np.ndarray:
     return planes
 
 
+MAX_BAND_WORDS = 32      # widest retry band: 32 words = 1024 rows
+
+
 def polish_batch(reads: Sequence[str], paths: Sequence[str],
                  bw: int = 8) -> List[PolishOutcome]:
-    """Global NW of each read vs its path sequence; batched on device."""
+    """Global NW of each read vs its path sequence; batched on device.
+
+    Reads whose optimal path escapes the bw-word band (backtrace returns
+    n_ops == -1) or whose backtraced path is pinned against a band edge
+    (`touched` — the classic band-doubling witness that the banded score
+    may overestimate full NW) are retried with a doubled band up to
+    MAX_BAND_WORDS — the TPU analogue of the reference's ramp-bandwidth
+    retry (src/GraphAlignerBitvectorBanded.h:572-644 applies the same
+    idea to the extension band; edlib, which the reference calls for this
+    exact step, doubles k the same way)."""
+    out = _polish_once(reads, paths, bw)
+    while bw < MAX_BAND_WORDS:
+        bad = [i for i, oc in enumerate(out)
+               if (oc.ops is None or oc.touched)
+               and len(reads[i]) and len(paths[i])]
+        if not bad:
+            break
+        bw *= 2
+        redo = _polish_once([reads[i] for i in bad],
+                            [paths[i] for i in bad], bw)
+        for i, oc in zip(bad, redo):
+            out[i] = oc
+    return out
+
+
+def _polish_once(reads: Sequence[str], paths: Sequence[str],
+                 bw: int) -> List[PolishOutcome]:
     R = len(reads)
     assert R == len(paths)
     read_len = np.array([len(r) for r in reads], dtype=np.int32)
@@ -76,10 +107,12 @@ def polish_batch(reads: Sequence[str], paths: Sequence[str],
         path_mm, read_len, path_len, bw, max_steps=rmax + pmax)
     scores = np.asarray(res.score)
     n_ops = np.asarray(bt.n_ops)
+    touched = np.asarray(bt.touched)
     ops_rev = asarray_chunked(bt.ops_rev)
     out = []
     for i in range(R):
         ops = (ops_rev[i, :n_ops[i]][::-1].copy()
                if n_ops[i] >= 0 else None)
-        out.append(PolishOutcome(score=int(scores[i]), ops=ops))
+        out.append(PolishOutcome(score=int(scores[i]), ops=ops,
+                                 touched=bool(touched[i])))
     return out

@@ -162,11 +162,17 @@ def build_parser() -> argparse.ArgumentParser:
     sel.add_argument("--E-cutoff", dest="e_cutoff", type=float,
                      default=-1.0,
                      help="discard alignments with E-value > arg "
-                          "(reference src/AlignerMain.cpp:62)")
+                          "(reference src/AlignerMain.cpp:62).  NOTE: "
+                          "alignment scores here follow the reference's "
+                          "documented formula (edits LOWER the score); the "
+                          "reference binary's getAlignmentScore raises it, "
+                          "so identical thresholds select different sets "
+                          "(see PARITY.md)")
     ext = p.add_argument_group("extension")
     ext.add_argument("-b", "--bandwidth", type=int, default=None,
                      help="alignment band slots per fragment "
-                          "(default 64)")
+                          "(default 32 in CLC mode, 48 in GA mode; "
+                          "max 127)")
     ext.add_argument("--polish-band", type=int, default=8,
                      help="polish band in 32-row words (default 8 = 256)")
     ext.add_argument("-B", "--ramp-bandwidth", type=int, default=0,
@@ -196,6 +202,11 @@ def params_from_args(args) -> PipelineParams:
             and args.ramp_bandwidth <= args.bandwidth:
         raise SystemExit("graphchainer-tpu: error: ramp bandwidth must be "
                          "higher than default bandwidth")
+    for flag, val in (("-b/--bandwidth", args.bandwidth),
+                      ("-B/--ramp-bandwidth", args.ramp_bandwidth)):
+        if val and not 0 < val <= 127:
+            raise SystemExit(f"graphchainer-tpu: error: {flag} must be in "
+                             "[1, 127] (band slots are int8-indexed)")
     picked = [(f, m) for f, m in
               [("--all-alignments", args.all_alignments and "All"),
                ("--greedy-length", args.greedy_length and "GreedyLength"),

@@ -176,13 +176,14 @@ class GraphAlignerModel:
             jobs.append(FragJob(rmm=rows, seed_node=st.node,
                                 seed_trim_len=st.trim_len,
                                 reverse=st.reverse))
-        band_nodes, band_nodes_cat, band_in, seed_shift, req, rows_arr, S = \
-            assemble_batch(self.gx, jobs, B=band_slots,
-                           max_in=cfg.max_in, slack=cfg.band_slack)
+        (band_nodes, band_nodes_cat, band_in, seed_shift, req, rows_arr, S,
+         band_level) = assemble_batch(self.gx, jobs, B=band_slots,
+                                      max_in=cfg.max_in,
+                                      slack=cfg.band_slack)
         seed_base = np.array([st.base for st in act], dtype=np.int32)
         res = run_fragments(self.gx, band_nodes_cat, band_in, seed_shift,
                             req, rows_arr, S, cfg.max_in,
-                            seed_base=seed_base)
+                            seed_base=seed_base, band_level=band_level)
         retry = []
         for i, st in enumerate(act):
             nrows = int(rows_arr[i])
@@ -281,6 +282,8 @@ class GraphAlignerModel:
             else:
                 ntry = cfg.max_seed_tries
             seed_lists.append(seeds[:ntry])
+        for ri, seeds in enumerate(seed_lists):
+            out[ri].n_seeds = len(seeds)
 
         candidates = [[] for _ in reads]   # (positions, span) per try
         best_span = [(0, 0)] * len(reads)
@@ -366,5 +369,6 @@ class GraphAlignerModel:
             primary.secondary = sel[1:]
             for a in primary.secondary:
                 a.is_secondary = True
+            primary.n_seeds = out[ri].n_seeds
             out[ri] = primary
         return out

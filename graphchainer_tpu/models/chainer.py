@@ -38,6 +38,7 @@ from graphchainer_tpu.graph.mpc import MPCIndex
 from graphchainer_tpu.index.minimizer import MinimizerIndex, get_seeds
 from graphchainer_tpu.ops import frag_align
 from graphchainer_tpu.ops.chain_scan import chain_scan
+from graphchainer_tpu.utils import timers
 from graphchainer_tpu.utils.seq import match_masks
 
 
@@ -186,11 +187,16 @@ class ChainerModel:
             run0 = np.cumsum(reps) - reps
             widx = (np.arange(total) - np.repeat(run0, reps)
                     + np.repeat(wmin, reps))
-            # near-duplicate collapse: same (window, node, offset bucket)
-            dkey = (widx << 44) | (di[sidx] << 12) | (off[sidx] >> 3)
-            o = np.lexsort((-good[sidx], dkey))
+            # near-duplicate collapse: same (window, node, offset bucket).
+            # lexsort on the raw columns — a packed int key overflows on
+            # chromosome-scale node offsets (>= 32768 bp segments)
+            obkt = off[sidx] >> 3
+            dnode = di[sidx]
+            o = np.lexsort((-good[sidx], obkt, dnode, widx))
             first = np.ones(total, dtype=bool)
-            first[1:] = dkey[o][1:] != dkey[o][:-1]
+            first[1:] = ((widx[o][1:] != widx[o][:-1])
+                         | (dnode[o][1:] != dnode[o][:-1])
+                         | (obkt[o][1:] != obkt[o][:-1]))
             o = o[first]
             # top-k per window by goodness
             o2 = o[np.lexsort((-good[sidx[o]], widx[o]))]
@@ -230,17 +236,22 @@ class ChainerModel:
         out = [ReadAlignment(name=n, seq=s, positions=[], ops=None,
                              score=len(s), seq_end=len(s))
                for n, s in reads]
-        jobs, frags, seed_counts = self._fragment_jobs(reads)
+        with timers.stage("seed+window", len(reads)):
+            jobs, frags, seed_counts = self._fragment_jobs(reads)
         for ri, n in enumerate(seed_counts):
             out[ri].n_seeds = n
         if not jobs:
             return out
 
-        band_nodes, band_nodes_cat, band_in, seed_shift, req, rows, S = \
-            assemble_batch(self.gx, jobs, B=cfg.band_slots,
-                           max_in=cfg.max_in, slack=cfg.band_slack)
-        res = run_fragments(self.gx, band_nodes_cat, band_in, seed_shift,
-                            req, rows, S, cfg.max_in)
+        with timers.stage("band_build", len(jobs)):
+            (band_nodes, band_nodes_cat, band_in, seed_shift, req, rows, S,
+             band_level) = assemble_batch(self.gx, jobs, B=cfg.band_slots,
+                                          max_in=cfg.max_in,
+                                          slack=cfg.band_slack)
+        with timers.stage("frag_kernel", len(jobs)):
+            res = run_fragments(self.gx, band_nodes_cat, band_in,
+                                seed_shift, req, rows, S, cfg.max_in,
+                                band_level=band_level)
 
         walks = batch_backwalks(res, band_nodes, rows)
         per_read_anchors: List[List[Anchor]] = [[] for _ in reads]
@@ -259,15 +270,17 @@ class ChainerModel:
         for ri in range(len(reads)):
             out[ri].n_anchors = len(per_read_anchors[ri])
 
-        arrs = batch_arrays(self.g, self.mpc,
-                            [per_read_anchors[ri] for ri in live])
-        sres = chain_scan(**{k: arrs[k] for k in
-                             ("x", "y", "valid", "ev_type", "ev_anchor",
-                              "ev_k", "ev_kmask", "ev_group")})
-        c_val = np.asarray(sres.c_val)
-        c_pred = np.asarray(sres.c_pred)
+        with timers.stage("chain_scan", len(live)):
+            arrs = batch_arrays(self.g, self.mpc,
+                                [per_read_anchors[ri] for ri in live])
+            sres = chain_scan(**{k: arrs[k] for k in
+                                 ("x", "y", "valid", "ev_type", "ev_anchor",
+                                  "ev_k", "ev_kmask", "ev_group")})
+            c_val = np.asarray(sres.c_val)
+            c_pred = np.asarray(sres.c_pred)
 
         polish_reads, polish_paths, polish_refs = [], [], []
+        t_stitch = timers.time.perf_counter()
         for bi, ri in enumerate(live):
             # per-read fault isolation (reference ThreadReadAssertion /
             # assertionBroke semantics, src/Aligner.cpp:585-592): a failure
@@ -304,9 +317,12 @@ class ChainerModel:
             polish_paths.append(pathseq)
             polish_refs.append(ri)
 
+        timers.add("stitch", timers.time.perf_counter() - t_stitch,
+                   len(live))
         if polish_reads:
-            outcomes = polish.polish_batch(polish_reads, polish_paths,
-                                           bw=cfg.polish_band_words)
+            with timers.stage("polish", len(polish_reads)):
+                outcomes = polish.polish_batch(polish_reads, polish_paths,
+                                               bw=cfg.polish_band_words)
             for ri, oc in zip(polish_refs, outcomes):
                 out[ri].score = oc.score
                 out[ri].ops = oc.ops
@@ -324,11 +340,18 @@ class ChainerModel:
             # keep the better of CLC / whole-read baseline per read
             # (reference src/Aligner.cpp:901-920: CLC wins only when the
             # baseline is absent or strictly worse by edit distance)
-            ga = self.baseline().align_batch([reads[ri] for ri in retry])
+            with timers.stage("rescue", len(retry)):
+                ga = self.baseline().align_batch(
+                    [reads[ri] for ri in retry])
             for bi, ri in enumerate(retry):
                 clc_better = ga[bi].failed or (not out[ri].failed
                                                and ga[bi].score
                                                > out[ri].score)
                 if not clc_better:
+                    # keep the CLC stage counters: the stats report counts
+                    # seeds/anchors found, not which candidate won
+                    ga[bi].n_seeds = max(ga[bi].n_seeds, out[ri].n_seeds)
+                    ga[bi].n_anchors = out[ri].n_anchors
+                    ga[bi].n_chained = out[ri].n_chained
                     out[ri] = ga[bi]
         return out

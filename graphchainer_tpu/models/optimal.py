@@ -59,7 +59,8 @@ class OptimalAlignerModel:
         self._comp_cache = {}
 
     def _component_band(self, c: int):
-        """(band_nodes [1,B], band_in [1,B,max_in] int16, n_real)."""
+        """(band_nodes [1,B], band_in [1,B,max_in] int16, band_level
+        [1,B] int32, n_real)."""
         if c in self._comp_cache:
             return self._comp_cache[c]
         g = self.g
@@ -80,15 +81,21 @@ class OptimalAlignerModel:
         band_nodes = np.full((1, B), -1, dtype=np.int32)
         band_nodes[0, :n] = nodes
         band_in = np.full((1, B, max_in), -1, dtype=np.int16)
+        band_level = np.full((1, B), -1, dtype=np.int32)
+        lvls = np.zeros(n, dtype=np.int32)
         for i, ins in enumerate(in_lists):
             band_in[0, i, :len(ins)] = ins
-        self._comp_cache[c] = (band_nodes, band_in, n)
+            # node ids are topo ranks, so slot order is topo order
+            lvls[i] = 1 + max((lvls[u] for u in ins), default=-1)
+        band_level[0, :n] = lvls
+        self._comp_cache[c] = (band_nodes, band_in, band_level, n)
         return self._comp_cache[c]
 
     def _align_component(self, read: str, c: int):
-        from graphchainer_tpu.align.anchors import pack_row_planes
+        from graphchainer_tpu.align.anchors import (level_bucket,
+                                                    pack_row_planes)
         g = self.g
-        band_nodes, band_in, n_real = self._component_band(c)
+        band_nodes, band_in, band_level, n_real = self._component_band(c)
         max_in = band_in.shape[2]
         rows = len(read)
         S = _pow2(-(-rows // W), 2)
@@ -100,7 +107,8 @@ class OptimalAlignerModel:
             dev_eq, dev_len, band_nodes, band_in,
             np.zeros(1, dtype=np.int32), req,
             np.array([rows], dtype=np.int32), n_slices=S, max_in=max_in,
-            full_start=True)
+            full_start=True, band_level=band_level,
+            n_levels=level_bucket(band_level, band_nodes.shape[1]))
         score = int(np.asarray(res.best_score)[0])
         slot = int(np.asarray(res.best_slot)[0])
         best_in = asarray_chunked(res.best_in)[0]

@@ -49,9 +49,11 @@ def get_lib() -> ctypes.CDLL:
         lib.mpc_sizes.argtypes = [ctypes.c_void_p, _I64P]
         lib.mpc_copy.argtypes = [ctypes.c_void_p] + [_I64P] * 8
         lib.mpc_free.argtypes = [ctypes.c_void_p]
+        lib.band_build.restype = ctypes.c_int64
         lib.band_build.argtypes = ([ctypes.c_int64, _I64P, _I64P, _I64P,
                                     ctypes.c_int64, _I64P, _I64P]
-                                   + [ctypes.c_int64] * 4 + [_I64P, _I64P])
+                                   + [ctypes.c_int64] * 4
+                                   + [_I64P, _I64P, _I64P])
         _U8P = ctypes.POINTER(ctypes.c_uint8)
         lib.suffix_array.argtypes = [_U8P, ctypes.c_int64, _I64P]
         lib.matching_stats.argtypes = [_U8P, ctypes.c_int64, _I64P,
@@ -149,8 +151,11 @@ def band_build(n: int, ptr: np.ndarray, idx: np.ndarray,
                descending: bool):
     """Per-seed DP band selection (see native band_build).  `ptr`/`idx` is
     the CSR of the traversal direction (out-edges for forward extension,
-    in-edges for backward).  Returns (nodes [S,B], in_edges [S,B,max_in]),
-    -1 padded, slot 0 = seed."""
+    in-edges for backward).  Returns (nodes [S,B], in_edges [S,B,max_in],
+    levels [S,B], n_truncated), -1 padded, slot 0 = seed.  `levels` are
+    band topo levels (the kernel's sequential depth); n_truncated > 0
+    means some in-band in-edges were dropped by the max_in cap (scores
+    may overestimate on those slots)."""
     lib = get_lib()
     ptr = np.ascontiguousarray(ptr, dtype=np.int64)
     idx = np.ascontiguousarray(idx, dtype=np.int64)
@@ -160,13 +165,16 @@ def band_build(n: int, ptr: np.ndarray, idx: np.ndarray,
     ns = len(seed_nodes)
     out_nodes = np.empty(ns * B, dtype=np.int64)
     out_in = np.empty(ns * B * max_in, dtype=np.int64)
-    lib.band_build(ctypes.c_int64(n), _ptr(ptr), _ptr(idx), _ptr(node_len),
-                   ctypes.c_int64(ns), _ptr(seed_nodes), _ptr(seed_lens),
-                   ctypes.c_int64(B), ctypes.c_int64(max_bp),
-                   ctypes.c_int64(max_in), ctypes.c_int64(int(descending)),
-                   _ptr(out_nodes), _ptr(out_in))
+    out_level = np.empty(ns * B, dtype=np.int64)
+    trunc = lib.band_build(
+        ctypes.c_int64(n), _ptr(ptr), _ptr(idx), _ptr(node_len),
+        ctypes.c_int64(ns), _ptr(seed_nodes), _ptr(seed_lens),
+        ctypes.c_int64(B), ctypes.c_int64(max_bp),
+        ctypes.c_int64(max_in), ctypes.c_int64(int(descending)),
+        _ptr(out_nodes), _ptr(out_in), _ptr(out_level))
     return (out_nodes.reshape(ns, B),
-            out_in.reshape(ns, B, max_in))
+            out_in.reshape(ns, B, max_in),
+            out_level.reshape(ns, B), int(trunc))
 
 
 def chain_paths(n: int, src: np.ndarray, dst: np.ndarray,
@@ -230,6 +238,10 @@ def backwalks(best_in: np.ndarray, best_slot: np.ndarray,
     """Batched fragment path backwalks.  best_in [F,B,S] int8; returns a
     list of node-id arrays in walk order (end -> seed), empty on fail."""
     lib = get_lib()
+    if best_in.shape[1] > 127:
+        raise ValueError(
+            "native backwalks is int8-indexed (B <= 127); wide bands "
+            "(optimal mode) must use the Python backwalk")
     best_in = np.ascontiguousarray(best_in, dtype=np.int8)
     F, B, S = best_in.shape
     best_slot = np.ascontiguousarray(best_slot, dtype=np.int64)

@@ -36,7 +36,6 @@ class ChainScanResult(NamedTuple):
     c_pred: jax.Array   # (R, A) int32
 
 
-@partial(jax.jit, static_argnames=())
 def chain_scan(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask, ev_group):
     """Run the chaining DP for a batch of reads.
 
@@ -48,6 +47,24 @@ def chain_scan(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask, ev_group):
     ev_kmask:  (R, E, KW) uint32 path bitmask for EV_INSERT
     ev_group:  (R, E) int32 topo group id (tags the same-node scratch)
     """
+    # runtime guard for the int32 (value, pred) packing below: the max
+    # chain value is bounded by the max read coverage, i.e. max(y) + 1
+    # (skipped under an enclosing jit trace, where y is abstract)
+    A = x.shape[1]
+    if isinstance(y, np.ndarray):     # host arrays only: a device array
+        # would force a (possibly transfer-capped) download here
+        max_cov = int(np.max(y, initial=0)) + 1
+        if max_cov * (A + 2) >= (1 << 31):
+            raise ValueError(
+                f"chain_scan int32 packing overflow: read coverage "
+                f"{max_cov} x (A={A} + 2) >= 2^31; reduce the anchor cap "
+                "or split the read (see ops/chain_scan.py capacity note)")
+    return _chain_scan(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask,
+                       ev_group)
+
+
+@partial(jax.jit, static_argnames=())
+def _chain_scan(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask, ev_group):
     R, A = x.shape
     KW = ev_kmask.shape[-1]
     ln = y - x + 1

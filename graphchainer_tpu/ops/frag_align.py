@@ -8,8 +8,10 @@ TPU re-design of the reference's GraphAlignerBitvectorBanded
   flood fill and re-queues nodes whose values improve.  Here the band is a
   FIXED set of B node slots selected around the seed by the host band
   builder (bounded-bp BFS), topologically sorted, and each slice is
-  computed in ONE pass over slots: on a DAG, in-band dependencies only
-  point to earlier slots, so no re-queueing is needed.
+  computed in ONE pass over topo LEVELS: on a DAG, in-band dependencies
+  only point to earlier levels, so all slots of a level advance together
+  in one vectorized step — the sequential depth per 32-row slice is the
+  band's topo depth (typically ~B/4), not B.
 
 * Exactness (in-band cells, verified against the scalar DAG oracle in
   tests/test_frag_align.py): every candidate word is a monotone
@@ -26,11 +28,12 @@ TPU re-design of the reference's GraphAlignerBitvectorBanded
 * The graph lives HBM-resident: Eq bitplanes and lengths of all split
   nodes (forward table concatenated with the reversed-sequence table for
   backward extension) are uploaded once; per batch only small index
-  arrays (band node ids, in-edge slots, seed trims, read planes) move
-  host->device.
+  arrays (band node ids, in-edge slots, levels, seed trims, read planes)
+  move host->device.
 
 * Everything is vectorized over (fragments x band slots); the sequential
-  dimensions are slots (topo order) and the <=32 columns of each node.
+  dimensions are band topo levels (lax.fori_loop) and the <=32 columns of
+  each node (unrolled; the horizontal Myers carry chain is inherent).
 """
 from __future__ import annotations
 
@@ -57,7 +60,7 @@ class FragResult(NamedTuple):
     best_score: jax.Array  # (F,) int32 overall best end score
     best_slot: jax.Array   # (F,) int32 argmin slot
     best_col: jax.Array    # (F,) int32 argmin column within the best slot
-    best_in: jax.Array     # (F, B, S) int8: winning incoming candidate
+    best_in: jax.Array     # (F, B, S) int8/int16: winning incoming candidate
     end_score: jax.Array   # (F, B) int32 per-slot end scores (device-side;
                            # not downloaded on the hot path)
     end_col: jax.Array     # (F, B) int32 per-slot argmin columns
@@ -76,13 +79,16 @@ def _score_at_row(vp, vn, sb, r_mask):
             + pc(vn & r_mask).astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("n_slices", "max_in", "full_start"))
+@partial(jax.jit,
+         static_argnames=("n_slices", "max_in", "full_start", "n_levels"))
 def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                     band_nodes: jax.Array, band_in: jax.Array,
                     seed_shift: jax.Array, req: jax.Array,
                     frag_len: jax.Array, n_slices: int, max_in: int,
                     seed_base: jax.Array | None = None,
-                    full_start: bool = False) -> FragResult:
+                    full_start: bool = False,
+                    band_level: jax.Array | None = None,
+                    n_levels: int | None = None) -> FragResult:
     """Run the banded DP.
 
     node_eq:    (N2, 4) uint32  HBM-resident Eq bitplanes (fwd ++ reversed)
@@ -102,13 +108,39 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                 (free alignment start anywhere — the reference's
                 getBacktraceFullStart semantics for --optimal-alignment,
                 src/GraphAlignerBitvectorDijkstra.h)
+    band_level: (F, B) int32    band topo level per slot (level[b] >
+                level[u] for every in-edge u; -1 = pad).  None falls back
+                to level == slot index (fully sequential, always valid).
+    n_levels:   static level-loop trip count (> max level in band_level)
     """
     F, B = band_nodes.shape
     S = n_slices
     N2 = node_eq.shape[0]
+    if band_level is None:
+        band_level = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[None, :], (F, B))
+        n_levels = B
+    assert n_levels is not None
+    # backtrace pointers hold slot ids in [0, B) plus the IN_* codes;
+    # int8 only covers B <= 127 (optimal mode builds component bands up
+    # to B = 4096, which need int16)
+    ptr_dtype = jnp.int8 if B <= 127 else jnp.int16
 
     end_slice = (frag_len - 1) // W          # (F,)
-    end_row_mask = _above_mask((frag_len - 1) % W)
+    end_row_mask = _above_mask((frag_len - 1) % W)[:, None]   # (F,1)
+    at_end_all = (end_slice[:, None] == jnp.arange(S)[None, :])  # (F,S)
+
+    # --- hoisted per-slot tables (slice-invariant) -----------------------
+    ids = band_nodes.astype(jnp.int32)                   # (F,B)
+    idc = jnp.clip(ids, 0, N2 - 1)
+    slot_eq = jnp.take(node_eq, idc, axis=0)             # (F,B,4)
+    slot_len = jnp.where(ids >= 0, jnp.take(node_len, idc, axis=0), 0)
+    arangeB = jnp.arange(B, dtype=jnp.int32)[None, :]    # (1,B)
+    is_seed = arangeB == 0                               # (1,B)
+    shift = jnp.where(is_seed, seed_shift[:, None], 0)   # (F,B)
+    slot_eq = slot_eq >> (shift.astype(jnp.uint32) & 31)[..., None]
+    slot_len = slot_len - shift
+    slot_active = slot_len > 0                           # (F,B)
 
     zero32 = jnp.zeros((F, B), jnp.uint32)
     state = dict(
@@ -117,7 +149,7 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
         hp=zero32, hn=zero32,
         end_score=jnp.full((F, B), BIG, jnp.int32),
         end_col=jnp.zeros((F, B), jnp.int32),
-        best_in=jnp.full((F, B, S), IN_NONE, jnp.int8),
+        best_in=jnp.full((F, B, S), IN_NONE, ptr_dtype),
     )
 
     # The seed boundary word B0: score_before_start = seed_base (0 for a
@@ -125,72 +157,51 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
     if seed_base is None:
         seed_base = jnp.zeros((F,), jnp.int32)
     b0_vp, b0_vn, b0_sb = source_word(seed_base.astype(jnp.int32))
+    b0_vp, b0_vn, b0_sb = (b0_vp[:, None], b0_vn[:, None], b0_sb[:, None])
+
+    # merges must not mix garbage: invalid candidates become BIG-score
+    # all-insertion words (no-ops under min-merge)
+    def sanitize(wvp, wvn, wsb, valid):
+        return (jnp.where(valid, wvp, jnp.uint32(0xFFFFFFFF)),
+                jnp.where(valid, wvn, jnp.uint32(0)),
+                jnp.where(valid, wsb, BIG))
+
+    def eq_of_col(req_s, c):
+        """(F,B) match bits of column c of every slot for this slice."""
+        col_bits = ((slot_eq >> jnp.uint32(c)) & jnp.uint32(1))  # (F,B,4)
+        return (req_s[:, None, 0] * col_bits[..., 0]
+                | req_s[:, None, 1] * col_bits[..., 1]
+                | req_s[:, None, 2] * col_bits[..., 2]
+                | req_s[:, None, 3] * col_bits[..., 3])
 
     for s in range(S):
         req_s = req[:, s]                     # (F, 4)
         prev_ssb = state["ssb"]
         prev_hp, prev_hn = state["hp"], state["hn"]
         prev_exists = (s > 0)
+        at_end = at_end_all[:, s][:, None]    # (F,1)
 
-        evp_all, evn_all, esb_all = state["evp"], state["evn"], state["esb"]
-        new_ssb = jnp.full((F, B), BIG, jnp.int32)
-        new_hp = jnp.zeros((F, B), jnp.uint32)
-        new_hn = jnp.zeros((F, B), jnp.uint32)
-        new_end_score = state["end_score"]
-        new_end_col = state["end_col"]
-        best_in_s = jnp.full((F, B), IN_NONE, jnp.int32)
-
-        carry = (evp_all, evn_all, esb_all, new_ssb, new_hp, new_hn,
-                 new_end_score, new_end_col, best_in_s)
-
-        def slot_body(b, carry):
+        def level_body(l, carry, _s=s, _req_s=req_s, _prev_ssb=prev_ssb,
+                       _prev_hp=prev_hp, _prev_hn=prev_hn,
+                       _prev_exists=prev_exists, _at_end=at_end):
             (evp_all, evn_all, esb_all, new_ssb, new_hp, new_hn,
              new_end_score, new_end_col, best_in_s) = carry
+            lvl = band_level == l                      # (F,B)
 
-            ids = jax.lax.dynamic_slice_in_dim(band_nodes, b, 1, 1)[:, 0]
-            idc = jnp.clip(ids, 0, N2 - 1)
-            slot_eq = jnp.take(node_eq, idc, axis=0)        # (F, 4)
-            slot_len = jnp.where(ids >= 0,
-                                 jnp.take(node_len, idc, axis=0), 0)
-            # seed trim (slot 0 only)
-            shift = jnp.where(b == 0, seed_shift, 0)
-            slot_eq = slot_eq >> (shift.astype(jnp.uint32) & 31)[:, None]
-            slot_len = slot_len - shift
+            eq0 = eq_of_col(_req_s, 0)                 # (F,B)
 
-            slot_in = jax.lax.dynamic_slice_in_dim(
-                band_in, b, 1, 1)[:, 0].astype(jnp.int32)   # (F, max_in)
-            slot_prev_ssb = jax.lax.dynamic_slice_in_dim(
-                prev_ssb, b, 1, 1)[:, 0]
-            slot_prev_hp = jax.lax.dynamic_slice_in_dim(prev_hp, b, 1, 1)[:, 0]
-            slot_prev_hn = jax.lax.dynamic_slice_in_dim(prev_hn, b, 1, 1)[:, 0]
-            slot_active = slot_len > 0
-            slot_is_seed = (b == 0)
-
-            col0_bits = (slot_eq & jnp.uint32(1))             # (F,4)
-            eq0 = (req_s[:, 0] * col0_bits[:, 0]
-                   | req_s[:, 1] * col0_bits[:, 1]
-                   | req_s[:, 2] * col0_bits[:, 2]
-                   | req_s[:, 3] * col0_bits[:, 3])
-
-            # ---- column-0 candidates -------------------------------------
-            cvp = jnp.zeros((F,), jnp.uint32)
-            cvn = jnp.zeros((F,), jnp.uint32)
-            csb = jnp.full((F,), BIG, jnp.int32)
-            cbest = jnp.full((F,), IN_NONE, jnp.int32)
-
-            # merges must not mix garbage: invalid candidates become
-            # BIG-score all-insertion words (no-ops under min-merge)
-            def sanitize(wvp, wvn, wsb, valid):
-                return (jnp.where(valid, wvp, jnp.uint32(0xFFFFFFFF)),
-                        jnp.where(valid, wvn, jnp.uint32(0)),
-                        jnp.where(valid, wsb, BIG))
+            # ---- column-0 candidates (all slots; masked commit) ---------
+            cvp = jnp.zeros((F, B), jnp.uint32)
+            cvn = jnp.zeros((F, B), jnp.uint32)
+            csb = jnp.full((F, B), BIG, jnp.int32)
+            cbest = jnp.full((F, B), IN_NONE, jnp.int32)
 
             # seed injection (slice 0 only)
-            if not prev_exists:
+            if not _prev_exists:
                 if full_start:
-                    seed_valid = slot_active | jnp.full((F,), slot_is_seed)
+                    seed_valid = slot_active | is_seed
                 else:
-                    seed_valid = jnp.full((F,), slot_is_seed)
+                    seed_valid = jnp.broadcast_to(is_seed, (F, B))
                 avp, avn, asb, _ = advance_word(
                     b0_vp, b0_vn, b0_sb, eq0, jnp.int32(1))
                 avp, avn, asb = sanitize(avp, avn, asb, seed_valid)
@@ -199,27 +210,28 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                 cbest = jnp.where(seed_valid & better, IN_SEED, cbest)
 
             # vertical continuation from previous slice
-            if prev_exists:
-                vvp, vvn, vsb = source_word(slot_prev_ssb)
-                valid = slot_active & (slot_prev_ssb < BIG)
+            if _prev_exists:
+                vvp, vvn, vsb = source_word(_prev_ssb)
+                valid = slot_active & (_prev_ssb < BIG)
                 vvp, vvn, vsb = sanitize(vvp, vvn, vsb, valid)
                 better = vsb < csb
                 cvp, cvn, csb = merge_words(cvp, cvn, csb, vvp, vvn, vsb)
                 cbest = jnp.where(valid & better, IN_VERT, cbest)
 
-            # in-edges
+            # in-edges: gather predecessor end words (earlier levels of
+            # THIS slice, already committed into evp/evn/esb)
             for e in range(max_in):
-                u = slot_in[:, e]                      # (F,)
+                u = band_in[:, :, e].astype(jnp.int32)      # (F,B)
                 valid = (u >= 0) & slot_active
                 uc = jnp.clip(u, 0, B - 1)
-                uvp = jnp.take_along_axis(evp_all, uc[:, None], 1)[:, 0]
-                uvn = jnp.take_along_axis(evn_all, uc[:, None], 1)[:, 0]
-                usb = jnp.take_along_axis(esb_all, uc[:, None], 1)[:, 0]
+                uvp = jnp.take_along_axis(evp_all, uc, axis=1)
+                uvn = jnp.take_along_axis(evn_all, uc, axis=1)
+                usb = jnp.take_along_axis(esb_all, uc, axis=1)
                 valid &= usb < BIG
-                if prev_exists:
+                if _prev_exists:
                     ubs = myers.score_before_start(uvp, uvn, usb)
-                    hin = jnp.clip(slot_prev_ssb - ubs, -1, 1)
-                    hin = jnp.where(slot_prev_ssb >= BIG, jnp.int32(1), hin)
+                    hin = jnp.clip(_prev_ssb - ubs, -1, 1)
+                    hin = jnp.where(_prev_ssb >= BIG, jnp.int32(1), hin)
                 else:
                     hin = jnp.int32(1)
                 avp, avn, asb, _ = advance_word(uvp, uvn, usb, eq0, hin)
@@ -229,8 +241,8 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                 cbest = jnp.where(valid & better, u, cbest)
 
             # len-0 seed slot: the boundary word itself is the end word.
-            if not prev_exists:
-                len0_seed = jnp.full((F,), slot_is_seed) & (slot_len == 0)
+            if not _prev_exists:
+                len0_seed = is_seed & (slot_len == 0)
                 cvp = jnp.where(len0_seed, b0_vp, cvp)
                 cvn = jnp.where(len0_seed, b0_vn, cvn)
                 csb = jnp.where(len0_seed, b0_sb, csb)
@@ -238,34 +250,26 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
 
             col0_sb = csb
 
-            # ---- end-of-fragment tracking for column 0 -------------------
-            at_end = (end_slice == s)
-            cur_best = jnp.take_along_axis(new_end_score,
-                                           jnp.full((F, 1), b), 1)[:, 0]
-            cur_col = jnp.take_along_axis(new_end_col,
-                                          jnp.full((F, 1), b), 1)[:, 0]
+            # ---- end-of-fragment tracking for column 0 ------------------
             sr = _score_at_row(cvp, cvn, csb, end_row_mask)
-            upd = at_end & slot_active & (sr < cur_best)
-            best_sc = jnp.where(upd, sr, cur_best)
-            best_cl = jnp.where(upd, 0, cur_col)
+            upd = _at_end & slot_active
+            best_sc = jnp.where(upd, sr, BIG)          # level-local minima
+            best_cl = jnp.zeros((F, B), jnp.int32)
 
-            # ---- columns 1..31 -------------------------------------------
+            # ---- columns 1..31 ------------------------------------------
             wvp, wvn, wsb = cvp, cvn, csb
-            hp_acc = jnp.zeros((F,), jnp.uint32)
-            hn_acc = jnp.zeros((F,), jnp.uint32)
+            hp_acc = jnp.zeros((F, B), jnp.uint32)
+            hn_acc = jnp.zeros((F, B), jnp.uint32)
             evp_c = jnp.where(slot_len <= 1, wvp, jnp.uint32(0))
             evn_c = jnp.where(slot_len <= 1, wvn, jnp.uint32(0))
             esb_c = jnp.where(slot_len <= 1, wsb, BIG)
 
             for c in range(1, W):
-                col_bits = ((slot_eq >> jnp.uint32(c)) & jnp.uint32(1))
-                eqc = (req_s[:, 0] * col_bits[:, 0]
-                       | req_s[:, 1] * col_bits[:, 1]
-                       | req_s[:, 2] * col_bits[:, 2]
-                       | req_s[:, 3] * col_bits[:, 3])
-                if prev_exists:
-                    hin = (((slot_prev_hp >> jnp.uint32(c)) & 1).astype(jnp.int32)
-                           - ((slot_prev_hn >> jnp.uint32(c)) & 1).astype(jnp.int32))
+                eqc = eq_of_col(_req_s, c)
+                if _prev_exists:
+                    hin = (((_prev_hp >> jnp.uint32(c)) & 1).astype(jnp.int32)
+                           - ((_prev_hn >> jnp.uint32(c)) & 1).astype(
+                               jnp.int32))
                 else:
                     hin = jnp.int32(1)
                 wvp, wvn, wsb, hout = advance_word(wvp, wvn, wsb, eqc, hin)
@@ -275,18 +279,18 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                     # free start directly into THIS column at any row: the
                     # boundary column is logically adjacent to every column
                     bs_vp, bs_vn, bs_sb = source_word(
-                        seed_base.astype(jnp.int32) + W * s)
-                    fin = jnp.int32(0 if s == 0 else 1)
-                    fvp, fvn, fsb, _ = advance_word(bs_vp, bs_vn, bs_sb,
-                                                    eqc, fin)
-                    fsb = jnp.where(slot_active & (c < slot_len), fsb, BIG)
-                    fvp, fvn, fsb = sanitize(fvp, fvn, fsb,
-                                             slot_active & (c < slot_len))
+                        seed_base.astype(jnp.int32) + W * _s)
+                    fin = jnp.int32(0 if _s == 0 else 1)
+                    fvp, fvn, fsb, _ = advance_word(
+                        bs_vp[:, None], bs_vn[:, None], bs_sb[:, None],
+                        eqc, fin)
+                    fvalid = slot_active & (c < slot_len)
+                    fvp, fvn, fsb = sanitize(fvp, fvn, fsb, fvalid)
                     wvp, wvn, wsb = merge_words(wvp, wvn, wsb,
                                                 fvp, fvn, fsb)
                 in_node = c < slot_len
                 sr = _score_at_row(wvp, wvn, wsb, end_row_mask)
-                upd = at_end & in_node & (sr < best_sc)
+                upd = _at_end & in_node & (sr < best_sc)
                 best_sc = jnp.where(upd, sr, best_sc)
                 best_cl = jnp.where(upd, c, best_cl)
                 cap = (c == slot_len - 1)
@@ -294,32 +298,31 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                 evn_c = jnp.where(cap, wvn, evn_c)
                 esb_c = jnp.where(cap, wsb, esb_c)
 
-            esb_c = jnp.where(slot_active | (slot_is_seed & (slot_len == 0)),
+            esb_c = jnp.where(slot_active | (is_seed & (slot_len == 0)),
                               esb_c, BIG)
 
-            evp_all = jax.lax.dynamic_update_slice_in_dim(
-                evp_all, evp_c[:, None], b, 1)
-            evn_all = jax.lax.dynamic_update_slice_in_dim(
-                evn_all, evn_c[:, None], b, 1)
-            esb_all = jax.lax.dynamic_update_slice_in_dim(
-                esb_all, esb_c[:, None], b, 1)
-            new_ssb = jax.lax.dynamic_update_slice_in_dim(
-                new_ssb, col0_sb[:, None], b, 1)
-            new_hp = jax.lax.dynamic_update_slice_in_dim(
-                new_hp, hp_acc[:, None], b, 1)
-            new_hn = jax.lax.dynamic_update_slice_in_dim(
-                new_hn, hn_acc[:, None], b, 1)
-            new_end_score = jax.lax.dynamic_update_slice_in_dim(
-                new_end_score, best_sc[:, None], b, 1)
-            new_end_col = jax.lax.dynamic_update_slice_in_dim(
-                new_end_col, best_cl[:, None], b, 1)
-            best_in_s = jax.lax.dynamic_update_slice_in_dim(
-                best_in_s, cbest[:, None], b, 1)
+            # ---- masked commit of this level's slots --------------------
+            evp_all = jnp.where(lvl, evp_c, evp_all)
+            evn_all = jnp.where(lvl, evn_c, evn_all)
+            esb_all = jnp.where(lvl, esb_c, esb_all)
+            new_ssb = jnp.where(lvl, col0_sb, new_ssb)
+            new_hp = jnp.where(lvl, hp_acc, new_hp)
+            new_hn = jnp.where(lvl, hn_acc, new_hn)
+            improved = lvl & (best_sc < new_end_score)
+            new_end_score = jnp.where(improved, best_sc, new_end_score)
+            new_end_col = jnp.where(improved, best_cl, new_end_col)
+            best_in_s = jnp.where(lvl, cbest, best_in_s)
 
             return (evp_all, evn_all, esb_all, new_ssb, new_hp, new_hn,
                     new_end_score, new_end_col, best_in_s)
 
-        carry = jax.lax.fori_loop(0, B, slot_body, carry)
+        carry = (state["evp"], state["evn"], state["esb"],
+                 jnp.full((F, B), BIG, jnp.int32),
+                 jnp.zeros((F, B), jnp.uint32),
+                 jnp.zeros((F, B), jnp.uint32),
+                 state["end_score"], state["end_col"],
+                 jnp.full((F, B), IN_NONE, jnp.int32))
+        carry = jax.lax.fori_loop(0, n_levels, level_body, carry)
         (evp_all, evn_all, esb_all, new_ssb, new_hp, new_hn,
          new_end_score, new_end_col, best_in_s) = carry
         state["evp"], state["evn"], state["esb"] = evp_all, evn_all, esb_all
@@ -327,7 +330,7 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
         state["end_score"] = new_end_score
         state["end_col"] = new_end_col
         state["best_in"] = state["best_in"].at[:, :, s].set(
-            best_in_s.astype(jnp.int8))
+            best_in_s.astype(ptr_dtype))
 
     end_score = state["end_score"]
     best_slot = jnp.argmin(end_score, axis=1).astype(jnp.int32)

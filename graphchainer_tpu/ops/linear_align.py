@@ -159,6 +159,10 @@ def polish_align(read_planes, path_mm, read_len, path_len, bw: int):
 class BacktraceResult(NamedTuple):
     ops_rev: jax.Array   # (R, max_steps) uint8, walk order (end->start)
     n_ops: jax.Array     # (R,) int32, -1 when the walk left the band
+    touched: jax.Array   # (R,) bool: walk touched a band edge beyond which
+                         # real DP rows exist — the banded score may
+                         # overestimate; callers should retry wider
+                         # (align/polish.py band doubling)
 
 
 @partial(jax.jit, static_argnames=("bw", "max_steps"))
@@ -170,6 +174,7 @@ def backtrace_device(dump_vp, dump_vn, dump_sb, dump_base, read_planes,
     RW = read_planes.shape[1]
     pc = jax.lax.population_count
     BIG = jnp.int32(1 << 26)
+    rw_cap = (read_len + W - 1) // W                     # words per read
 
     def score(rr, cc):
         """(R,) DP score at row rr, col cc (with boundary semantics)."""
@@ -213,7 +218,7 @@ def backtrace_device(dump_vp, dump_vn, dump_sb, dump_base, read_planes,
         return m == 1
 
     def step(carry, i):
-        r, c, fail, done = carry
+        r, c, fail, done, touch = carry
         s = score(r, c)
         d = score(r - 1, c - 1)
         l = score(r, c - 1)
@@ -228,23 +233,33 @@ def backtrace_device(dump_vp, dump_vn, dump_sb, dump_base, read_planes,
         stuck = ~done & (op == OP_NONE)
         fail = fail | stuck
         emit = ~done & ~fail
+        # band-edge witness: the walk visits the lowest/highest band word
+        # while real DP rows exist beyond it — the banded optimum may be
+        # pinned by the band, so the score can overestimate full NW
+        cq = jnp.clip(c, 0, P - 1)
+        base_c = jnp.take_along_axis(dump_base, cq[:, None], 1)[:, 0]
+        w = jnp.clip(r, 0, RW * W - 1) // W - base_c
+        edge = (((w <= 0) & (base_c > 0))
+                | ((w >= bw - 1) & (base_c + bw < rw_cap)))
+        touch = touch | (emit & (r >= 0) & (c >= 0) & edge)
         r_new = jnp.where(emit & (can_diag | (~can_diag & ~can_left
                                               & can_up)), r - 1, r)
         c_new = jnp.where(emit & (can_diag | (~can_diag & can_left)),
                           c - 1, c)
         done_new = done | ((r_new < 0) & (c_new < 0)) | fail
         out_op = jnp.where(emit, op, jnp.uint8(OP_NONE)).astype(jnp.uint8)
-        return (r_new, c_new, fail, done_new), out_op
+        return (r_new, c_new, fail, done_new, touch), out_op
 
     r0 = read_len - 1
     c0 = path_len - 1
     fail0 = (read_len <= 0) | (path_len <= 0)
     done0 = fail0
-    (rf, cf, fail, done), ops = jax.lax.scan(
-        step, (r0, c0, fail0, done0),
+    touch0 = jnp.zeros((R,), bool)
+    (rf, cf, fail, done, touch), ops = jax.lax.scan(
+        step, (r0, c0, fail0, done0, touch0),
         jnp.arange(max_steps, dtype=jnp.int32))
     ops = jnp.moveaxis(ops, 0, 1)            # (R, max_steps)
     complete = done & ~fail & (rf < 0) & (cf < 0)
     n = jnp.sum((ops != OP_NONE).astype(jnp.int32), axis=1)
     n = jnp.where(complete, n, -1)
-    return BacktraceResult(ops_rev=ops, n_ops=n)
+    return BacktraceResult(ops_rev=ops, n_ops=n, touched=touch)

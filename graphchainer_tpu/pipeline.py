@@ -319,4 +319,7 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
         print(f"Alignments: {stats.alignments} "
               f"({stats.bp_in_alignments}bp)")
         print(f"Wall-clock: {stats.seconds:.2f}s")
+        from graphchainer_tpu.utils import timers
+        if timers.snapshot():
+            print(timers.report())
     return stats

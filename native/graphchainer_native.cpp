@@ -456,12 +456,21 @@ void* chain_paths(int64_t n, int64_t m, const int64_t* src, const int64_t* dst,
 // bucket queue), sort them in traversal-topo order (ascending ids for the
 // forward graph, descending for the reversed graph — global ids are topo
 // ranks), and emit per-slot in-band in-edge slot lists (capped at max_in).
-// Slot 0 is always the seed.  Outputs are -1 padded.
-void band_build(int64_t n, const int64_t* ptr, const int64_t* idx,
-                const int64_t* node_len, int64_t nseeds,
-                const int64_t* seed_nodes, const int64_t* seed_lens,
-                int64_t B, int64_t max_bp, int64_t max_in, int64_t descending,
-                int64_t* out_nodes, int64_t* out_in) {
+// Slot 0 is always the seed.  Outputs are -1 padded.  Returns the number
+// of in-band in-edges dropped by the max_in cap (0 = band exact); callers
+// surface a warning so the kernel==oracle invariant break is visible on
+// dense graphs.
+// out_level[q*B + i] = topo level of slot i within the band subgraph
+// (0 for slots with no kept in-band in-edges, else 1 + max over kept
+// in-edges; -1 for pad slots) — the kernel advances whole levels in one
+// vectorized step, so its sequential depth is max(level)+1, not B.
+int64_t band_build(int64_t n, const int64_t* ptr, const int64_t* idx,
+                   const int64_t* node_len, int64_t nseeds,
+                   const int64_t* seed_nodes, const int64_t* seed_lens,
+                   int64_t B, int64_t max_bp, int64_t max_in,
+                   int64_t descending, int64_t* out_nodes, int64_t* out_in,
+                   int64_t* out_level) {
+  int64_t truncated = 0;
   vector<int64_t> dist(n), epoch(n, -1);
   vector<vector<int64_t>> buckets((size_t)max_bp + 1);
   vector<int64_t> selected;
@@ -498,8 +507,10 @@ void band_build(int64_t n, const int64_t* ptr, const int64_t* idx,
     // reachable from the seed, so the sort already puts it first.
     int64_t* nodes_row = out_nodes + q * B;
     int64_t* in_row = out_in + q * B * max_in;
+    int64_t* lvl_row = out_level + q * B;
     for (int64_t i = 0; i < B; i++) nodes_row[i] = -1;
     for (int64_t i = 0; i < B * max_in; i++) in_row[i] = -1;
+    for (int64_t i = 0; i < B; i++) lvl_row[i] = -1;
     for (size_t i = 0; i < selected.size(); i++) {
       nodes_row[i] = selected[i];
       slot_of[selected[i]] = (int64_t)i;
@@ -513,11 +524,22 @@ void band_build(int64_t n, const int64_t* ptr, const int64_t* idx,
         if (st >= 0 && (size_t)st < selected.size()
             && nodes_row[st] == t && st > (int64_t)i) {
           if (cnt[st] < max_in) in_row[st * max_in + cnt[st]++] = (int64_t)i;
+          else truncated++;
         }
       }
     }
+    // topo levels over kept in-edges (slots are topo-sorted: u < dest)
+    for (size_t i = 0; i < selected.size(); i++) {
+      int64_t lv = 0;
+      for (int64_t e = 0; e < max_in; e++) {
+        int64_t u = in_row[i * max_in + e];
+        if (u >= 0 && lvl_row[u] + 1 > lv) lv = lvl_row[u] + 1;
+      }
+      lvl_row[i] = lv;
+    }
     for (size_t i = 0; i < selected.size(); i++) slot_of[selected[i]] = -1;
   }
+  return truncated;
 }
 
 // ---------------------------------------------------------------------------

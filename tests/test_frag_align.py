@@ -24,12 +24,15 @@ def kernel_vs_oracle(g, read, seed_node, seed_offset, B=24, max_in=8):
     trim = int(g.node_len[seed_node]) - seed_offset
     job = FragJob(rmm=mm, seed_node=seed_node, seed_trim_len=trim,
                   reverse=False)
-    band_nodes, band_nodes_cat, band_in, seed_shift, req, rows, S = \
-        assemble_batch(gx, [job], B=B, max_in=max_in, slack=8)
+    (band_nodes, band_nodes_cat, band_in, seed_shift, req, rows, S,
+     band_level) = assemble_batch(gx, [job], B=B, max_in=max_in, slack=8)
     dev_eq, dev_len = gx.device_tables()
+    from graphchainer_tpu.align.anchors import level_bucket
     res = frag_align.align_fragments(dev_eq, dev_len, band_nodes_cat,
                                      band_in, seed_shift, req, rows,
-                                     n_slices=S, max_in=max_in)
+                                     n_slices=S, max_in=max_in,
+                                     band_level=band_level,
+                                     n_levels=level_bucket(band_level, B))
     # oracle over the same band subgraph
     valid = band_nodes[0] >= 0
     nodes = np.sort(band_nodes[0][valid])
@@ -130,12 +133,15 @@ def test_backwalk_path_valid(toy_gfa):
     mm = match_masks(read)
     job = FragJob(rmm=mm, seed_node=v,
                   seed_trim_len=int(g.node_len[v]) - o, reverse=False)
-    band_nodes, band_nodes_cat, band_in, seed_shift, req, rows, S = \
-        assemble_batch(gx, [job], B=16, max_in=8)
+    (band_nodes, band_nodes_cat, band_in, seed_shift, req, rows, S,
+     band_level) = assemble_batch(gx, [job], B=16, max_in=8)
     dev_eq, dev_len = gx.device_tables()
+    from graphchainer_tpu.align.anchors import level_bucket
     res = frag_align.align_fragments(dev_eq, dev_len, band_nodes_cat,
                                      band_in, seed_shift, req, rows,
-                                     n_slices=S, max_in=8)
+                                     n_slices=S, max_in=8,
+                                     band_level=band_level,
+                                     n_levels=level_bucket(band_level, 16))
     assert int(res.best_score[0]) == 0
     walk = backwalk(np.asarray(res.best_in)[0], band_nodes[0],
                     int(res.best_slot[0]), (len(read) - 1) // 32)
