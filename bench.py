@@ -9,14 +9,15 @@ Protocol (mirrors BASELINE.md): pbsim-like reads, length ~N(3000, 750),
 10% error (sub/ins/del evenly), aligned with default CLC parameters
 (split-len 35, split-gap 35, colinear-gap 10000).
 
-Baseline: the reference publishes no numbers in-repo (BASELINE.md).  The
-single-thread CPU baseline used here is 1.0 reads/s for ~3 kbp reads at
-default parameters, a documented estimate from the paper-scale runtimes
-(GraphChainer, Bioinformatics 2023: chr22-scale runs take hours at tens
-of threads); refine when the reference binary can be built in-image.
+Baseline: MEASURED from the reference binary (built offline via
+scripts/refbuild/build_reference.sh) on the IDENTICAL workload — same
+graph, same simulated reads, same seeds — single-threaded on this host's
+CPU; the number and full provenance live in BASELINE_MEASURED.json
+(regenerate with scripts/bench_reference.py).  Falls back to the round-1
+documented estimate of 1.0 reads/s if the file is missing.
 
-Env knobs: BENCH_READS (default 96), BENCH_READ_LEN (3000),
-BENCH_GRAPH_BP (60000), BENCH_BATCH (32), BENCH_PLATFORM (default: let
+Env knobs: BENCH_READS (default 192), BENCH_READ_LEN (3000),
+BENCH_GRAPH_BP (60000), BENCH_BATCH (64), BENCH_PLATFORM (default: let
 JAX pick, i.e. the TPU).
 """
 from __future__ import annotations
@@ -38,7 +39,22 @@ if PLATFORM:
     import jax
     jax.config.update("jax_platforms", PLATFORM)
 
-BASELINE_READS_PER_S = 1.0   # single-thread CPU reference estimate (see doc)
+def load_baseline():
+    """(reads_per_s, provenance): measured reference-binary number when
+    BASELINE_MEASURED.json exists (see module docstring), else the
+    documented 1.0 reads/s estimate."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            d = json.load(f)
+        return float(d["reads_per_s"]), {
+            "source": "measured reference binary (single-thread CPU, "
+                      "identical workload)",
+            "wall_s": d.get("wall_s"), "threads": d.get("threads"),
+            "host": d.get("host")}
+    return 1.0, {"source": "documented estimate (reference binary not "
+                           "measured on this host)"}
 
 
 def build_bench_graph(rng, total_bp: int):
@@ -130,6 +146,11 @@ def main():
     dt = time.time() - t1
     n_timed = len(reads) - batch
     reads_per_s = n_timed / dt
+    baseline, baseline_prov = load_baseline()
+
+    if os.environ.get("BENCH_VERBOSE"):
+        from graphchainer_tpu.utils import timers
+        timers.report(out=sys.stderr)
 
     result = {
         "metric": f"reads/s/chip ({read_len}bp 10%-err reads vs "
@@ -137,8 +158,10 @@ def main():
                   "params)",
         "value": round(reads_per_s, 3),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+        "vs_baseline": round(reads_per_s / baseline, 3),
         "detail": {
+            "baseline_reads_per_s": baseline,
+            "baseline_provenance": baseline_prov,
             "n_reads": n_timed,
             "aligned_fraction": round(aligned / max(n_timed, 1), 4),
             "mean_norm_edit_distance": round(float(np.mean(scores)), 4)

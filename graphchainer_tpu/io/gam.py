@@ -22,7 +22,8 @@ def alignment_message(g: AlignmentGraph, aln: ReadAlignment) -> bytes:
     mappings = emit_mod.to_mappings(g, aln)
     wire_mappings = []
     for rank, m in enumerate(mappings, start=1):
-        pos = vg_wire.position(m.node_id, m.offset, m.is_reverse)
+        pos = vg_wire.position(m.node_id, m.offset, m.is_reverse,
+                               name=m.node_name)
         edits = [vg_wire.edit(e.from_length, e.to_length, e.sequence)
                  for e in m.edits]
         wire_mappings.append(vg_wire.mapping(pos, edits, rank))

@@ -12,7 +12,7 @@ from graphchainer_tpu.io.gam import read_gam
 from graphchainer_tpu.io.vg_wire import decode_fields, to_dict
 
 _POSITION_SCHEMA = {1: ("node_id", "int"), 2: ("offset", "int"),
-                    4: ("is_reverse", "int")}
+                    4: ("is_reverse", "int"), 5: ("name", "str")}
 _EDIT_SCHEMA = {1: ("from_length", "int"), 2: ("to_length", "int"),
                 3: ("sequence", "str")}
 
@@ -24,6 +24,9 @@ class GamMapping:
     is_reverse: bool = False
     edits: List[dict] = field(default_factory=list)
     rank: int = 0
+    node_name: str = ""     # Position.name: the original GFA segment name
+                            # (the reference binary always sets it,
+                            # src/Aligner.cpp:152-165)
 
 
 @dataclass
@@ -61,6 +64,7 @@ def parse_alignment(data: bytes) -> GamAlignment:
                         m.node_id = pos.get("node_id", 0)
                         m.offset = pos.get("offset", 0)
                         m.is_reverse = bool(pos.get("is_reverse", 0))
+                        m.node_name = pos.get("name", "")
                     elif mf == 2:
                         m.edits.append(to_dict(mv, _EDIT_SCHEMA))
                     elif mf == 5:

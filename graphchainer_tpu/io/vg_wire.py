@@ -58,9 +58,10 @@ def f_double(field: int, value: float) -> bytes:
     return tag(field, 1) + struct.pack("<d", value)
 
 
-def position(node_id: int, offset: int, is_reverse: bool) -> bytes:
+def position(node_id: int, offset: int, is_reverse: bool,
+             name: str = "") -> bytes:
     return (f_varint(1, node_id) + f_varint(2, offset)
-            + f_bool(4, is_reverse))
+            + f_bool(4, is_reverse) + f_str(5, name))
 
 
 def edit(from_length: int, to_length: int, sequence: str = "") -> bytes:
