@@ -211,6 +211,17 @@ def assemble_batch(gx: GraphTensors, jobs: Sequence[FragJob], B: int,
         band_in[sel] = bi
         band_level[sel] = bl
 
+    # adaptive band width: bands rarely fill all B slots (a 35bp fragment
+    # spans ~10 split nodes); trimming to the batch max (bucketed to
+    # multiples of 8) cuts host->device transfer and kernel work.  Safe:
+    # in-band in-edges always reference earlier slots.
+    used = int((band_nodes >= 0).sum(axis=1).max()) if F else 1
+    B_eff = min(B, max(8, -(-used // 8) * 8))
+    if B_eff < B:
+        band_nodes = band_nodes[:, :B_eff]
+        band_in = band_in[:, :B_eff]
+        band_level = band_level[:, :B_eff]
+
     # ids into the concatenated device tables: reversed nodes offset by +N
     is_rev = np.array([j.reverse for j in jobs], dtype=bool)
     band_nodes_cat = np.where(
@@ -231,7 +242,131 @@ def assemble_batch(gx: GraphTensors, jobs: Sequence[FragJob], B: int,
     req = pack_row_planes(mm_pad).reshape(F, S, 4)
 
     return (band_nodes, band_nodes_cat, band_in.astype(np.int8),
-            seed_shift, req, rows, S, band_level.astype(np.int32))
+            seed_shift, req, rows, S, band_level.astype(np.int8))
+
+
+@dataclass
+class CarryJob:
+    """A continued extension window: the band is re-grown from every
+    still-plausible slot of the previous window's band, and the previous
+    boundary state carries over (full-band carry — re-design of the
+    reference's slice-to-slice band seeding,
+    src/GraphAlignerBitvectorBanded.h:253-406)."""
+    rmm: np.ndarray          # window read rows (bwd: reversed)
+    reverse: bool
+    old_nodes: np.ndarray    # (B,) previous band node ids (-1 pad)
+    old_ssb: np.ndarray      # (B,) carried boundary scores
+    old_hp: np.ndarray       # (B,) carried horizontal +1 bits
+    old_hn: np.ndarray       # (B,) carried horizontal -1 bits
+    src_mask: np.ndarray     # (B,) bool: slots that re-seed the band
+    old_shift: np.ndarray = None   # (B,) per-slot seed trims (column
+                                   # alignment of carried hp/hn bits)
+
+
+def assemble_carry_batch(gx: GraphTensors, jobs: Sequence["CarryJob"],
+                         B: int, max_in: int = MAX_IN_DEGREE,
+                         slack: int = 8):
+    """Band + carried-state tensors for a batch of continued windows.
+
+    Returns (band_nodes [F,B] int64, band_nodes_cat [F,B] int32,
+    band_in [F,B,max_in] int8, band_level [F,B] int32,
+    carry (ssb, hp, hn) each [F,B], slot_map [F,B] int32 new slot -> old
+    slot (-1 = fresh), shifts [F,B] int32, req, rows, S)."""
+    g = gx.g
+    if B > 127:
+        raise ValueError("carry bands are int8-indexed; B <= 127")
+    F = len(jobs)
+    rows = np.array([max(1, len(j.rmm)) for j in jobs], dtype=np.int32)
+    S = int(max(1, -(-int(rows.max()) // W)))
+
+    band_nodes = np.full((F, B), -1, dtype=np.int64)
+    band_in = np.full((F, B, max_in), -1, dtype=np.int64)
+    band_level = np.full((F, B), -1, dtype=np.int64)
+    for rev in (False, True):
+        sel = [i for i, j in enumerate(jobs) if j.reverse == rev]
+        if not sel:
+            continue
+        src_off = [0]
+        src_nodes = []
+        for i in sel:
+            j = jobs[i]
+            srcs = j.old_nodes[j.src_mask & (j.old_nodes >= 0)]
+            src_nodes.append(srcs[:B])
+            src_off.append(src_off[-1] + len(src_nodes[-1]))
+        # distances count from source-node STARTS, but the carried
+        # boundary cell can sit at a source node's last column — extend
+        # the reach by one full split node so the window's true path
+        # cannot run off the band end
+        max_bp = int(rows[sel].max()) + slack + W
+        ptr, idx = (gx.in_ptr, gx.in_idx) if rev else (gx.out_ptr,
+                                                      gx.out_idx)
+        bn, bi, bl, trunc = native.band_build_multi(
+            g.n_nodes, ptr, idx, gx.node_len64,
+            np.array(src_off, dtype=np.int64),
+            np.concatenate(src_nodes) if src_nodes else
+            np.zeros(0, np.int64), B, max_bp, max_in, rev)
+        if trunc:
+            _warn_truncated(trunc, max_in)
+        band_nodes[sel] = bn
+        band_in[sel] = bi
+        band_level[sel] = bl
+
+    # adaptive band width (see assemble_batch)
+    used = int((band_nodes >= 0).sum(axis=1).max()) if F else 1
+    B_eff = min(B, max(8, -(-used // 8) * 8))
+    if B_eff < B:
+        band_nodes = band_nodes[:, :B_eff]
+        band_in = band_in[:, :B_eff]
+        band_level = band_level[:, :B_eff]
+        B = B_eff
+
+    is_rev = np.array([j.reverse for j in jobs], dtype=bool)
+    band_nodes_cat = np.where(
+        band_nodes >= 0,
+        band_nodes + np.where(is_rev, g.n_nodes, 0)[:, None],
+        -1).astype(np.int32)
+
+    # map new slots onto old slots by node id (both bands are sorted in
+    # traversal-topo order: ascending for fwd, descending for rev)
+    from graphchainer_tpu.ops.frag_align import BIG
+    slot_map = np.full((F, B), -1, dtype=np.int32)
+    ssb = np.full((F, B), BIG, dtype=np.int32)
+    hp = np.zeros((F, B), dtype=np.uint32)
+    hn = np.zeros((F, B), dtype=np.uint32)
+    shifts = np.zeros((F, B), dtype=np.int32)
+    for i, j in enumerate(jobs):
+        old_valid = j.old_nodes >= 0
+        old_nodes = j.old_nodes[old_valid]
+        old_idx = np.nonzero(old_valid)[0]
+        if j.reverse:
+            order = np.argsort(old_nodes)
+        else:
+            order = np.arange(len(old_nodes))
+        srt = old_nodes[order]
+        new_valid = band_nodes[i] >= 0
+        nn = band_nodes[i][new_valid]
+        pos = np.searchsorted(srt, nn)
+        ok = (pos < len(srt)) & (srt[np.clip(pos, 0, max(len(srt) - 1, 0))]
+                                 == nn)
+        mapped = np.full(len(nn), -1, dtype=np.int64)
+        mapped[ok] = old_idx[order[pos[ok]]]
+        slots = np.nonzero(new_valid)[0]
+        m_ok = slots[ok]
+        slot_map[i, m_ok] = mapped[ok]
+        ssb[i, m_ok] = j.old_ssb[mapped[ok]]
+        hp[i, m_ok] = j.old_hp[mapped[ok]]
+        hn[i, m_ok] = j.old_hn[mapped[ok]]
+        if j.old_shift is not None:
+            shifts[i, m_ok] = j.old_shift[mapped[ok]]
+
+    mm_pad = np.zeros((F, S * W), dtype=np.uint8)
+    for i, j in enumerate(jobs):
+        mm_pad[i, :len(j.rmm)] = j.rmm[:S * W]
+    req = pack_row_planes(mm_pad).reshape(F, S, 4)
+
+    return (band_nodes, band_nodes_cat, band_in.astype(np.int8),
+            band_level.astype(np.int8), (ssb, hp, hn), slot_map, shifts,
+            req, rows, S)
 
 
 def pack_row_planes(mm: np.ndarray) -> np.ndarray:
@@ -262,12 +397,18 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                   band_in: np.ndarray, seed_shift: np.ndarray,
                   req: np.ndarray, rows: np.ndarray, S: int, max_in: int,
                   seed_base: Optional[np.ndarray] = None,
-                  band_level: Optional[np.ndarray] = None
-                  ) -> frag_align.FragResult:
+                  band_level: Optional[np.ndarray] = None,
+                  carry_in: Optional[tuple] = None,
+                  want_state: bool = False) -> frag_align.FragResult:
     """Run the fragment kernel over the whole job list, chunking the
     fragment axis so every transferred array stays under the device
     transfer cap, padding chunks to a fixed size for compile reuse.
-    Returns numpy-backed FragResult."""
+    Returns numpy-backed FragResult.
+
+    carry_in:   (ssb, hp, hn) each (F, B) — continue a previous window's
+                DP (see frag_align.align_fragments carry_in)
+    want_state: also download out_ssb/out_hp/out_hn (the carry state for
+                the NEXT window)"""
     from graphchainer_tpu.parallel.device import (asarray_chunked,
                                                   max_batch_rows,
                                                   shard_rows)
@@ -290,35 +431,55 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                     constant_values=-1)
         bi = np.pad(band_in[lo:hi], ((0, pad), (0, 0), (0, 0)),
                     constant_values=-1)
-        ss = np.pad(seed_shift[lo:hi], (0, pad))
+        ss = (np.pad(seed_shift[lo:hi], ((0, pad), (0, 0)))
+              if seed_shift.ndim == 2
+              else np.pad(seed_shift[lo:hi], (0, pad)))
         rq = np.pad(req[lo:hi], ((0, pad), (0, 0), (0, 0)))
         rw = np.pad(rows[lo:hi], (0, pad), constant_values=1)
         sb = np.pad(seed_base[lo:hi], (0, pad)).astype(np.int32)
         bl = (np.pad(band_level[lo:hi], ((0, pad), (0, 0)),
                      constant_values=-1)
               if band_level is not None else None)
+        ci = None
+        if carry_in is not None:
+            ci = (np.pad(carry_in[0][lo:hi], ((0, pad), (0, 0)),
+                         constant_values=frag_align.BIG).astype(np.int32),
+                  np.pad(carry_in[1][lo:hi], ((0, pad), (0, 0))
+                         ).astype(np.uint32),
+                  np.pad(carry_in[2][lo:hi], ((0, pad), (0, 0))
+                         ).astype(np.uint32))
         # fragment axis rides the data mesh when >1 device is present
         bn, bi, ss, rq, rw, sb = (shard_rows(a)
                                   for a in (bn, bi, ss, rq, rw, sb))
         if bl is not None:
             bl = shard_rows(bl)
+        if ci is not None:
+            ci = tuple(shard_rows(a) for a in ci)
         res = frag_align.align_fragments(dev_eq, dev_len, bn, bi, ss, rq,
                                          rw, n_slices=S, max_in=max_in,
                                          seed_base=sb, band_level=bl,
-                                         n_levels=n_levels)
+                                         n_levels=n_levels, carry_in=ci)
         pending.append((res, hi - lo))
     # phase 2: download only the per-fragment best results (the full
-    # per-slot matrices stay on device)
+    # per-slot matrices stay on device unless want_state)
     outs = []
     for res, keep in pending:
-        outs.append((np.asarray(res.best_score)[:keep],
-                     np.asarray(res.best_slot)[:keep],
-                     np.asarray(res.best_col)[:keep],
-                     asarray_chunked(res.best_in)[:keep]))
+        part = [np.asarray(res.best_score)[:keep],
+                np.asarray(res.best_slot)[:keep],
+                np.asarray(res.best_col)[:keep],
+                asarray_chunked(res.best_in)[:keep]]
+        if want_state:
+            part += [asarray_chunked(res.out_ssb)[:keep],
+                     asarray_chunked(res.out_hp)[:keep],
+                     asarray_chunked(res.out_hn)[:keep]]
+        outs.append(part)
     cat = [np.concatenate(parts, axis=0) for parts in zip(*outs)]
-    return frag_align.FragResult(best_score=cat[0], best_slot=cat[1],
-                                 best_col=cat[2], best_in=cat[3],
-                                 end_score=None, end_col=None)
+    return frag_align.FragResult(
+        best_score=cat[0], best_slot=cat[1], best_col=cat[2],
+        best_in=cat[3], end_score=None, end_col=None,
+        out_ssb=cat[4] if want_state else None,
+        out_hp=cat[5] if want_state else None,
+        out_hn=cat[6] if want_state else None)
 
 
 def backwalk(best_in: np.ndarray, band_nodes: np.ndarray, end_slot: int,

@@ -5,12 +5,16 @@ Re-design of the reference's GraphAligner facade + banded extension
 src/GraphAlignerBitvectorBanded.h): a seed hit is extended bidirectionally
 across the whole read.  The reference re-discovers the band every 64-row
 slice with a priority flood fill; here the extension advances in WINDOWS
-of up to 64 rows: each window runs the banded fragment kernel seeded at
-the current frontier position with the accumulated score injected as the
-seed base, then the frontier moves to the window's best end position and
-the band is rebuilt there (the TPU analogue of slice-wise band
-re-seeding; the band collapses to the single best position at window
-boundaries, a deliberate simplification noted vs the reference).
+of up to 64 rows with FULL-BAND CARRY: each window runs the banded
+fragment kernel, then the next window's band is re-grown by a
+multi-source bounded BFS from every still-plausible slot of the current
+band, and the per-slot boundary state (col0 bottom scores + horizontal
+delta bits) carries over exactly (frag_align carry_in) — the TPU
+analogue of the reference's slice-queue seeding from every previous-band
+node (src/GraphAlignerBitvectorBanded.h:253-406).  On an unchanged band
+the windowed DP is bit-identical to a single whole-read kernel call.
+The alignment path is recovered at the end by walking the per-window
+backtrace pointers across window boundaries.
 
 Windows are batched across all active (read, direction) extension states,
 so each loop iteration is ONE device call regardless of batch size.
@@ -31,8 +35,10 @@ import numpy as np
 from graphchainer_tpu import constants
 from graphchainer_tpu.align import polish
 from graphchainer_tpu.align.correctness import CorrectnessState
-from graphchainer_tpu.align.anchors import (FragJob, GraphTensors,
-                                            assemble_batch, backwalk,
+from graphchainer_tpu.align.anchors import (CarryJob, FragJob,
+                                            GraphTensors,
+                                            assemble_batch,
+                                            assemble_carry_batch,
                                             run_fragments)
 from graphchainer_tpu.align.stitch import path_to_positions
 from graphchainer_tpu.graph.alignment_graph import AlignmentGraph
@@ -44,6 +50,10 @@ from graphchainer_tpu.utils.seq import match_masks
 
 W = 32
 WINDOW_ROWS = 64           # rows per extension window (2 slices)
+DEFAULT_END_DROP = 50      # clip the extension end back to the X-score
+                           # peak only when the tail loses more than this
+                           # (an implicit X-drop; explicit --X-drop
+                           # overrides)
 
 
 @dataclass
@@ -84,6 +94,11 @@ class AlignerConfig:
     # reference --global-alignment (src/AlignerMain.cpp:66): never clip
     # on score cutoffs; extend to the read ends regardless
     global_alignment: bool = False
+    # full-band carry: slots whose carried boundary score is within this
+    # margin of the best re-seed the next window's band (the reference
+    # keeps band nodes within minScore+bandwidth per slice,
+    # src/GraphAlignerBitvectorBanded.h:286)
+    carry_margin: int = 32
 
     def __post_init__(self):
         if self.precise_clipping is not None:
@@ -98,18 +113,39 @@ class AlignerConfig:
 
 
 @dataclass
+class _WindowRec:
+    """Per-window backtrace record for the deferred multi-window walk."""
+    band_nodes: np.ndarray        # (B,) int64 node ids (-1 pad)
+    best_in: np.ndarray           # (B, S) int8 kernel backtrace pointers
+    slot_map: Optional[np.ndarray]  # (B,) int32 -> previous window's slot
+                                    # (-1 = fresh; None for window 0)
+    shifts: np.ndarray            # (B,) int32 per-slot seed trims
+    rows: int                     # read rows consumed by this window
+    end_slot: int = -1            # this window's best end point
+    end_col: int = -1
+    row_end: int = 0              # cumulative rows through this window
+    xscore: float = 0.0           # running X-score after this window
+
+
+@dataclass
 class _ExtState:
-    """One direction of one read's extension."""
+    """One direction of one read's extension (full-band carry)."""
     read_idx: int
     reverse: bool           # True = extending toward the read start
     mm: np.ndarray          # direction-oriented remaining rows
     row: int                # rows consumed so far in this direction
-    node: int               # frontier node (original id)
-    trim_len: int           # remaining columns of the frontier node
-    base: int               # accumulated score at the frontier boundary
-    path: List[int] = field(default_factory=list)  # original node ids
-    last_off: int = -1      # direction-local end offset in the last node
+    seed_node: int          # seed split node (window-0 band source)
+    seed_trim: int          # trimmed length of the seed slot
     active: bool = True
+    best: int = 0           # best end-row score of the last committed win
+    band_nodes: Optional[np.ndarray] = None   # (B,) current band
+    band_shifts: Optional[np.ndarray] = None  # (B,) per-slot trims
+    carry_ssb: Optional[np.ndarray] = None    # (B,) boundary state
+    carry_hp: Optional[np.ndarray] = None
+    carry_hn: Optional[np.ndarray] = None
+    windows: List[_WindowRec] = field(default_factory=list)
+    end_slot: int = -1      # best end point over committed windows
+    end_col: int = -1
     xscore: float = 0.0     # running X-score (match +1 / edit -4)
     xscore_max: float = 0.0
     # correctness HMM over per-window error fractions (reference
@@ -135,12 +171,11 @@ class GraphAlignerModel:
         g = self.g
         node_len = int(g.node_len[seed_node])
         fwd = _ExtState(read_idx=ri, reverse=False,
-                        mm=read_mm[seed_row:], row=0, node=seed_node,
-                        trim_len=node_len - seed_offset, base=0,
-                        path=[seed_node])
+                        mm=read_mm[seed_row:], row=0, seed_node=seed_node,
+                        seed_trim=node_len - seed_offset)
         bwd = _ExtState(read_idx=ri, reverse=True,
-                        mm=read_mm[:seed_row][::-1], row=0, node=seed_node,
-                        trim_len=seed_offset, base=0, path=[seed_node])
+                        mm=read_mm[:seed_row][::-1], row=0,
+                        seed_node=seed_node, seed_trim=seed_offset)
         if len(bwd.mm) == 0:
             bwd.active = False
         if len(fwd.mm) == 0:
@@ -169,26 +204,57 @@ class GraphAlignerModel:
         """Run one window for `act`; commit results.  Returns the states
         whose commit was deferred for a wider-band retry."""
         cfg = self.cfg
-        g = self.g
-        jobs = []
-        for st in act:
-            rows = st.mm[st.row:st.row + WINDOW_ROWS]
-            jobs.append(FragJob(rmm=rows, seed_node=st.node,
-                                seed_trim_len=st.trim_len,
-                                reverse=st.reverse))
-        (band_nodes, band_nodes_cat, band_in, seed_shift, req, rows_arr, S,
-         band_level) = assemble_batch(self.gx, jobs, B=band_slots,
-                                      max_in=cfg.max_in,
-                                      slack=cfg.band_slack)
-        seed_base = np.array([st.base for st in act], dtype=np.int32)
-        res = run_fragments(self.gx, band_nodes_cat, band_in, seed_shift,
-                            req, rows_arr, S, cfg.max_in,
-                            seed_base=seed_base, band_level=band_level)
+        fresh = [st for st in act if not st.windows]
+        carried = [st for st in act if st.windows]
+        per_state = {}   # id(st) -> (res, i, band_nodes, shifts, slot_map)
+
+        if fresh:
+            jobs = [FragJob(rmm=st.mm[:WINDOW_ROWS],
+                            seed_node=st.seed_node,
+                            seed_trim_len=st.seed_trim,
+                            reverse=st.reverse) for st in fresh]
+            (bn, bnc, bi, seed_shift, req, rows_arr, S, bl) = \
+                assemble_batch(self.gx, jobs, B=band_slots,
+                               max_in=cfg.max_in, slack=cfg.band_slack)
+            res = run_fragments(self.gx, bnc, bi, seed_shift, req,
+                                rows_arr, S, cfg.max_in, band_level=bl,
+                                want_state=True)
+            B = bn.shape[1]
+            for i, st in enumerate(fresh):
+                shifts = np.zeros(B, dtype=np.int32)
+                shifts[0] = int(seed_shift[i])
+                per_state[id(st)] = (res, i, bn[i], shifts, None,
+                                     int(rows_arr[i]))
+
+        if carried:
+            cjobs = []
+            for st in carried:
+                valid = (st.carry_ssb < frag_align.BIG) \
+                    & (st.band_nodes >= 0)
+                lo = int(st.carry_ssb[valid].min()) if valid.any() else 0
+                src = valid & (st.carry_ssb <= lo + cfg.carry_margin)
+                cjobs.append(CarryJob(
+                    rmm=st.mm[st.row:st.row + WINDOW_ROWS],
+                    reverse=st.reverse, old_nodes=st.band_nodes,
+                    old_ssb=st.carry_ssb, old_hp=st.carry_hp,
+                    old_hn=st.carry_hn, src_mask=src,
+                    old_shift=st.band_shifts))
+            (bn, bnc, bi, bl, carry, slot_map, shifts_arr, req, rows_arr,
+             S) = assemble_carry_batch(self.gx, cjobs, B=band_slots,
+                                       max_in=cfg.max_in,
+                                       slack=cfg.band_slack)
+            res = run_fragments(self.gx, bnc, bi, shifts_arr, req,
+                                rows_arr, S, cfg.max_in, band_level=bl,
+                                carry_in=carry, want_state=True)
+            for i, st in enumerate(carried):
+                per_state[id(st)] = (res, i, bn[i], shifts_arr[i],
+                                     slot_map[i], int(rows_arr[i]))
+
         retry = []
-        for i, st in enumerate(act):
-            nrows = int(rows_arr[i])
+        for st in act:
+            res, i, bn_i, shifts_i, smap_i, nrows = per_state[id(st)]
             best = int(res.best_score[i])
-            delta = best - st.base
+            delta = best - st.best
             bad = (delta > cfg.window_error_cutoff * nrows
                    or not st.hmm.next_state(delta, nrows)
                           .current_is_correct())
@@ -205,60 +271,127 @@ class GraphAlignerModel:
                         and st.xscore_max - st.xscore > cfg.x_drop)):
                 st.active = False       # X-drop / correctness-HMM clip
                 continue
-            slot = int(res.best_slot[i])
-            walk = backwalk(np.asarray(res.best_in)[i], band_nodes[i],
-                            slot, (nrows - 1) // W)
-            if walk is None:
-                st.active = False
-                continue
-            # walk is [end ... seed]; direction-local path order is
-            # seed -> end
-            nodes = [int(band_nodes[i][s]) for s in reversed(walk)]
-            for nd in nodes[1:]:
-                st.path.append(nd)
-            end_node = nodes[-1]
-            cb = int(res.best_col[i])
-            # direction-local offset of the last consumed char
-            if slot == 0:
-                ln = int(g.node_len[st.node])
-                cb += ln - st.trim_len
-            st.last_off = cb
             st.row += nrows
-            st.base = best
-            st.node = end_node
-            st.trim_len = int(g.node_len[end_node]) - (cb + 1)
+            st.windows.append(_WindowRec(
+                band_nodes=bn_i.copy(), best_in=res.best_in[i],
+                slot_map=smap_i, shifts=shifts_i, rows=nrows,
+                end_slot=int(res.best_slot[i]),
+                end_col=int(res.best_col[i]), row_end=st.row,
+                xscore=st.xscore))
+            st.band_nodes = bn_i
+            st.band_shifts = shifts_i
+            st.carry_ssb = res.out_ssb[i]
+            st.carry_hp = res.out_hp[i]
+            st.carry_hn = res.out_hn[i]
+            st.best = best
+            st.end_slot = int(res.best_slot[i])
+            st.end_col = int(res.best_col[i])
             if st.row >= len(st.mm):
                 st.active = False
         return retry
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _multi_backwalk(windows: List[_WindowRec], end_slot: int
+                        ) -> Optional[List[int]]:
+        """Walk the per-window backtrace pointers from the final end slot
+        back to the seed, crossing window boundaries via slot_map.
+        Returns node ids in walk order (end -> seed), or None."""
+        if not windows:
+            return None
+        w = len(windows) - 1
+        rec = windows[w]
+        slot = end_slot
+        s = (rec.rows - 1) // W
+        nodes = [int(rec.band_nodes[slot])]
+        guard = sum(r.best_in.size for r in windows) + 8 * len(windows)
+        for _ in range(guard):
+            e = int(rec.best_in[slot, s])
+            if e == frag_align.IN_SEED:
+                return nodes
+            if e == frag_align.IN_VERT:
+                s -= 1
+                if s >= 0:
+                    continue
+                if w == 0 or rec.slot_map is None:
+                    return None
+                prev = int(rec.slot_map[slot])
+                if prev < 0:
+                    return None
+                w -= 1
+                slot = prev
+                rec = windows[w]
+                s = (rec.rows - 1) // W
+                continue
+            if e < 0:
+                return None
+            slot = e
+            nodes.append(int(rec.band_nodes[slot]))
+        return None
 
     # ------------------------------------------------------------------
     def _finalize(self, read: str, fwd: _ExtState, bwd: _ExtState,
                   seed_node: int, seed_offset: int, seed_row: int):
         """Join both directions into (positions, span)."""
         g = self.g
+
+        def walk_dir(st: _ExtState):
+            """Backwalk from the end window.  When the X-score drops more
+            than the X-drop cutoff below its running peak by the end of
+            the extension, the end is clipped back to the peak window
+            (the reference's X-score endpoint clipping at window
+            granularity, src/GraphAlignerBitvectorCommon.h:321-383);
+            smaller dips keep the full extension (reference default has
+            no X-drop).  Returns (end->seed node walk, direction-local
+            end offset, rows covered) or None."""
+            if not st.windows:
+                return None
+            w_end = len(st.windows) - 1
+            if not self.cfg.global_alignment:
+                xs = [rec.xscore for rec in st.windows]
+                peak = int(np.argmax(xs))
+                drop = (self.cfg.x_drop if self.cfg.x_drop is not None
+                        else DEFAULT_END_DROP)
+                if xs[w_end] < xs[peak] - drop:
+                    w_end = peak
+            wins = st.windows[:w_end + 1]
+            rec = wins[-1]
+            nodes = self._multi_backwalk(wins, rec.end_slot)
+            if nodes is None:
+                return None
+            off = rec.end_col + int(rec.shifts[rec.end_slot])
+            return nodes, off, rec.row_end
+
+        wf = walk_dir(fwd)
+        wb = walk_dir(bwd)
         # direction-local offsets -> original coordinates
-        if bwd.row > 0 and bwd.last_off >= 0:
-            first_node = bwd.path[-1]
+        if bwd.row > 0 and wb is not None:
+            nodes_b, off_b, bwd_rows = wb
+            first_node = nodes_b[0]
             # bwd offsets count from the reversed node start
-            first_off = int(g.node_len[first_node]) - 1 - bwd.last_off
-            bwd_nodes = list(reversed(bwd.path[1:]))
+            first_off = int(g.node_len[first_node]) - 1 - off_b
+            # end->seed walk is already original path order; drop the seed
+            bwd_nodes = nodes_b[:-1]
         else:
             first_node, first_off = seed_node, seed_offset
             bwd_nodes = []
-        if fwd.row > 0 and fwd.last_off >= 0:
-            last_node = fwd.path[-1]
-            last_off = fwd.last_off
-            fwd_nodes = fwd.path[1:]
+            bwd_rows = 0
+        if fwd.row > 0 and wf is not None:
+            nodes_f, off_f, fwd_rows = wf
+            last_node = nodes_f[0]
+            last_off = off_f
+            fwd_nodes = list(reversed(nodes_f))[1:]
         else:
             last_node, last_off = seed_node, seed_offset
             fwd_nodes = []
+            fwd_rows = 0
         path = bwd_nodes + [seed_node] + fwd_nodes
         dedup = [path[0]]
         for p in path[1:]:
             if p != dedup[-1]:
                 dedup.append(p)
         positions = path_to_positions(g, dedup, first_off, last_off)
-        span = (seed_row - bwd.row, seed_row + fwd.row)
+        span = (seed_row - bwd_rows, seed_row + fwd_rows)
         return positions, span
 
     # ------------------------------------------------------------------

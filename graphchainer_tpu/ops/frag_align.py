@@ -64,6 +64,13 @@ class FragResult(NamedTuple):
     end_score: jax.Array   # (F, B) int32 per-slot end scores (device-side;
                            # not downloaded on the hot path)
     end_col: jax.Array     # (F, B) int32 per-slot argmin columns
+    # final boundary state of the LAST slice per slot — feeding these back
+    # as carry_in of a follow-up call on the same band continues the DP
+    # exactly (windowed whole-read extension with full-band carry,
+    # reference GraphAlignerBitvectorBanded.h:253-406 slice chaining)
+    out_ssb: jax.Array = None  # (F, B) int32 col0 bottom scores
+    out_hp: jax.Array = None   # (F, B) uint32 bottom-row horizontal +1 bits
+    out_hn: jax.Array = None   # (F, B) uint32 bottom-row horizontal -1 bits
 
 
 def _above_mask(r):
@@ -88,7 +95,8 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                     seed_base: jax.Array | None = None,
                     full_start: bool = False,
                     band_level: jax.Array | None = None,
-                    n_levels: int | None = None) -> FragResult:
+                    n_levels: int | None = None,
+                    carry_in: tuple | None = None) -> FragResult:
     """Run the banded DP.
 
     node_eq:    (N2, 4) uint32  HBM-resident Eq bitplanes (fwd ++ reversed)
@@ -112,6 +120,13 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                 level[u] for every in-edge u; -1 = pad).  None falls back
                 to level == slot index (fully sequential, always valid).
     n_levels:   static level-loop trip count (> max level in band_level)
+    carry_in:   (ssb, hp, hn) each (F, B) — the out_ssb/out_hp/out_hn of
+                a previous call whose slots map onto this call's slots.
+                When given, slice 0 continues the carried DP (vertical
+                continuation + exact hin bits; NO seed injection), so
+                back-to-back calls on an unchanged band are bit-identical
+                to one call with the concatenated read rows.  Slots with
+                ssb >= BIG start invalid (freshly entered band region).
     """
     F, B = band_nodes.shape
     S = n_slices
@@ -137,16 +152,25 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
     slot_len = jnp.where(ids >= 0, jnp.take(node_len, idc, axis=0), 0)
     arangeB = jnp.arange(B, dtype=jnp.int32)[None, :]    # (1,B)
     is_seed = arangeB == 0                               # (1,B)
-    shift = jnp.where(is_seed, seed_shift[:, None], 0)   # (F,B)
+    # seed_shift: (F,) trims slot 0 only (fresh seed window); (F,B) trims
+    # per slot (carried windows keep the original seed node trimmed
+    # wherever it lands so carried column indices stay aligned)
+    if seed_shift.ndim == 2:
+        shift = seed_shift.astype(jnp.int32)             # (F,B)
+    else:
+        shift = jnp.where(is_seed, seed_shift[:, None], 0)   # (F,B)
     slot_eq = slot_eq >> (shift.astype(jnp.uint32) & 31)[..., None]
     slot_len = slot_len - shift
     slot_active = slot_len > 0                           # (F,B)
 
     zero32 = jnp.zeros((F, B), jnp.uint32)
+    carried = carry_in is not None
     state = dict(
         evp=zero32, evn=zero32, esb=jnp.full((F, B), BIG, jnp.int32),
-        ssb=jnp.full((F, B), BIG, jnp.int32),
-        hp=zero32, hn=zero32,
+        ssb=(carry_in[0].astype(jnp.int32) if carried
+             else jnp.full((F, B), BIG, jnp.int32)),
+        hp=carry_in[1].astype(jnp.uint32) if carried else zero32,
+        hn=carry_in[2].astype(jnp.uint32) if carried else zero32,
         end_score=jnp.full((F, B), BIG, jnp.int32),
         end_col=jnp.zeros((F, B), jnp.int32),
         best_in=jnp.full((F, B, S), IN_NONE, ptr_dtype),
@@ -178,7 +202,7 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
         req_s = req[:, s]                     # (F, 4)
         prev_ssb = state["ssb"]
         prev_hp, prev_hn = state["hp"], state["hn"]
-        prev_exists = (s > 0)
+        prev_exists = (s > 0) or carried
         at_end = at_end_all[:, s][:, None]    # (F,1)
 
         def level_body(l, carry, _s=s, _req_s=req_s, _prev_ssb=prev_ssb,
@@ -339,4 +363,6 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                                    1)[:, 0]
     return FragResult(best_score=best_score, best_slot=best_slot,
                       best_col=best_col, best_in=state["best_in"],
-                      end_score=end_score, end_col=state["end_col"])
+                      end_score=end_score, end_col=state["end_col"],
+                      out_ssb=state["ssb"], out_hp=state["hp"],
+                      out_hn=state["hn"])

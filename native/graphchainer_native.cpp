@@ -464,31 +464,45 @@ void* chain_paths(int64_t n, int64_t m, const int64_t* src, const int64_t* dst,
 // (0 for slots with no kept in-band in-edges, else 1 + max over kept
 // in-edges; -1 for pad slots) — the kernel advances whole levels in one
 // vectorized step, so its sequential depth is max(level)+1, not B.
-int64_t band_build(int64_t n, const int64_t* ptr, const int64_t* idx,
-                   const int64_t* node_len, int64_t nseeds,
-                   const int64_t* seed_nodes, const int64_t* seed_lens,
-                   int64_t B, int64_t max_bp, int64_t max_in,
-                   int64_t descending, int64_t* out_nodes, int64_t* out_in,
-                   int64_t* out_level) {
+//
+// band_build: one seed per job, slot 0 = seed (fresh extension windows).
+// band_build_multi: ragged multi-source jobs (full-band carry across
+// extension windows: every valid slot of the previous window's band
+// re-seeds the bounded Dijkstra, mirroring the reference's slice-queue
+// seeding from every previous-slice band node,
+// src/GraphAlignerBitvectorBanded.h:253-277).
+static int64_t band_build_impl(int64_t n, const int64_t* ptr,
+                               const int64_t* idx, const int64_t* node_len,
+                               int64_t njobs, const int64_t* src_off,
+                               const int64_t* src_nodes,
+                               const int64_t* seed_lens, int64_t B,
+                               int64_t max_bp, int64_t max_in,
+                               int64_t descending, int64_t* out_nodes,
+                               int64_t* out_in, int64_t* out_level) {
   int64_t truncated = 0;
   vector<int64_t> dist(n), epoch(n, -1);
   vector<vector<int64_t>> buckets((size_t)max_bp + 1);
   vector<int64_t> selected;
   vector<int64_t> slot_of(n, -1);
-  for (int64_t q = 0; q < nseeds; q++) {
-    int64_t seed = seed_nodes[q];
+  for (int64_t q = 0; q < njobs; q++) {
+    int64_t seed = (seed_lens != nullptr) ? src_nodes[src_off[q]] : -1;
     for (auto& b : buckets) b.clear();
     selected.clear();
-    dist[seed] = 0;
-    epoch[seed] = q;
-    buckets[0].push_back(seed);
+    for (int64_t si = src_off[q]; si < src_off[q + 1]; si++) {
+      int64_t v = src_nodes[si];
+      if (epoch[v] == q) continue;
+      dist[v] = 0;
+      epoch[v] = q;
+      buckets[0].push_back(v);
+    }
     for (int64_t d = 0; d <= max_bp && (int64_t)selected.size() < B; d++) {
       for (size_t bi = 0; bi < buckets[d].size()
                           && (int64_t)selected.size() < B; bi++) {
         int64_t v = buckets[d][bi];
         if (epoch[v] != q || dist[v] != d) continue;  // stale entry
         selected.push_back(v);
-        int64_t vlen = (v == seed) ? seed_lens[q] : node_len[v];
+        int64_t vlen = (v == seed && seed_lens != nullptr)
+                           ? seed_lens[q] : node_len[v];
         int64_t nd = d + vlen;
         if (nd > max_bp) continue;
         for (int64_t e = ptr[v]; e < ptr[v + 1]; e++) {
@@ -540,6 +554,31 @@ int64_t band_build(int64_t n, const int64_t* ptr, const int64_t* idx,
     for (size_t i = 0; i < selected.size(); i++) slot_of[selected[i]] = -1;
   }
   return truncated;
+}
+
+int64_t band_build(int64_t n, const int64_t* ptr, const int64_t* idx,
+                   const int64_t* node_len, int64_t nseeds,
+                   const int64_t* seed_nodes, const int64_t* seed_lens,
+                   int64_t B, int64_t max_bp, int64_t max_in,
+                   int64_t descending, int64_t* out_nodes, int64_t* out_in,
+                   int64_t* out_level) {
+  // one source per job: src_off = [0, 1, 2, ...]
+  vector<int64_t> off(nseeds + 1);
+  for (int64_t q = 0; q <= nseeds; q++) off[q] = q;
+  return band_build_impl(n, ptr, idx, node_len, nseeds, off.data(),
+                         seed_nodes, seed_lens, B, max_bp, max_in,
+                         descending, out_nodes, out_in, out_level);
+}
+
+int64_t band_build_multi(int64_t n, const int64_t* ptr, const int64_t* idx,
+                         const int64_t* node_len, int64_t njobs,
+                         const int64_t* src_off, const int64_t* src_nodes,
+                         int64_t B, int64_t max_bp, int64_t max_in,
+                         int64_t descending, int64_t* out_nodes,
+                         int64_t* out_in, int64_t* out_level) {
+  return band_build_impl(n, ptr, idx, node_len, njobs, src_off, src_nodes,
+                         nullptr, B, max_bp, max_in, descending, out_nodes,
+                         out_in, out_level);
 }
 
 // ---------------------------------------------------------------------------

@@ -39,7 +39,7 @@ def kernel_vs_oracle(g, read, seed_node, seed_offset, B=24, max_in=8):
     cg, D = orc.extend_from_seed(g, read, seed_node, seed_offset,
                                  nodes=nodes)
     R = len(read)
-    for slot in range(B):
+    for slot in range(band_nodes.shape[1]):
         v = int(band_nodes[0][slot])
         if v < 0:
             continue
@@ -121,6 +121,53 @@ def test_multislice_consistency():
     v, o = g.find_split(0, 10)
     res, _ = kernel_vs_oracle(g, read, v, o, B=16)
     assert int(res.best_score[0]) == 0
+
+
+def test_carry_chaining_matches_single_call():
+    """Two carried calls on an unchanged band must equal one call with
+    the concatenated read rows (the windowed-extension contract)."""
+    rng = np.random.default_rng(21)
+    seq = "".join(rng.choice(list("ACGT"), 300))
+    g = build_alignment_graph(linear_bigraph(seq, chunk=50))
+    gx = GraphTensors.build(g)
+    # noisy read spanning 4 slices
+    read = list(seq[5:5 + 120])
+    for _ in range(12):
+        p = int(rng.integers(0, len(read)))
+        read[p] = str(rng.choice(list("ACGT")))
+    read = "".join(read)
+    v, o = g.find_split(0, 5)
+    mm = match_masks(read)
+    job = FragJob(rmm=mm, seed_node=v,
+                  seed_trim_len=int(g.node_len[v]) - o, reverse=False)
+    (band_nodes, band_nodes_cat, band_in, seed_shift, req, rows, S,
+     band_level) = assemble_batch(gx, [job], B=24, max_in=8, slack=8)
+    assert S == 4
+    dev_eq, dev_len = gx.device_tables()
+    from graphchainer_tpu.align.anchors import level_bucket
+    nl = level_bucket(band_level, 24)
+    kw = dict(max_in=8, band_level=band_level, n_levels=nl)
+
+    full = frag_align.align_fragments(dev_eq, dev_len, band_nodes_cat,
+                                      band_in, seed_shift, req, rows,
+                                      n_slices=4, **kw)
+    first = frag_align.align_fragments(
+        dev_eq, dev_len, band_nodes_cat, band_in, seed_shift,
+        req[:, :2], np.array([64], np.int32), n_slices=2, **kw)
+    second = frag_align.align_fragments(
+        dev_eq, dev_len, band_nodes_cat, band_in,
+        seed_shift, req[:, 2:], rows - 64, n_slices=2,
+        carry_in=(first.out_ssb, first.out_hp, first.out_hn), **kw)
+    assert int(second.best_score[0]) == int(full.best_score[0])
+    np.testing.assert_array_equal(np.asarray(second.end_score),
+                                  np.asarray(full.end_score))
+    np.testing.assert_array_equal(np.asarray(second.out_ssb),
+                                  np.asarray(full.out_ssb))
+    np.testing.assert_array_equal(np.asarray(second.out_hp),
+                                  np.asarray(full.out_hp))
+    # best_in of the continued slices must match the full call's tail
+    np.testing.assert_array_equal(np.asarray(second.best_in),
+                                  np.asarray(full.best_in)[:, :, 2:])
 
 
 def test_backwalk_path_valid(toy_gfa):
