@@ -93,12 +93,24 @@ def _polish_once(reads: Sequence[str], paths: Sequence[str],
     pmax = _round_up(int(path_len.max()) if R else 1, 1024)
     rw = rmax // W
 
-    read_planes = np.zeros((R, rw, 4), dtype=np.uint32)
-    path_mm = np.zeros((R, pmax), dtype=np.uint8)
+    # the read axis rides the data mesh when >1 device is present
+    import jax as _jax
+    from graphchainer_tpu.parallel.device import shard_rows
+    ndev = len(_jax.devices())
+    Rp = R + ((-R) % ndev if ndev > 1 else 0)
+
+    read_planes = np.zeros((Rp, rw, 4), dtype=np.uint32)
+    path_mm = np.zeros((Rp, pmax), dtype=np.uint8)
     for i, (rd, pt) in enumerate(zip(reads, paths)):
         read_planes[i] = read_planes_of(match_masks(rd), rw)
         pm = match_masks(pt)
         path_mm[i, :len(pm)] = pm
+    read_len = np.pad(read_len, (0, Rp - R))
+    path_len = np.pad(path_len, (0, Rp - R))
+    if ndev > 1:
+        read_planes, path_mm, read_len, path_len = (
+            shard_rows(a)
+            for a in (read_planes, path_mm, read_len, path_len))
 
     res = linear_align.polish_align(read_planes, path_mm, read_len,
                                     path_len, bw)

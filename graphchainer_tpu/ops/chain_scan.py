@@ -59,8 +59,27 @@ def chain_scan(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask, ev_group):
                 f"chain_scan int32 packing overflow: read coverage "
                 f"{max_cov} x (A={A} + 2) >= 2^31; reduce the anchor cap "
                 "or split the read (see ops/chain_scan.py capacity note)")
-    return _chain_scan(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask,
-                       ev_group)
+    # shard the read axis over the data mesh (reads are embarrassingly
+    # parallel here; no-op on a single device)
+    args = (x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask, ev_group)
+    if isinstance(x, np.ndarray):
+        import jax as _jax
+        from graphchainer_tpu.parallel.device import shard_rows
+        ndev = len(_jax.devices())
+        if ndev > 1:
+            R = x.shape[0]
+            pad = (-R) % ndev
+            if pad:
+                # padded reads carry EV_NONE events + invalid anchors
+                args = tuple(np.pad(a, ((0, pad),) + ((0, 0),)
+                                    * (a.ndim - 1),
+                                    constant_values=(-1 if i == 3 else 0))
+                             for i, a in enumerate(args))
+            args = tuple(shard_rows(a) for a in args)
+            res = _chain_scan(*args)
+            return ChainScanResult(c_val=np.asarray(res.c_val)[:R],
+                                   c_pred=np.asarray(res.c_pred)[:R])
+    return _chain_scan(*args)
 
 
 @partial(jax.jit, static_argnames=())

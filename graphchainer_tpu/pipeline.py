@@ -251,14 +251,16 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
         return done
 
     def consume(alns):
+        # per-read stat rows merge below via a psum over the device mesh
+        # (parallel/collectives.py) — the SPMD replacement for the
+        # reference's shared-memory atomics (src/Aligner.cpp:111-144)
+        stat_rows = []
         for aln in alns:
-            stats.reads += 1
-            stats.bp_in_reads += len(aln.seq)
+            row = [1, len(aln.seq), aln.n_seeds,
+                   1 if aln.n_seeds else 0, 0, 0, 0]
+            stat_rows.append(row)
             if aln.error is not None:
                 stats.assertion_broke = True
-            stats.seeds_found += aln.n_seeds
-            if aln.n_seeds:
-                stats.reads_with_a_seed += 1
             if aln.failed:
                 continue
             emitted = [aln] + list(aln.secondary)
@@ -270,10 +272,9 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
                 if not emitted:
                     continue
                 aln = emitted[0]
-            stats.reads_with_an_alignment += 1
-            stats.alignments += len(emitted)
-            stats.bp_in_alignments += sum(a.seq_end - a.seq_start
-                                          for a in emitted)
+            row[4] = 1
+            row[5] = len(emitted)
+            row[6] = sum(a.seq_end - a.seq_start for a in emitted)
             if gam_w:
                 for a in emitted:
                     gam_w.write(gam.alignment_message(g, a))
@@ -293,6 +294,16 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
                 c = corrected_read(aln, model.gx, clipped=True)
                 if c:
                     clip_f.write(f">{aln.name}\n{c}\n")
+        if stat_rows:
+            from graphchainer_tpu.parallel.collectives import merge_stats
+            t = merge_stats(np.asarray(stat_rows, dtype=np.int64))
+            stats.reads += int(t[0])
+            stats.bp_in_reads += int(t[1])
+            stats.seeds_found += int(t[2])
+            stats.reads_with_a_seed += int(t[3])
+            stats.reads_with_an_alignment += int(t[4])
+            stats.alignments += int(t[5])
+            stats.bp_in_alignments += int(t[6])
 
     while True:
         batch = batch_q.get()

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Weak-scaling measurement of the device compute path over a virtual
+CPU mesh: the same per-device fragment/chain/polish load is run on 1
+device and on N devices (N x total work), and efficiency =
+t_1 / t_N (1.0 = perfect weak scaling).
+
+NOTE on interpretation: with XLA's virtual CPU devices all "devices"
+share the host cores, so this measures the SPMD sharding/collective
+overhead of the production kernels, not real multi-chip speedup — the
+honest scaling number until >1 real TPU chip is available.  Run with
+  python scripts/scaling_test.py [N]
+(forces JAX_PLATFORMS=cpu with N virtual devices; default 8).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+
+def run_child(ndev: int) -> dict:
+    env = {**os.environ,
+           "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
+                         + f" --xla_force_host_platform_device_count={ndev}"
+                         ).strip(),
+           "SCALING_CHILD": "1",
+           "SCALING_NDEV": str(ndev)}
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       capture_output=True, text=True, env=env,
+                       timeout=1800)
+    if r.returncode != 0:
+        sys.exit(f"child ndev={ndev} failed:\n{r.stderr[-2000:]}")
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def child():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import numpy as np
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    ndev = len(jax.devices())
+    assert ndev == int(os.environ["SCALING_NDEV"])
+
+    import bench
+    from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+    from graphchainer_tpu.graph.mpc import build_mpc
+    from graphchainer_tpu.graph.simulate import generate_path, simulate_reads
+    from graphchainer_tpu.index.minimizer import build_index
+    from graphchainer_tpu.models.chainer import ChainerConfig, ChainerModel
+
+    rng = np.random.default_rng(7)
+    g = build_alignment_graph(bench.build_bench_graph(rng, 60_000))
+    mpc = build_mpc(g)
+    idx = build_index(g, k=15, w=10)
+    model = ChainerModel(g, mpc, idx, ChainerConfig())
+    path_seq, _ = generate_path(g, seed=3)
+    # weak scaling: per-device read count is fixed
+    per_dev = 16
+    n_reads = per_dev * ndev
+    reads = simulate_reads(path_seq, n_reads + n_reads, 3000, seed=11,
+                           error_rate=0.10, len_std=300)
+    model.align_batch(reads[:n_reads])     # warmup/compile
+    t0 = time.time()
+    alns = model.align_batch(reads[n_reads:])
+    dt = time.time() - t0
+    ok = sum(0 if a.failed else 1 for a in alns)
+    print(json.dumps({"ndev": ndev, "reads": n_reads, "wall_s": dt,
+                      "aligned": ok}))
+
+
+def main():
+    one = run_child(1)
+    many = run_child(N)
+    eff = one["wall_s"] / many["wall_s"]
+    out = {
+        "n_devices": N,
+        "weak_scaling_efficiency": round(eff, 3),
+        "t_1dev_s": round(one["wall_s"], 2),
+        f"t_{N}dev_s": round(many["wall_s"], 2),
+        "per_dev_reads": one["reads"],
+        "note": "virtual CPU devices share host cores: this bounds SPMD "
+                "sharding overhead, not real multi-chip speedup",
+    }
+    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALING.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    if os.environ.get("SCALING_CHILD"):
+        child()
+    else:
+        main()
