@@ -393,6 +393,61 @@ def level_bucket(band_level: np.ndarray, B: int) -> int:
     return min(n, B)
 
 
+def _spread16(x: np.ndarray) -> np.ndarray:
+    """Scatter bits 0..15 of each uint32 to the even bit positions."""
+    x = x.astype(np.uint32) & np.uint32(0xFFFF)
+    x = (x | (x << 8)) & np.uint32(0x00FF00FF)
+    x = (x | (x << 4)) & np.uint32(0x0F0F0F0F)
+    x = (x | (x << 2)) & np.uint32(0x33333333)
+    return (x | (x << 1)) & np.uint32(0x55555555)
+
+
+def _try_pack_frag(band_nodes_cat: np.ndarray, band_in: np.ndarray,
+                   req: np.ndarray, rows: np.ndarray, max_in: int):
+    """Wire-pack a fragment batch for align_fragments_packed (node-id
+    deltas int16, in-edge nibbles, 2-bit read codes).  Returns
+    (bn_base, bn_d16, bi_p16, req2) or None when the batch doesn't fit
+    the packed format (B > 16, wide id spans, ambiguous read bases)."""
+    F, B = band_nodes_cat.shape
+    if B > 16 or band_in.shape[2] > 4 or max_in > 4 or F == 0:
+        return None
+    pad = band_nodes_cat < 0
+    base = np.where(pad[:, 0], 0, band_nodes_cat[:, 0]).astype(np.int32)
+    d = band_nodes_cat.astype(np.int64) - base[:, None]
+    if ((~pad) & ((d > 32767) | (d < -32767))).any():
+        return None
+    bn_d16 = np.where(pad, frag_align.BN_PAD, d).astype(np.int16)
+    own = np.arange(B, dtype=np.int32)[None, :, None]
+    v = np.where(band_in < 0, own, band_in.astype(np.int32))
+    if (v >= 16).any():
+        return None
+    bi_p16 = np.zeros((F, B), np.uint16)
+    for e in range(band_in.shape[2]):
+        bi_p16 |= (v[:, :, e].astype(np.uint16) << np.uint16(4 * e))
+    # read planes -> 2-bit codes: every in-range row must match exactly
+    # one base (IUPAC-ambiguous reads fall back to the plane format)
+    p = req.astype(np.uint32)
+    p0, p1, p2, p3 = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
+    multi = ((p0 & p1) | (p0 & p2) | (p0 & p3) | (p1 & p2) | (p1 & p3)
+             | (p2 & p3))
+    cover = p0 | p1 | p2 | p3
+    S = p.shape[1]
+    ns = np.clip(rows[:, None].astype(np.int64)
+                 - W * np.arange(S, dtype=np.int64)[None, :], 0, W)
+    need = ((np.uint64(1) << ns.astype(np.uint64)) - 1).astype(np.uint32)
+    if (multi != 0).any() or ((cover & need) != need).any():
+        return None
+    c0, c1 = p1 | p3, p2 | p3
+    w0 = _spread16(c0) | (_spread16(c1) << 1)
+    w1 = _spread16(c0 >> 16) | (_spread16(c1 >> 16) << 1)
+    req2 = np.stack([w0, w1], axis=-1)          # (F, S, 2)
+    return base, bn_d16, bi_p16, req2
+
+
+# bi_p16 value meaning "no in-edges" for padded fragments: nibble e = e
+BI_P16_PAD = np.uint16(0x3210)
+
+
 def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                   band_in: np.ndarray, seed_shift: np.ndarray,
                   req: np.ndarray, rows: np.ndarray, S: int, max_in: int,
@@ -417,24 +472,31 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
     if seed_base is None:
         seed_base = np.zeros(F, dtype=np.int32)
     n_levels = level_bucket(band_level, B) if band_level is not None else None
-    row_bytes = max(B * 4, B * max_in, S * 16, B * S)
-    fchunk = min(max_batch_rows(row_bytes), 2048)
     import jax as _jax
     ndev = len(_jax.devices())
+    packed = (_try_pack_frag(band_nodes_cat, band_in, req, rows, max_in)
+              if band_level is not None and (B * S) % 4 == 0 else None)
+    if packed is not None:
+        # packed wire rows are ~4x slimmer; whole batches usually fit one
+        # call (each call costs a fixed tunnel round trip).  Chunk sizes
+        # bucket to multiples of 2048 to bound compile variants.
+        row_bytes = max(2 * B, 8 * S, (2 + B * S // 4 + (3 * B
+                        if want_state else 0)) * 4)
+        fmax = max(2048, (max_batch_rows(row_bytes) // 2048) * 2048)
+        fchunk = min(-(-F // 2048) * 2048, fmax)
+    else:
+        row_bytes = max(B * 4, B * max_in, S * 16, B * S)
+        fchunk = min(max_batch_rows(row_bytes), 2048)
     fchunk = max(ndev, (fchunk // ndev) * ndev)   # even mesh sharding
+    sb_zero = not seed_base.any()
     # phase 1: dispatch every chunk (async; uploads/compute pipeline)
     pending = []
     for lo in range(0, F, fchunk):
         hi = min(F, lo + fchunk)
         pad = fchunk - (hi - lo)
-        bn = np.pad(band_nodes_cat[lo:hi], ((0, pad), (0, 0)),
-                    constant_values=-1)
-        bi = np.pad(band_in[lo:hi], ((0, pad), (0, 0), (0, 0)),
-                    constant_values=-1)
         ss = (np.pad(seed_shift[lo:hi], ((0, pad), (0, 0)))
               if seed_shift.ndim == 2
               else np.pad(seed_shift[lo:hi], (0, pad)))
-        rq = np.pad(req[lo:hi], ((0, pad), (0, 0), (0, 0)))
         rw = np.pad(rows[lo:hi], (0, pad), constant_values=1)
         sb = np.pad(seed_base[lo:hi], (0, pad)).astype(np.int32)
         bl = (np.pad(band_level[lo:hi], ((0, pad), (0, 0)),
@@ -448,22 +510,64 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                          ).astype(np.uint32),
                   np.pad(carry_in[2][lo:hi], ((0, pad), (0, 0))
                          ).astype(np.uint32))
+            ci = tuple(shard_rows(a) for a in ci)
+        if packed is not None:
+            # compressed wire format (decode fused on device)
+            base, bn_d16, bi_p16, req2 = packed
+            bb = shard_rows(np.pad(base[lo:hi], (0, pad)))
+            bd = shard_rows(np.pad(bn_d16[lo:hi], ((0, pad), (0, 0)),
+                                   constant_values=frag_align.BN_PAD))
+            bp = shard_rows(np.pad(bi_p16[lo:hi], ((0, pad), (0, 0)),
+                                   constant_values=BI_P16_PAD))
+            rq2 = shard_rows(np.pad(req2[lo:hi], ((0, pad), (0, 0),
+                                                  (0, 0))))
+            ss8 = shard_rows(ss.astype(np.int8))
+            rw16 = shard_rows(rw.astype(np.int16))
+            bl = shard_rows(bl)
+            res = frag_align.align_fragments_packed_out(
+                dev_eq, dev_len, bb, bd, bp, ss8, rq2, rw16, n_slices=S,
+                max_in=max_in, band_level=bl, n_levels=n_levels,
+                seed_base=None if sb_zero else shard_rows(sb),
+                carry_in=ci, want_state=want_state)
+            pending.append((res, hi - lo))
+            continue
+        bn = np.pad(band_nodes_cat[lo:hi], ((0, pad), (0, 0)),
+                    constant_values=-1)
+        bi = np.pad(band_in[lo:hi], ((0, pad), (0, 0), (0, 0)),
+                    constant_values=-1)
+        rq = np.pad(req[lo:hi], ((0, pad), (0, 0), (0, 0)))
         # fragment axis rides the data mesh when >1 device is present
         bn, bi, ss, rq, rw, sb = (shard_rows(a)
                                   for a in (bn, bi, ss, rq, rw, sb))
         if bl is not None:
             bl = shard_rows(bl)
-        if ci is not None:
-            ci = tuple(shard_rows(a) for a in ci)
         res = frag_align.align_fragments(dev_eq, dev_len, bn, bi, ss, rq,
                                          rw, n_slices=S, max_in=max_in,
                                          seed_base=sb, band_level=bl,
                                          n_levels=n_levels, carry_in=ci)
         pending.append((res, hi - lo))
     # phase 2: download only the per-fragment best results (the full
-    # per-slot matrices stay on device unless want_state)
+    # per-slot matrices stay on device unless want_state); the packed
+    # path pulls ONE array per chunk (a single tunnel round trip) and
+    # decodes it here
     outs = []
     for res, keep in pending:
+        if packed is not None:
+            w = asarray_chunked(res)[:keep]         # (keep, D) int32
+            bs_words = B * S // 4
+            cc = np.ascontiguousarray
+            part = [w[:, 0],
+                    w[:, 1] & 0xFF,
+                    (w[:, 1] >> 8) & 0xFF,
+                    cc(w[:, 2:2 + bs_words]).view(np.int8).reshape(
+                        keep, B, S)]
+            if want_state:
+                o = 2 + bs_words
+                part += [cc(w[:, o:o + B]),
+                         cc(w[:, o + B:o + 2 * B]).view(np.uint32),
+                         cc(w[:, o + 2 * B:o + 3 * B]).view(np.uint32)]
+            outs.append(part)
+            continue
         part = [np.asarray(res.best_score)[:keep],
                 np.asarray(res.best_slot)[:keep],
                 np.asarray(res.best_col)[:keep],

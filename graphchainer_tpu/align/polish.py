@@ -82,6 +82,15 @@ def polish_batch(reads: Sequence[str], paths: Sequence[str],
     return out
 
 
+def pack_nibbles(mm: np.ndarray) -> np.ndarray:
+    """(..., L) uint8 4-bit match masks -> (..., L//8) uint32 packed 8
+    chars per word (the wire format of the polish kernels)."""
+    lead = mm.shape[:-1]
+    m = mm.reshape(*lead, -1, 8).astype(np.uint32)
+    shifts = (np.arange(8, dtype=np.uint32) * 4)
+    return (m << shifts).sum(axis=-1, dtype=np.uint32)
+
+
 def _polish_once(reads: Sequence[str], paths: Sequence[str],
                  bw: int) -> List[PolishOutcome]:
     R = len(reads)
@@ -91,7 +100,6 @@ def _polish_once(reads: Sequence[str], paths: Sequence[str],
     # coarse padding buckets so repeated batches reuse compiled shapes
     rmax = _round_up(int(read_len.max()) if R else 1, 1024)
     pmax = _round_up(int(path_len.max()) if R else 1, 1024)
-    rw = rmax // W
 
     # the read axis rides the data mesh when >1 device is present
     import jax as _jax
@@ -99,28 +107,33 @@ def _polish_once(reads: Sequence[str], paths: Sequence[str],
     ndev = len(_jax.devices())
     Rp = R + ((-R) % ndev if ndev > 1 else 0)
 
-    read_planes = np.zeros((Rp, rw, 4), dtype=np.uint32)
+    # 4-bit packed wire arrays (the tunnel is bandwidth-bound; decode is
+    # fused on device — ops/linear_align.py packed front-ends)
+    read_mm = np.zeros((Rp, rmax), dtype=np.uint8)
     path_mm = np.zeros((Rp, pmax), dtype=np.uint8)
     for i, (rd, pt) in enumerate(zip(reads, paths)):
-        read_planes[i] = read_planes_of(match_masks(rd), rw)
-        pm = match_masks(pt)
-        path_mm[i, :len(pm)] = pm
+        read_mm[i, :len(rd)] = match_masks(rd)
+        path_mm[i, :len(pt)] = match_masks(pt)
+    read_p4 = pack_nibbles(read_mm)
+    path_p4 = pack_nibbles(path_mm)
     read_len = np.pad(read_len, (0, Rp - R))
     path_len = np.pad(path_len, (0, Rp - R))
     if ndev > 1:
-        read_planes, path_mm, read_len, path_len = (
+        read_p4, path_p4, read_len, path_len = (
             shard_rows(a)
-            for a in (read_planes, path_mm, read_len, path_len))
+            for a in (read_p4, path_p4, read_len, path_len))
 
-    res = linear_align.polish_align(read_planes, path_mm, read_len,
-                                    path_len, bw)
-    bt = linear_align.backtrace_device(
-        res.dump_vp, res.dump_vn, res.dump_sb, res.dump_base, read_planes,
-        path_mm, read_len, path_len, bw, max_steps=rmax + pmax)
-    scores = np.asarray(res.score)
-    n_ops = np.asarray(bt.n_ops)
-    touched = np.asarray(bt.touched)
-    ops_rev = asarray_chunked(bt.ops_rev)
+    # ONE device call, ONE packed download (score + n_ops + touched +
+    # 2-bit ops); the DP dump never leaves HBM
+    w = asarray_chunked(linear_align.polish_full_packed(
+        read_p4, path_p4, read_len, path_len, bw,
+        max_steps=rmax + pmax))
+    scores, n_ops, touched = w[:, 0], w[:, 1], w[:, 2] != 0
+    ops2 = np.ascontiguousarray(w[:, 3:]).view(np.uint32)
+    # unpack 2-bit ops (values beyond n_ops are padding)
+    shifts = (np.arange(16, dtype=np.uint32) * 2)
+    ops_rev = ((ops2[:, :, None] >> shifts) & 3).astype(np.uint8)
+    ops_rev = ops_rev.reshape(ops2.shape[0], -1)
     out = []
     for i in range(R):
         ops = (ops_rev[i, :n_ops[i]][::-1].copy()

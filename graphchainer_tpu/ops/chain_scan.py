@@ -59,27 +59,83 @@ def chain_scan(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask, ev_group):
                 f"chain_scan int32 packing overflow: read coverage "
                 f"{max_cov} x (A={A} + 2) >= 2^31; reduce the anchor cap "
                 "or split the read (see ops/chain_scan.py capacity note)")
+    if not isinstance(x, np.ndarray):
+        # device/traced arrays (e.g. the driver's dryrun jit): no host
+        # packing possible
+        return _chain_scan(x, y, valid, ev_type, ev_anchor, ev_k,
+                           ev_kmask, ev_group)
+
+    # wire-pack the upload (the tunneled TPU is bandwidth-bound): event
+    # type+anchor merge into one uint16, coordinates/masks narrow to the
+    # smallest dtype that holds the batch; the decode widens on device
+    # inside the jit (ChainScanResult is bit-identical either way)
+    def _narrow(a):
+        if a.dtype in (np.int32, np.int64) and a.size:
+            if -32768 <= int(a.min()) and int(a.max()) < 32768:
+                return a.astype(np.int16)
+        return a
+
+    if A <= 8192:
+        ev_ta = (((ev_type.astype(np.int32) + 1) << 13)
+                 | ev_anchor.astype(np.int32)).astype(np.uint16)
+    else:
+        ev_ta = None
+    xn, yn = _narrow(x), _narrow(y)
+    kn, gn = _narrow(ev_k), _narrow(ev_group)
+    if ev_kmask.size and int(ev_kmask.max()) < 256:
+        km = ev_kmask.astype(np.uint8)
+    elif ev_kmask.size and int(ev_kmask.max()) < 65536:
+        km = ev_kmask.astype(np.uint16)
+    else:
+        km = ev_kmask
+
+    if ev_ta is not None:
+        args = (xn, yn, valid, ev_ta, kn, km, gn)
+        fn = _chain_scan_packed
+    else:
+        args = (xn, yn, valid, ev_type, ev_anchor, kn, km, gn)
+        fn = _chain_scan_wide
+
     # shard the read axis over the data mesh (reads are embarrassingly
     # parallel here; no-op on a single device)
-    args = (x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask, ev_group)
-    if isinstance(x, np.ndarray):
-        import jax as _jax
-        from graphchainer_tpu.parallel.device import shard_rows
-        ndev = len(_jax.devices())
-        if ndev > 1:
-            R = x.shape[0]
-            pad = (-R) % ndev
-            if pad:
-                # padded reads carry EV_NONE events + invalid anchors
-                args = tuple(np.pad(a, ((0, pad),) + ((0, 0),)
-                                    * (a.ndim - 1),
-                                    constant_values=(-1 if i == 3 else 0))
-                             for i, a in enumerate(args))
-            args = tuple(shard_rows(a) for a in args)
-            res = _chain_scan(*args)
-            return ChainScanResult(c_val=np.asarray(res.c_val)[:R],
-                                   c_pred=np.asarray(res.c_pred)[:R])
-    return _chain_scan(*args)
+    import jax as _jax
+    from graphchainer_tpu.parallel.device import shard_rows
+    ndev = len(_jax.devices())
+    R = x.shape[0]
+    pad = (-R) % ndev if ndev > 1 else 0
+    if pad:
+        # padded reads carry zero rows: with ev_ta == 0 the decoded
+        # type is EV_NONE (t = -1) and valid is all-False
+        args = tuple(np.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                     for a in args)
+    if ndev > 1:
+        args = tuple(shard_rows(a) for a in args)
+    # ONE download: (R, 2A) int32 [c_val ++ c_pred]
+    w = np.asarray(fn(*args))
+    return ChainScanResult(c_val=w[:R, :A], c_pred=w[:R, A:])
+
+
+@jax.jit
+def _chain_scan_packed(x, y, valid, ev_ta, ev_k, ev_kmask, ev_group):
+    ta = ev_ta.astype(jnp.int32)
+    res = _chain_scan(x.astype(jnp.int32), y.astype(jnp.int32), valid,
+                      (ta >> 13) - 1, ta & 0x1FFF,
+                      ev_k.astype(jnp.int32),
+                      ev_kmask.astype(jnp.uint32),
+                      ev_group.astype(jnp.int32))
+    return jnp.concatenate([res.c_val, res.c_pred], axis=1)
+
+
+@jax.jit
+def _chain_scan_wide(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask,
+                     ev_group):
+    res = _chain_scan(x.astype(jnp.int32), y.astype(jnp.int32), valid,
+                      ev_type.astype(jnp.int32),
+                      ev_anchor.astype(jnp.int32),
+                      ev_k.astype(jnp.int32),
+                      ev_kmask.astype(jnp.uint32),
+                      ev_group.astype(jnp.int32))
+    return jnp.concatenate([res.c_val, res.c_pred], axis=1)
 
 
 @partial(jax.jit, static_argnames=())

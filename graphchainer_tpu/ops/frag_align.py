@@ -366,3 +366,117 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                       end_score=end_score, end_col=state["end_col"],
                       out_ssb=state["ssb"], out_hp=state["hp"],
                       out_hn=state["hn"])
+
+
+# ---------------------------------------------------------------------------
+# Packed-transfer front-end.  The tunneled TPU is host<->device
+# bandwidth-bound, so the hot CLC path ships its per-batch index arrays
+# compressed and decodes them on device (fused by XLA):
+#   band nodes  -> per-fragment int32 base + int16 deltas
+#   in-edges    -> 4 nibbles per slot in one uint16 (sentinel = own slot)
+#   read planes -> 2-bit base codes, 16 rows per uint32
+# align_fragments_packed(...) == align_fragments(...) bit-for-bit; hosts
+# fall back to the unpacked call when a batch doesn't fit the format
+# (B > 16, non-ACGT reads, wide node-id spans — see anchors.run_fragments).
+
+BN_PAD = -32768      # int16 delta sentinel for empty band slots
+
+
+def _even16(x):
+    """Gather the even bits of a uint32 into bits 0..15."""
+    x = x & jnp.uint32(0x55555555)
+    x = (x | (x >> 1)) & jnp.uint32(0x33333333)
+    x = (x | (x >> 2)) & jnp.uint32(0x0F0F0F0F)
+    x = (x | (x >> 4)) & jnp.uint32(0x00FF00FF)
+    return (x | (x >> 8)) & jnp.uint32(0x0000FFFF)
+
+
+def expand_req2(req2: jax.Array) -> jax.Array:
+    """(F, S, 2) uint32 packed 2-bit base codes -> (F, S, 4) uint32 row
+    match planes (bit i of plane b = code of row 32s+i equals b)."""
+    planes = []
+    w0, w1 = req2[..., 0], req2[..., 1]
+    for b in range(4):
+        rep = jnp.uint32(b * 0x55555555)
+
+        def eqbits(w, rep=rep):
+            eq = ~(w ^ rep)
+            return _even16(eq & (eq >> 1) & jnp.uint32(0x55555555))
+        planes.append(eqbits(w0) | (eqbits(w1) << 16))
+    return jnp.stack(planes, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n_slices", "max_in", "n_levels"))
+def align_fragments_packed(node_eq: jax.Array, node_len: jax.Array,
+                           bn_base: jax.Array, bn_d16: jax.Array,
+                           bi_p16: jax.Array, seed_shift: jax.Array,
+                           req2: jax.Array, frag_len: jax.Array,
+                           n_slices: int, max_in: int,
+                           band_level: jax.Array, n_levels: int,
+                           seed_base: jax.Array | None = None,
+                           carry_in: tuple | None = None) -> FragResult:
+    """align_fragments on wire-packed inputs.
+
+    bn_base: (F,) int32 slot-0 node id; bn_d16: (F, B) int16 deltas
+    (BN_PAD = empty slot); bi_p16: (F, B) uint16, 4 in-edge nibbles per
+    slot with `own slot index` as the none-sentinel (requires B <= 16,
+    max_in <= 4); req2: (F, S, 2) uint32 2-bit read codes."""
+    F, B = bn_d16.shape
+    band_nodes = jnp.where(bn_d16 == BN_PAD, jnp.int32(-1),
+                           bn_base[:, None] + bn_d16.astype(jnp.int32))
+    arangeB = jnp.arange(B, dtype=jnp.int32)[None, :]
+    ins = []
+    for e in range(max_in):
+        u = ((bi_p16.astype(jnp.int32) >> (4 * e)) & 0xF)
+        ins.append(jnp.where(u == arangeB, jnp.int32(-1), u))
+    band_in = jnp.stack(ins, axis=-1)
+    req = expand_req2(req2)
+    return align_fragments(node_eq, node_len, band_nodes, band_in,
+                           seed_shift.astype(jnp.int32), req,
+                           frag_len.astype(jnp.int32), n_slices, max_in,
+                           seed_base=seed_base, band_level=band_level,
+                           n_levels=n_levels, carry_in=carry_in)
+
+
+def _bytes_to_words(b: jax.Array) -> jax.Array:
+    """(..., 4k) uint8 -> (..., k) int32 little-endian words."""
+    x = b.astype(jnp.uint32).reshape(*b.shape[:-1], -1, 4)
+    w = (x[..., 0] | (x[..., 1] << 8) | (x[..., 2] << 16)
+         | (x[..., 3] << 24))
+    return jax.lax.bitcast_convert_type(w, jnp.int32)
+
+
+@partial(jax.jit,
+         static_argnames=("n_slices", "max_in", "n_levels", "want_state"))
+def align_fragments_packed_out(node_eq: jax.Array, node_len: jax.Array,
+                               bn_base: jax.Array, bn_d16: jax.Array,
+                               bi_p16: jax.Array, seed_shift: jax.Array,
+                               req2: jax.Array, frag_len: jax.Array,
+                               n_slices: int, max_in: int,
+                               band_level: jax.Array, n_levels: int,
+                               seed_base: jax.Array | None = None,
+                               carry_in: tuple | None = None,
+                               want_state: bool = False) -> jax.Array:
+    """align_fragments_packed with the results packed into ONE int32
+    array (one download round trip): per fragment
+      word 0:            best_score
+      word 1:            best_slot | best_col << 8
+      words 2..2+BS/4:   best_in bytes (B*S int8, 4 per word)
+      then, if want_state, B words each of out_ssb / out_hp / out_hn.
+    Requires B*S % 4 == 0 (bands are bucketed to multiples of 8)."""
+    res = align_fragments_packed(node_eq, node_len, bn_base, bn_d16,
+                                 bi_p16, seed_shift, req2, frag_len,
+                                 n_slices, max_in, band_level, n_levels,
+                                 seed_base=seed_base, carry_in=carry_in)
+    F, B = bn_d16.shape
+    S = n_slices
+    assert (B * S) % 4 == 0
+    slotcol = res.best_slot | (res.best_col << 8)
+    parts = [res.best_score[:, None], slotcol[:, None],
+             _bytes_to_words(jax.lax.bitcast_convert_type(
+                 res.best_in, jnp.uint8).reshape(F, B * S))]
+    if want_state:
+        parts += [res.out_ssb,
+                  jax.lax.bitcast_convert_type(res.out_hp, jnp.int32),
+                  jax.lax.bitcast_convert_type(res.out_hn, jnp.int32)]
+    return jnp.concatenate(parts, axis=1)

@@ -263,3 +263,96 @@ def backtrace_device(dump_vp, dump_vn, dump_sb, dump_base, read_planes,
     n = jnp.sum((ops != OP_NONE).astype(jnp.int32), axis=1)
     n = jnp.where(complete, n, -1)
     return BacktraceResult(ops_rev=ops, n_ops=n, touched=touch)
+
+
+# ---------------------------------------------------------------------------
+# Packed transfer front-ends.  The axon tunnel is bandwidth-bound
+# (~4-6 MB/s), so the hot pipeline ships sequences as 4-bit match-mask
+# nibbles (8 chars / uint32; IUPAC masks survive intact) and downloads
+# edit ops as 2-bit codes (16 ops / uint32).  Decoding happens on device
+# inside the jit, where it is fused and effectively free.
+
+def expand_nibbles(p4: jax.Array) -> jax.Array:
+    """(R, PW) uint32 of packed 4-bit codes -> (R, PW*8) uint8."""
+    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)[None, None, :]
+    out = (p4[:, :, None] >> shifts) & jnp.uint32(0xF)
+    return out.astype(jnp.uint8).reshape(p4.shape[0], -1)
+
+
+def _compact4(x: jax.Array) -> jax.Array:
+    """Gather bits at positions {4j} of each uint32 into bits 0..7."""
+    x = (x | (x >> 3)) & jnp.uint32(0x03030303)
+    x = (x | (x >> 6)) & jnp.uint32(0x000F000F)
+    return (x | (x >> 12)) & jnp.uint32(0xFF)
+
+
+def expand_planes(p4: jax.Array) -> jax.Array:
+    """(R, rw*4) uint32 packed 4-bit codes -> (R, rw, 4) uint32 row
+    planes (bit i of plane b at word w = mask bit b of char 32w+i)."""
+    R, RW4 = p4.shape
+    rw = RW4 // 4
+    planes = []
+    for b in range(4):
+        c = _compact4((p4 >> jnp.uint32(b)) & jnp.uint32(0x11111111))
+        cr = c.reshape(R, rw, 4)
+        planes.append(cr[:, :, 0] | (cr[:, :, 1] << 8)
+                      | (cr[:, :, 2] << 16) | (cr[:, :, 3] << 24))
+    return jnp.stack(planes, axis=-1)        # (R, rw, 4)
+
+
+def pack_ops2(ops: jax.Array) -> jax.Array:
+    """(R, M) uint8 edit ops -> (R, M//16) uint32, 2 bits per op.  Only
+    the low 2 bits survive (OP_NONE padding beyond n_ops is discarded by
+    the host anyway)."""
+    R, M = ops.shape
+    o = (ops.astype(jnp.uint32) & 3).reshape(R, M // 16, 16)
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
+    return jnp.sum(o << shifts, axis=2, dtype=jnp.uint32)
+
+
+class PackedBacktrace(NamedTuple):
+    ops2: jax.Array      # (R, max_steps//16) uint32, 2-bit ops, walk order
+    n_ops: jax.Array     # (R,) int32
+    touched: jax.Array   # (R,) bool
+
+
+@partial(jax.jit, static_argnames=("bw",))
+def polish_align_packed(read_p4, path_p4, read_len, path_len,
+                        bw: int) -> PolishResult:
+    """polish_align on 4-bit-packed inputs (read_p4: (R, rmax//8) uint32,
+    path_p4: (R, pmax//8) uint32); decode is fused on device."""
+    read_planes = expand_planes(read_p4)
+    path_mm = expand_nibbles(path_p4)
+    return polish_align(read_planes, path_mm, read_len, path_len, bw)
+
+
+@partial(jax.jit, static_argnames=("bw", "max_steps"))
+def backtrace_device_packed(dump_vp, dump_vn, dump_sb, dump_base, read_p4,
+                            path_p4, read_len, path_len, bw: int,
+                            max_steps: int) -> PackedBacktrace:
+    read_planes = expand_planes(read_p4)
+    path_mm = expand_nibbles(path_p4)
+    bt = backtrace_device(dump_vp, dump_vn, dump_sb, dump_base,
+                          read_planes, path_mm, read_len, path_len, bw,
+                          max_steps)
+    return PackedBacktrace(ops2=pack_ops2(bt.ops_rev), n_ops=bt.n_ops,
+                           touched=bt.touched)
+
+
+@partial(jax.jit, static_argnames=("bw", "max_steps"))
+def polish_full_packed(read_p4, path_p4, read_len, path_len, bw: int,
+                       max_steps: int) -> jax.Array:
+    """Score + backtrace in ONE device call with ONE packed result array
+    (the tunnel charges a fixed round trip per call/download): per read
+      word 0: score, word 1: n_ops, word 2: touched,
+      words 3..: 2-bit edit ops (16 per word), walk order."""
+    read_planes = expand_planes(read_p4)
+    path_mm = expand_nibbles(path_p4)
+    res = polish_align(read_planes, path_mm, read_len, path_len, bw)
+    bt = backtrace_device(res.dump_vp, res.dump_vn, res.dump_sb,
+                          res.dump_base, read_planes, path_mm, read_len,
+                          path_len, bw, max_steps)
+    ops2 = jax.lax.bitcast_convert_type(pack_ops2(bt.ops_rev), jnp.int32)
+    return jnp.concatenate(
+        [res.score[:, None], bt.n_ops[:, None],
+         bt.touched.astype(jnp.int32)[:, None], ops2], axis=1)

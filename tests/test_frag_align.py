@@ -198,3 +198,57 @@ def test_backwalk_path_valid(toy_gfa):
     assert path[0] == v
     for a, b in zip(path[:-1], path[1:]):
         assert b in set(int(x) for x in g.out_neighbors(a))
+
+
+def test_packed_wire_format_matches_unpacked(rng):
+    """run_fragments' compressed wire path (node-id deltas, in-edge
+    nibbles, 2-bit read codes) is bit-identical to the plane format."""
+    from graphchainer_tpu.align.anchors import (_try_pack_frag,
+                                                level_bucket)
+    bg = random_dag_bigraph(rng, n_seg=30, p_edge=0.25, max_len=12)
+    g = build_alignment_graph(bg)
+    gx = GraphTensors.build(g)
+    jobs = []
+    for _ in range(6):
+        v = int(rng.integers(0, g.n_nodes))
+        ln = int(g.node_len[v])
+        off = int(rng.integers(0, ln))
+        read = "".join(rng.choice(list("ACGT"), int(rng.integers(20, 60))))
+        jobs.append(FragJob(rmm=match_masks(read), seed_node=v,
+                            seed_trim_len=ln - off, reverse=False))
+    (band_nodes, bnc, bi, ss, req, rows, S, bl) = assemble_batch(
+        gx, jobs, B=16, max_in=4, slack=8)
+    packed = _try_pack_frag(bnc, bi, req, rows, 4)
+    assert packed is not None
+    base, bn_d16, bi_p16, req2 = packed
+    dev_eq, dev_len = gx.device_tables()
+    nl = level_bucket(bl, bnc.shape[1])
+    ref = frag_align.align_fragments(dev_eq, dev_len, bnc, bi, ss, req,
+                                     rows, n_slices=S, max_in=4,
+                                     band_level=bl, n_levels=nl)
+    got = frag_align.align_fragments_packed(
+        dev_eq, dev_len, base, bn_d16, bi_p16, ss.astype(np.int8), req2,
+        rows.astype(np.int16), n_slices=S, max_in=4, band_level=bl,
+        n_levels=nl)
+    np.testing.assert_array_equal(np.asarray(ref.best_score),
+                                  np.asarray(got.best_score))
+    np.testing.assert_array_equal(np.asarray(ref.best_slot),
+                                  np.asarray(got.best_slot))
+    np.testing.assert_array_equal(np.asarray(ref.best_in),
+                                  np.asarray(got.best_in))
+    np.testing.assert_array_equal(np.asarray(ref.end_score),
+                                  np.asarray(got.end_score))
+
+
+def test_packed_rejects_ambiguous_reads(rng):
+    from graphchainer_tpu.align.anchors import _try_pack_frag
+    bg = random_dag_bigraph(rng, n_seg=10, p_edge=0.3, max_len=12)
+    g = build_alignment_graph(bg)
+    gx = GraphTensors.build(g)
+    v = 0
+    read = "ACGTN" * 8      # N matches all 4 bases -> not 2-bit packable
+    job = FragJob(rmm=match_masks(read), seed_node=v,
+                  seed_trim_len=int(g.node_len[v]), reverse=False)
+    (_, bnc, bi, ss, req, rows, S, bl) = assemble_batch(
+        gx, [job], B=16, max_in=4, slack=8)
+    assert _try_pack_frag(bnc, bi, req, rows, 4) is None
