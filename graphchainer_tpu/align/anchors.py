@@ -204,7 +204,8 @@ def assemble_batch(gx: GraphTensors, jobs: Sequence[FragJob], B: int,
         ptr, idx = (gx.in_ptr, gx.in_idx) if rev else (gx.out_ptr, gx.out_idx)
         bn, bi, bl, trunc = native.band_build(g.n_nodes, ptr, idx,
                                               gx.node_len64, seeds, slens,
-                                              B, max_bp, max_in, rev)
+                                              B, max_bp, max_in, rev,
+                                              by_dist=g.cyclic)
         if trunc:
             _warn_truncated(trunc, max_in)
         band_nodes[sel] = bn
@@ -304,7 +305,8 @@ def assemble_carry_batch(gx: GraphTensors, jobs: Sequence["CarryJob"],
             g.n_nodes, ptr, idx, gx.node_len64,
             np.array(src_off, dtype=np.int64),
             np.concatenate(src_nodes) if src_nodes else
-            np.zeros(0, np.int64), B, max_bp, max_in, rev)
+            np.zeros(0, np.int64), B, max_bp, max_in, rev,
+            by_dist=g.cyclic)
         if trunc:
             _warn_truncated(trunc, max_in)
         band_nodes[sel] = bn
@@ -338,10 +340,9 @@ def assemble_carry_batch(gx: GraphTensors, jobs: Sequence["CarryJob"],
         old_valid = j.old_nodes >= 0
         old_nodes = j.old_nodes[old_valid]
         old_idx = np.nonzero(old_valid)[0]
-        if j.reverse:
-            order = np.argsort(old_nodes)
-        else:
-            order = np.arange(len(old_nodes))
+        # sort old nodes by id for the searchsorted match (fwd bands are
+        # already ascending on DAGs, but cyclic by_dist bands are not)
+        order = np.argsort(old_nodes)
         srt = old_nodes[order]
         new_valid = band_nodes[i] >= 0
         nn = band_nodes[i][new_valid]

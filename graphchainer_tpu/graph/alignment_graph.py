@@ -52,6 +52,14 @@ class AlignmentGraph:
     di_ptr: np.ndarray        # int64 [n_di+1]
     di_splits: np.ndarray     # int32 (ragged data)
 
+    # Cyclic-graph support (GA mode only, like the reference: its GA
+    # machinery runs on cyclic graphs via SCC component order,
+    # src/AlignmentGraph.cpp:1008-1115, while chaining requires a DAG,
+    # src/AlignmentGraph.cpp:1298-1302).  When cyclic, node ids are SCC
+    # condensation-topo ranks instead of topo ranks: edges BETWEEN SCCs
+    # still go forward in id; edges within an SCC may go backward.
+    cyclic: bool = False
+
     @property
     def n_nodes(self) -> int:
         return len(self.node_len)
@@ -167,7 +175,8 @@ def _pack_eq_planes(di_seqs: List[str], orig_node: np.ndarray,
     return node_eq
 
 
-def build_alignment_graph(bg: Bigraph) -> AlignmentGraph:
+def build_alignment_graph(bg: Bigraph,
+                          allow_cycles: bool = False) -> AlignmentGraph:
     n_di = 2 * len(bg.seqs)
     di_seqs: List[str] = []
     for s in bg.seqs:
@@ -256,7 +265,18 @@ def build_alignment_graph(bg: Bigraph) -> AlignmentGraph:
     split_len = split_len_arr
     di_ptr = di_ptr_arr0
 
-    order, rank = native.topo_order(n, src, dst)
+    cyclic = False
+    try:
+        order, rank = native.topo_order(n, src, dst)
+    except ValueError:
+        if not allow_cycles:
+            raise
+        # GA mode tolerates cycles: renumber by SCC condensation order
+        # (the kernel's one-pass band drops intra-window back edges;
+        # cycles are traversed across extension windows, whose band
+        # rebuild walks the raw CSR).
+        _, order, rank, _ = native.scc_order(n, src, dst)
+        cyclic = True
 
     # Renumber: new id = topo rank.
     rank32 = rank.astype(np.int64)
@@ -298,4 +318,4 @@ def build_alignment_graph(bg: Bigraph) -> AlignmentGraph:
         orig_node=orig_node, orig_offset=orig_offset,
         out_ptr=out_ptr, out_idx=out_idx, in_ptr=in_ptr, in_idx=in_idx,
         comp=comp.astype(np.int32), ncomp=ncomp,
-        di_ptr=di_ptr_arr, di_splits=di_splits)
+        di_ptr=di_ptr_arr, di_splits=di_splits, cyclic=cyclic)

@@ -44,6 +44,7 @@ def get_lib() -> ctypes.CDLL:
             _build()
         lib = ctypes.CDLL(_SO)
         lib.topo_order.restype = ctypes.c_int
+        lib.scc_order.restype = ctypes.c_int64
         lib.connected_components.restype = ctypes.c_int64
         lib.mpc_build.restype = ctypes.c_void_p
         lib.mpc_sizes.argtypes = [ctypes.c_void_p, _I64P]
@@ -52,13 +53,13 @@ def get_lib() -> ctypes.CDLL:
         lib.band_build.restype = ctypes.c_int64
         lib.band_build.argtypes = ([ctypes.c_int64, _I64P, _I64P, _I64P,
                                     ctypes.c_int64, _I64P, _I64P]
-                                   + [ctypes.c_int64] * 4
+                                   + [ctypes.c_int64] * 5
                                    + [_I64P, _I64P, _I64P])
         lib.band_build_multi.restype = ctypes.c_int64
         lib.band_build_multi.argtypes = ([ctypes.c_int64, _I64P, _I64P,
                                           _I64P, ctypes.c_int64, _I64P,
                                           _I64P]
-                                         + [ctypes.c_int64] * 4
+                                         + [ctypes.c_int64] * 5
                                          + [_I64P, _I64P, _I64P])
         _U8P = ctypes.POINTER(ctypes.c_uint8)
         lib.suffix_array.argtypes = [_U8P, ctypes.c_int64, _I64P]
@@ -95,6 +96,27 @@ def topo_order(n: int, src: np.ndarray, dst: np.ndarray):
             "The input sequence graph has a directed cycle; "
             "only DAGs are supported for chaining.")
     return order, rank
+
+
+def scc_order(n: int, src: np.ndarray, dst: np.ndarray):
+    """Strongly-connected-component condensation order (iterative Tarjan).
+
+    Returns (nscc, order, rank, scc_id): nodes ordered so every SCC's
+    members are consecutive and SCCs appear in condensation-topological
+    order; on a DAG (nscc == n) this is a valid topological order.  The
+    cyclic-graph analogue of the reference's component order
+    (src/AlignmentGraph.cpp:1008-1115).
+    """
+    lib = get_lib()
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    order = np.empty(n, dtype=np.int64)
+    rank = np.empty(n, dtype=np.int64)
+    scc = np.empty(n, dtype=np.int64)
+    nscc = lib.scc_order(ctypes.c_int64(n), ctypes.c_int64(len(src)),
+                         _ptr(src), _ptr(dst), _ptr(order), _ptr(rank),
+                         _ptr(scc))
+    return int(nscc), order, rank, scc
 
 
 def connected_components(n: int, src: np.ndarray, dst: np.ndarray):
@@ -154,7 +176,7 @@ def mpc_build(n: int, src: np.ndarray, dst: np.ndarray, comp: np.ndarray,
 def band_build(n: int, ptr: np.ndarray, idx: np.ndarray,
                node_len: np.ndarray, seed_nodes: np.ndarray,
                seed_lens: np.ndarray, B: int, max_bp: int, max_in: int,
-               descending: bool):
+               descending: bool, by_dist: bool = False):
     """Per-seed DP band selection (see native band_build).  `ptr`/`idx` is
     the CSR of the traversal direction (out-edges for forward extension,
     in-edges for backward).  Returns (nodes [S,B], in_edges [S,B,max_in],
@@ -177,6 +199,7 @@ def band_build(n: int, ptr: np.ndarray, idx: np.ndarray,
         ctypes.c_int64(ns), _ptr(seed_nodes), _ptr(seed_lens),
         ctypes.c_int64(B), ctypes.c_int64(max_bp),
         ctypes.c_int64(max_in), ctypes.c_int64(int(descending)),
+        ctypes.c_int64(int(by_dist)),
         _ptr(out_nodes), _ptr(out_in), _ptr(out_level))
     return (out_nodes.reshape(ns, B),
             out_in.reshape(ns, B, max_in),
@@ -186,7 +209,8 @@ def band_build(n: int, ptr: np.ndarray, idx: np.ndarray,
 def band_build_multi(n: int, ptr: np.ndarray, idx: np.ndarray,
                      node_len: np.ndarray, src_off: np.ndarray,
                      src_nodes: np.ndarray, B: int, max_bp: int,
-                     max_in: int, descending: bool):
+                     max_in: int, descending: bool,
+                     by_dist: bool = False):
     """Multi-source band build (full-band carry windows): job q's band is
     grown from src_nodes[src_off[q]:src_off[q+1]] all at distance 0.
     Returns (nodes [J,B], in_edges [J,B,max_in], levels [J,B],
@@ -206,6 +230,7 @@ def band_build_multi(n: int, ptr: np.ndarray, idx: np.ndarray,
         ctypes.c_int64(nj), _ptr(src_off), _ptr(src_nodes),
         ctypes.c_int64(B), ctypes.c_int64(max_bp),
         ctypes.c_int64(max_in), ctypes.c_int64(int(descending)),
+        ctypes.c_int64(int(by_dist)),
         _ptr(out_nodes), _ptr(out_in), _ptr(out_level))
     return (out_nodes.reshape(nj, B),
             out_in.reshape(nj, B, max_in),

@@ -89,13 +89,17 @@ def g_name_ids(g: AlignmentGraph):
     return {name: i for i, name in enumerate(g.names)}
 
 
-def load_graph(path: str) -> AlignmentGraph:
+def load_graph(path: str, allow_cycles: bool = False) -> AlignmentGraph:
     """GFA (.gfa[.gz]) or vg protobuf (.vg) input, like the reference's
-    -g dispatch (src/Aligner.cpp / BigraphToDigraph.cpp)."""
+    -g dispatch (src/Aligner.cpp / BigraphToDigraph.cpp).
+
+    allow_cycles: GA mode aligns cyclic graphs (SCC condensation order,
+    reference src/AlignmentGraph.cpp:1008-1115); CLC mode requires a DAG
+    and errors like the reference (src/AlignmentGraph.cpp:1298-1302)."""
     if path.endswith(".vg"):
         from graphchainer_tpu.io.vg_graph import load_vg
-        return build_alignment_graph(load_vg(path))
-    return build_alignment_graph(load_gfa(path))
+        return build_alignment_graph(load_vg(path), allow_cycles=allow_cycles)
+    return build_alignment_graph(load_gfa(path), allow_cycles=allow_cycles)
 
 
 def get_or_build_mpc(g: AlignmentGraph, cache: Optional[str],
@@ -137,7 +141,17 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
     from graphchainer_tpu.utils.jaxconfig import setup as _jax_setup
     _jax_setup()
     t0 = time.time()
-    g = load_graph(params.graph_file)
+    try:
+        g = load_graph(params.graph_file,
+                       allow_cycles=(params.mode == "ga"))
+    except ValueError as e:
+        if "directed cycle" in str(e) and params.mode != "ga":
+            print("The input sequence graph has a directed cycle.\n"
+                  "Colinear chaining only supports DAGs; re-run with "
+                  "--no-colinear-chaining (GA mode) to align cyclic "
+                  "graphs.", file=sys.stderr)
+            sys.exit(1)
+        raise
     if params.verbose:
         print(f"graph: {g.stats()}")
     index = get_or_build_minimizer(g, params)

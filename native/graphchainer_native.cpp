@@ -80,6 +80,75 @@ int topo_order(int64_t n, int64_t m, const int64_t* src, const int64_t* dst,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Strongly-connected-component order (iterative Tarjan).  For cyclic
+// graphs: number SCCs in topological order of the condensation and emit a
+// node order where each SCC's members are consecutive (ascending original
+// id within the SCC).  On a DAG this degenerates to a valid topological
+// order.  The reference aligns cyclic graphs through its component order
+// (src/AlignmentGraph.cpp:1008-1115); only chaining requires a DAG
+// (src/AlignmentGraph.cpp:1298-1302).
+// out_order[i] = node at position i; out_rank[v] = position of v;
+// out_scc[v] = condensation-topo id of v's SCC.  Returns the SCC count
+// (== n iff the graph is a DAG).
+int64_t scc_order(int64_t n, int64_t m, const int64_t* src, const int64_t* dst,
+                  int64_t* out_order, int64_t* out_rank, int64_t* out_scc) {
+  CSR g = build_csr(n, m, src, dst);
+  vector<int64_t> low(n, -1), num(n, -1), comp(n, -1), stk, frame_v, frame_e;
+  vector<char> on_stack(n, 0);
+  int64_t counter = 0, nscc = 0;
+  for (int64_t root = 0; root < n; root++) {
+    if (num[root] != -1) continue;
+    frame_v.push_back(root);
+    frame_e.push_back(g.ptr[root]);
+    num[root] = low[root] = counter++;
+    stk.push_back(root);
+    on_stack[root] = 1;
+    while (!frame_v.empty()) {
+      int64_t v = frame_v.back();
+      int64_t& e = frame_e.back();
+      if (e < g.ptr[v + 1]) {
+        int64_t t = g.idx[e++];
+        if (num[t] == -1) {
+          num[t] = low[t] = counter++;
+          stk.push_back(t);
+          on_stack[t] = 1;
+          frame_v.push_back(t);
+          frame_e.push_back(g.ptr[t]);
+        } else if (on_stack[t] && num[t] < low[v]) {
+          low[v] = num[t];
+        }
+      } else {
+        if (low[v] == num[v]) {
+          int64_t w;
+          do {
+            w = stk.back();
+            stk.pop_back();
+            on_stack[w] = 0;
+            comp[w] = nscc;
+          } while (w != v);
+          nscc++;
+        }
+        frame_v.pop_back();
+        frame_e.pop_back();
+        if (!frame_v.empty()) {
+          int64_t p = frame_v.back();
+          if (low[v] < low[p]) low[p] = low[v];
+        }
+      }
+    }
+  }
+  // Tarjan emits SCCs in reverse topological order of the condensation.
+  for (int64_t v = 0; v < n; v++) out_scc[v] = nscc - 1 - comp[v];
+  // Node order: sort by (scc topo id, original id) — counting sort.
+  vector<int64_t> scc_cnt(nscc + 1, 0);
+  for (int64_t v = 0; v < n; v++) scc_cnt[out_scc[v] + 1]++;
+  for (int64_t c = 0; c < nscc; c++) scc_cnt[c + 1] += scc_cnt[c];
+  for (int64_t v = 0; v < n; v++) out_order[scc_cnt[out_scc[v]]++] = v;
+  for (int64_t i = 0; i < n; i++) out_rank[out_order[i]] = i;
+  return nscc;
+}
+
 // Undirected connected components.  Returns the number of components;
 // out_comp[v] = component id (components numbered by smallest member).
 int64_t connected_components(int64_t n, int64_t m, const int64_t* src,
@@ -471,13 +540,21 @@ void* chain_paths(int64_t n, int64_t m, const int64_t* src, const int64_t* dst,
 // re-seeds the bounded Dijkstra, mirroring the reference's slice-queue
 // seeding from every previous-slice band node,
 // src/GraphAlignerBitvectorBanded.h:253-277).
+// by_dist: order slots by (Dijkstra distance from the window sources,
+// then id) instead of by id.  Used for CYCLIC graphs (ids are SCC
+// condensation ranks, not topo ranks): distance order lets the one-pass
+// kernel propagate across a cycle-closing edge out of the carry
+// frontier, at the cost of dropping in-band edges that point backward
+// in distance order (re-convergent paths recover at the next window's
+// band rebuild).  On DAGs id order is exact and stays the default.
 static int64_t band_build_impl(int64_t n, const int64_t* ptr,
                                const int64_t* idx, const int64_t* node_len,
                                int64_t njobs, const int64_t* src_off,
                                const int64_t* src_nodes,
                                const int64_t* seed_lens, int64_t B,
                                int64_t max_bp, int64_t max_in,
-                               int64_t descending, int64_t* out_nodes,
+                               int64_t descending, int64_t by_dist,
+                               int64_t* out_nodes,
                                int64_t* out_in, int64_t* out_level) {
   int64_t truncated = 0;
   vector<int64_t> dist(n), epoch(n, -1);
@@ -515,8 +592,20 @@ static int64_t band_build_impl(int64_t n, const int64_t* ptr,
         }
       }
     }
-    std::sort(selected.begin(), selected.end());
-    if (descending) std::reverse(selected.begin(), selected.end());
+    if (by_dist) {
+      // seed stays slot 0 (the kernel injects the start state there);
+      // a zero-trim seed can otherwise tie at distance 0 with its
+      // first neighbor
+      std::sort(selected.begin(), selected.end(),
+                [&](int64_t a, int64_t b) {
+                  if (a == seed || b == seed) return a == seed;
+                  if (dist[a] != dist[b]) return dist[a] < dist[b];
+                  return descending ? (a > b) : (a < b);
+                });
+    } else {
+      std::sort(selected.begin(), selected.end());
+      if (descending) std::reverse(selected.begin(), selected.end());
+    }
     // seed must be slot 0: ids are topo ranks and every selected node is
     // reachable from the seed, so the sort already puts it first.
     int64_t* nodes_row = out_nodes + q * B;
@@ -560,25 +649,27 @@ int64_t band_build(int64_t n, const int64_t* ptr, const int64_t* idx,
                    const int64_t* node_len, int64_t nseeds,
                    const int64_t* seed_nodes, const int64_t* seed_lens,
                    int64_t B, int64_t max_bp, int64_t max_in,
-                   int64_t descending, int64_t* out_nodes, int64_t* out_in,
+                   int64_t descending, int64_t by_dist,
+                   int64_t* out_nodes, int64_t* out_in,
                    int64_t* out_level) {
   // one source per job: src_off = [0, 1, 2, ...]
   vector<int64_t> off(nseeds + 1);
   for (int64_t q = 0; q <= nseeds; q++) off[q] = q;
   return band_build_impl(n, ptr, idx, node_len, nseeds, off.data(),
                          seed_nodes, seed_lens, B, max_bp, max_in,
-                         descending, out_nodes, out_in, out_level);
+                         descending, by_dist, out_nodes, out_in, out_level);
 }
 
 int64_t band_build_multi(int64_t n, const int64_t* ptr, const int64_t* idx,
                          const int64_t* node_len, int64_t njobs,
                          const int64_t* src_off, const int64_t* src_nodes,
                          int64_t B, int64_t max_bp, int64_t max_in,
-                         int64_t descending, int64_t* out_nodes,
+                         int64_t descending, int64_t by_dist,
+                         int64_t* out_nodes,
                          int64_t* out_in, int64_t* out_level) {
   return band_build_impl(n, ptr, idx, node_len, njobs, src_off, src_nodes,
-                         nullptr, B, max_bp, max_in, descending, out_nodes,
-                         out_in, out_level);
+                         nullptr, B, max_bp, max_in, descending, by_dist,
+                         out_nodes, out_in, out_level);
 }
 
 // ---------------------------------------------------------------------------
