@@ -16,7 +16,10 @@ CPU; the number and full provenance live in BASELINE_MEASURED.json
 (regenerate with scripts/bench_reference.py).  Falls back to the round-1
 documented estimate of 1.0 reads/s if the file is missing.
 
-Env knobs: BENCH_READS (default 192), BENCH_READ_LEN (3000),
+Env knobs: BENCH_READS (default 960; both sides of the comparison are
+measured at steady state — the reference baseline in
+BASELINE_MEASURED.json is re-measured on the same 960-read workload),
+BENCH_READ_LEN (3000),
 BENCH_GRAPH_BP (60000), BENCH_BATCH (64), BENCH_PLATFORM (default: let
 JAX pick, i.e. the TPU).
 """
@@ -96,7 +99,7 @@ def build_bench_graph(rng, total_bp: int):
 
 
 def main():
-    n_reads = int(os.environ.get("BENCH_READS", 192))
+    n_reads = int(os.environ.get("BENCH_READS", 960))
     read_len = int(os.environ.get("BENCH_READ_LEN", 3000))
     graph_bp = int(os.environ.get("BENCH_GRAPH_BP", 60_000))
     batch = int(os.environ.get("BENCH_BATCH", 64))
