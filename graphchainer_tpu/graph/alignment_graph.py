@@ -111,14 +111,19 @@ class AlignmentGraph:
         return bool(int(self.orig_node[v]) & 1)
 
     def approx_linear_pos(self) -> np.ndarray:
-        """Approximate linear coordinate per split node: cumulative bp in
-        topo order (the TPU stand-in for the reference's chain approximate
-        positions, fixChainApproxPos src/AlignmentGraph.cpp:407-438, used
-        for diagonal seed clustering).  Cached."""
+        """Approximate linear coordinate per split node: longest-path-
+        from-source bp (native approx_pos) — the stand-in for the
+        reference's chain decomposition + approximate positions
+        (chainApproxPos / fixChainApproxPos, src/AlignmentGraph.cpp:
+        309-642), used for diagonal seed clustering.  Both arms of a
+        bubble share a coordinate, so seed diagonals stay aligned across
+        variant arms.  Cached."""
         if not hasattr(self, "_approx_pos"):
-            prefix = np.zeros(self.n_nodes, dtype=np.int64)
-            np.cumsum(self.node_len[:-1], out=prefix[1:])
-            self._approx_pos = prefix
+            src = np.repeat(np.arange(self.n_nodes, dtype=np.int64),
+                            np.diff(self.out_ptr))
+            self._approx_pos = native.approx_pos(
+                self.n_nodes, src, self.out_idx.astype(np.int64),
+                self.node_len.astype(np.int64))
         return self._approx_pos
 
     def stats(self) -> Dict[str, int]:

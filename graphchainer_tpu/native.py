@@ -45,6 +45,9 @@ def get_lib() -> ctypes.CDLL:
         lib = ctypes.CDLL(_SO)
         lib.topo_order.restype = ctypes.c_int
         lib.scc_order.restype = ctypes.c_int64
+        lib.approx_pos.restype = None
+        lib.approx_pos.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                   _I64P, _I64P, _I64P, _I64P]
         lib.connected_components.restype = ctypes.c_int64
         lib.mpc_build.restype = ctypes.c_void_p
         lib.mpc_sizes.argtypes = [ctypes.c_void_p, _I64P]
@@ -117,6 +120,20 @@ def scc_order(n: int, src: np.ndarray, dst: np.ndarray):
                          _ptr(src), _ptr(dst), _ptr(order), _ptr(rank),
                          _ptr(scc))
     return int(nscc), order, rank, scc
+
+
+def approx_pos(n: int, src: np.ndarray, dst: np.ndarray,
+               node_len: np.ndarray) -> np.ndarray:
+    """Longest-path-from-source coordinate per node (the reference's
+    chainApproxPos analogue, src/AlignmentGraph.cpp:309-642)."""
+    lib = get_lib()
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    node_len = np.ascontiguousarray(node_len, dtype=np.int64)
+    pos = np.empty(n, dtype=np.int64)
+    lib.approx_pos(ctypes.c_int64(n), ctypes.c_int64(len(src)),
+                   _ptr(src), _ptr(dst), _ptr(node_len), _ptr(pos))
+    return pos
 
 
 def connected_components(n: int, src: np.ndarray, dst: np.ndarray):

@@ -123,7 +123,7 @@ def polish_align(read_planes, path_mm, read_len, path_len, bw: int):
 
     cols = jnp.arange(P, dtype=jnp.int32)
     (_, _, _, _), (dump_vp, dump_vn, dump_sb, dump_base) = jax.lax.scan(
-        col_step, (vps, vns, sbs, base0), cols)
+        col_step, (vps, vns, sbs, base0), cols, unroll=8)
     dump_vp = jnp.moveaxis(dump_vp, 0, 1)   # (R, P, bw)
     dump_vn = jnp.moveaxis(dump_vn, 0, 1)
     dump_sb = jnp.moveaxis(dump_sb, 0, 1)   # (R, P)
@@ -154,6 +154,175 @@ def polish_align(read_planes, path_mm, read_len, path_len, bw: int):
              + pc(sel_vn & above).astype(jnp.int32))
     return PolishResult(score=score, dump_vp=dump_vp, dump_vn=dump_vn,
                         dump_sb=dump_sb, dump_base=dump_base)
+
+
+# ---------------------------------------------------------------------------
+# Transposed (lane-major) core.  The original polish_align keeps reads on
+# the MAJOR axis, so every (R, bw) vector op occupies only bw = 8 of the
+# VPU's 128 lanes (~6% lane utilisation; measured 0.17 s per 64x3000bp
+# batch).  The core below keeps READS ON LANES: all state is (bw, R) with
+# R padded to the 128-lane tile, every op fills the (8, 128) VPU tile, and
+# the read-plane words needed per column come from a rolling prefetch
+# window instead of per-step gathers.  The dump is emitted in (P, bw, R)
+# layout with the FULL per-word bottom scores so the backtrace scores any
+# cell in O(1) (no per-step word accumulation loop).
+
+WIN_EXTRA = 8     # prefetch words below the band in the rolling window
+
+
+def _gather_rows(tbl: jax.Array, idx: jax.Array) -> jax.Array:
+    """tbl (N, R), idx (R,) per-lane row index -> (R,) tbl[idx[r], r].
+    Expressed as a masked sublane reduction (VPU-friendly; no gather)."""
+    n = tbl.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)[:, None]
+    return jnp.sum(jnp.where(iota == idx[None, :], tbl, 0), axis=0,
+                   dtype=tbl.dtype)
+
+
+@partial(jax.jit, static_argnames=("bw",))
+def _polish_core_t(planes_t, path_t, read_len, path_len, bw: int):
+    """Banded NW, lane-major.
+
+    planes_t:  (4, RW, R) uint32 read plane words, transposed
+    path_t:    (P, R) uint32 path char masks, transposed
+    Returns (dump_vp, dump_vn, dump_sb, dump_base):
+      dump_vp/vn: (P, bw, R) uint32;  dump_sb: (P, bw, R) int32 per-WORD
+      bottom scores;  dump_base: (P, R) int32.
+    """
+    _, RW, R = planes_t.shape
+    P = path_t.shape[0]
+    bwe = bw + WIN_EXTRA
+    rw_cap = (read_len + W - 1) // W                     # (R,)
+    ub = jnp.maximum(rw_cap - bw, 0)
+    scale = (read_len.astype(jnp.float32)
+             / jnp.maximum(path_len, 1).astype(jnp.float32))
+
+    def band_base(col):
+        cc = jnp.minimum(col, jnp.maximum(path_len, 1) - 1)
+        target = (cc + 1).astype(jnp.float32) * scale
+        return jnp.clip((target * (1.0 / W)).astype(jnp.int32) - bw // 2,
+                        0, ub)
+
+    def refill(base):
+        """(4, bwe, R) plane window: word w = planes[b, base+w, lane]."""
+        iota = jnp.arange(RW, dtype=jnp.int32)[None, :, None]    # (1,RW,1)
+        idx = base[None, None, :] + jnp.arange(
+            bwe, dtype=jnp.int32)[:, None, None]                 # (bwe,RW,R)
+        # one masked reduction per window word, all 4 planes together
+        m = iota == idx                                          # (bwe,RW,R)
+        return jnp.sum(jnp.where(m[None], planes_t[:, None], 0),
+                       axis=2, dtype=jnp.uint32)                 # (4,bwe,R)
+
+    base0 = band_base(jnp.int32(0))
+    iota_bw1 = jnp.arange(1, bw + 1, dtype=jnp.int32)[:, None]   # (bw,1)
+    vps0 = jnp.full((bw, R), jnp.uint32(0xFFFFFFFF))
+    vns0 = jnp.zeros((bw, R), jnp.uint32)
+    sbs0 = base0[None, :] * W + iota_bw1 * W
+    win0 = refill(base0)
+    valid0 = jnp.full((R,), bwe, jnp.int32)
+
+    ones_row = jnp.full((1, R), jnp.uint32(0xFFFFFFFF))
+    zero_row = jnp.zeros((1, R), jnp.uint32)
+
+    def col_step(carry, col):
+        vps, vns, sbs, base, win, valid = carry
+        pmm = jax.lax.dynamic_index_in_dim(path_t, col, 0,
+                                           keepdims=False)       # (R,)
+        nb = jnp.maximum(band_base(col), base)
+        shift = jnp.clip(nb - base, 0, bw)                       # (R,)
+        valid = valid - shift
+
+        def roll1(a, fill_row):
+            return jnp.concatenate([a[1:], fill_row], axis=0)
+
+        bot_sb = sbs[-1]                                         # (R,)
+
+        def fast(args):
+            vps, vns, sbs, win, _ = args
+            s1 = shift == 1
+            vps = jnp.where(s1, roll1(vps, ones_row), vps)
+            vns = jnp.where(s1, roll1(vns, zero_row), vns)
+            sbs = jnp.where(s1, roll1(sbs, (bot_sb + W)[None]), sbs)
+            win = jnp.where(s1, jnp.concatenate([win[:, 1:],
+                                                 win[:, :1]], axis=1), win)
+            return vps, vns, sbs, win, jnp.minimum(valid, bwe)
+
+        def slow(args):
+            vps, vns, sbs, win, _ = args
+            for k in range(1, bw + 1):
+                sel = shift == k
+                if k < bw:
+                    sh_vp = jnp.concatenate(
+                        [vps[k:], jnp.broadcast_to(ones_row, (k, R))])
+                    sh_vn = jnp.concatenate(
+                        [vns[k:], jnp.broadcast_to(zero_row, (k, R))])
+                    sh_sb = jnp.concatenate(
+                        [sbs[k:], bot_sb[None] + iota_bw1[:k] * W])
+                else:
+                    sh_vp = jnp.broadcast_to(ones_row, (bw, R))
+                    sh_vn = jnp.broadcast_to(zero_row, (bw, R))
+                    sh_sb = bot_sb[None] + iota_bw1 * W
+                vps = jnp.where(sel, sh_vp, vps)
+                vns = jnp.where(sel, sh_vn, vns)
+                sbs = jnp.where(sel, sh_sb, sbs)
+            return (vps, vns, sbs, refill(nb),
+                    jnp.full((R,), bwe, jnp.int32))
+
+        need_slow = jnp.any(shift > 1) | jnp.any(valid < bw)
+        vps, vns, sbs, win, valid = jax.lax.cond(
+            need_slow, slow, fast, (vps, vns, sbs, win, valid))
+
+        # Eq words from the window + this column's char mask
+        b0 = (pmm & 1).astype(jnp.uint32)[None, :]
+        b1 = ((pmm >> 1) & 1).astype(jnp.uint32)[None, :]
+        b2 = ((pmm >> 2) & 1).astype(jnp.uint32)[None, :]
+        b3 = ((pmm >> 3) & 1).astype(jnp.uint32)[None, :]
+        eq = (win[0, :bw] * b0 | win[1, :bw] * b1
+              | win[2, :bw] * b2 | win[3, :bw] * b3)             # (bw,R)
+
+        hin = jnp.ones((R,), jnp.int32)
+        nvps, nvns, nsbs = [], [], []
+        for w in range(bw):
+            nvp, nvn, nsb, hin = advance_word(vps[w], vns[w], sbs[w],
+                                              eq[w], hin)
+            nvps.append(nvp)
+            nvns.append(nvn)
+            nsbs.append(nsb)
+        vps = jnp.stack(nvps)
+        vns = jnp.stack(nvns)
+        sbs = jnp.stack(nsbs)
+
+        return ((vps, vns, sbs, nb, win, valid),
+                (vps, vns, sbs.astype(jnp.int32), nb))
+
+    cols = jnp.arange(P, dtype=jnp.int32)
+    _, (dump_vp, dump_vn, dump_sb, dump_base) = jax.lax.scan(
+        col_step, (vps0, vns0, sbs0, base0, win0, valid0), cols)
+    return dump_vp, dump_vn, dump_sb, dump_base
+
+
+def _score_from_dump_t(dump_vp, dump_vn, dump_sb, dump_base, read_len,
+                       path_len, bw: int):
+    """Final NW score per lane from the transposed dump."""
+    P = dump_vp.shape[0]
+    R = dump_vp.shape[2]
+    pc = jax.lax.population_count
+    last = jnp.clip(path_len - 1, 0, P - 1)                      # (R,)
+    r = read_len - 1
+    lbase = _gather_rows(dump_base, last)
+    wofs = jnp.clip(r // W - lbase, 0, bw - 1)
+    rr = (r % W).astype(jnp.uint32)
+    above = jnp.where(rr < W - 1,
+                      jnp.uint32(0xFFFFFFFF) << (rr + 1), jnp.uint32(0))
+    score = jnp.full((R,), BIGS)
+    for w in range(bw):
+        svp = _gather_rows(dump_vp[:, w], last)
+        svn = _gather_rows(dump_vn[:, w], last)
+        ssb = _gather_rows(dump_sb[:, w], last)
+        s = (ssb - pc(svp & above).astype(jnp.int32)
+             + pc(svn & above).astype(jnp.int32))
+        score = jnp.where(wofs == w, s, score)
+    return score
 
 
 class BacktraceResult(NamedTuple):
@@ -257,6 +426,107 @@ def backtrace_device(dump_vp, dump_vn, dump_sb, dump_base, read_planes,
     touch0 = jnp.zeros((R,), bool)
     (rf, cf, fail, done, touch), ops = jax.lax.scan(
         step, (r0, c0, fail0, done0, touch0),
+        jnp.arange(max_steps, dtype=jnp.int32), unroll=8)
+    ops = jnp.moveaxis(ops, 0, 1)            # (R, max_steps)
+    complete = done & ~fail & (rf < 0) & (cf < 0)
+    n = jnp.sum((ops != OP_NONE).astype(jnp.int32), axis=1)
+    n = jnp.where(complete, n, -1)
+    return BacktraceResult(ops_rev=ops, n_ops=n, touched=touch)
+
+
+@partial(jax.jit, static_argnames=("bw", "max_steps"))
+def _backtrace_t(dump_vp, dump_vn, dump_sb, dump_base, planes_t, path_t,
+                 read_len, path_len, bw: int, max_steps: int):
+    """Banded-DP backtrace on the transposed dump.  Same walk semantics as
+    backtrace_device, but every cell score is O(1): the dump carries the
+    full per-word bottom scores, so no per-step word accumulation loop,
+    and the running cell score is carried between steps instead of being
+    recomputed."""
+    P, _, R = dump_vp.shape
+    RW = planes_t.shape[1]
+    pc = jax.lax.population_count
+    BIG = jnp.int32(1 << 26)
+    rw_cap = (read_len + W - 1) // W
+
+    vp_flat = dump_vp.reshape(P * bw, R)
+    vn_flat = dump_vn.reshape(P * bw, R)
+    sb_flat = dump_sb.reshape(P * bw, R)
+
+    def gat(tbl, idx):
+        return jnp.take_along_axis(tbl, idx[None, :], axis=0)[0]
+
+    def score(rr, cc):
+        cq = jnp.clip(cc, 0, P - 1)
+        base_c = gat(dump_base, cq)
+        w = rr // W - base_c
+        wc = jnp.clip(w, 0, bw - 1)
+        idx = cq * bw + wc
+        svp = gat(vp_flat, idx)
+        svn = gat(vn_flat, idx)
+        ssb = gat(sb_flat, idx)
+        rm = (rr % W).astype(jnp.uint32)
+        above = jnp.where(rm < W - 1,
+                          jnp.uint32(0xFFFFFFFF) << (rm + 1), jnp.uint32(0))
+        s = (ssb - pc(svp & above).astype(jnp.int32)
+             + pc(svn & above).astype(jnp.int32))
+        s = jnp.where((w < 0) | (w >= bw), BIG, s)
+        s = jnp.where(rr < 0, cc + 1, s)
+        s = jnp.where(cc < 0, rr + 1, s)
+        s = jnp.where((rr < 0) & (cc < 0), 0, s)
+        return s
+
+    def matches(rr, cc):
+        rq = jnp.clip(rr, 0, RW * W - 1)
+        cq = jnp.clip(cc, 0, P - 1)
+        pm = gat(path_t, cq).astype(jnp.uint32)
+        wq = rq // W
+        bitpos = (rq % W).astype(jnp.uint32)
+        m = jnp.zeros((R,), jnp.uint32)
+        for b in range(4):
+            plane = gat(planes_t[b], wq)
+            m = m | (((plane >> bitpos) & 1) & ((pm >> b) & 1))
+        return m == 1
+
+    def step(carry, i):
+        r, c, s, fail, done, touch = carry
+        d = score(r - 1, c - 1)
+        l = score(r, c - 1)
+        u = score(r - 1, c)
+        sub = jnp.where(matches(r, c), 0, 1)
+        can_diag = (r >= 0) & (c >= 0) & (s == d + sub)
+        can_left = (c >= 0) & (s == l + 1)
+        can_up = (r >= 0) & (s == u + 1)
+        op = jnp.where(can_diag, jnp.where(sub == 1, OP_MISMATCH, OP_MATCH),
+                       jnp.where(can_left, OP_DEL,
+                                 jnp.where(can_up, OP_INS, OP_NONE)))
+        stuck = ~done & (op == OP_NONE)
+        fail = fail | stuck
+        emit = ~done & ~fail
+        cq = jnp.clip(c, 0, P - 1)
+        base_c = gat(dump_base, cq)
+        w = jnp.clip(r, 0, RW * W - 1) // W - base_c
+        edge = (((w <= 0) & (base_c > 0))
+                | ((w >= bw - 1) & (base_c + bw < rw_cap)))
+        touch = touch | (emit & (r >= 0) & (c >= 0) & edge)
+        go_diag = can_diag
+        go_left = ~can_diag & can_left
+        go_up = ~can_diag & ~can_left & can_up
+        r_new = jnp.where(emit & (go_diag | go_up), r - 1, r)
+        c_new = jnp.where(emit & (go_diag | go_left), c - 1, c)
+        s_new = jnp.where(emit, jnp.where(go_diag, d,
+                                          jnp.where(go_left, l, u)), s)
+        done_new = done | ((r_new < 0) & (c_new < 0)) | fail
+        out_op = jnp.where(emit, op, jnp.uint8(OP_NONE)).astype(jnp.uint8)
+        return (r_new, c_new, s_new, fail, done_new, touch), out_op
+
+    r0 = read_len - 1
+    c0 = path_len - 1
+    s0 = score(r0, c0)
+    fail0 = (read_len <= 0) | (path_len <= 0)
+    done0 = fail0
+    touch0 = jnp.zeros((R,), bool)
+    (rf, cf, _, fail, done, touch), ops = jax.lax.scan(
+        step, (r0, c0, s0, fail0, done0, touch0),
         jnp.arange(max_steps, dtype=jnp.int32))
     ops = jnp.moveaxis(ops, 0, 1)            # (R, max_steps)
     complete = done & ~fail & (rf < 0) & (cf < 0)
@@ -345,14 +615,18 @@ def polish_full_packed(read_p4, path_p4, read_len, path_len, bw: int,
     """Score + backtrace in ONE device call with ONE packed result array
     (the tunnel charges a fixed round trip per call/download): per read
       word 0: score, word 1: n_ops, word 2: touched,
-      words 3..: 2-bit edit ops (16 per word), walk order."""
-    read_planes = expand_planes(read_p4)
-    path_mm = expand_nibbles(path_p4)
-    res = polish_align(read_planes, path_mm, read_len, path_len, bw)
-    bt = backtrace_device(res.dump_vp, res.dump_vn, res.dump_sb,
-                          res.dump_base, read_planes, path_mm, read_len,
-                          path_len, bw, max_steps)
+      words 3..: 2-bit edit ops (16 per word), walk order.
+    Runs on the lane-major transposed core (reads on the 128 VPU lanes)."""
+    planes_t = jnp.transpose(expand_planes(read_p4), (2, 1, 0))
+    path_t = jnp.transpose(expand_nibbles(path_p4), (1, 0)) \
+        .astype(jnp.uint32)
+    dvp, dvn, dsb, dbase = _polish_core_t(planes_t, path_t, read_len,
+                                          path_len, bw)
+    score = _score_from_dump_t(dvp, dvn, dsb, dbase, read_len, path_len,
+                               bw)
+    bt = _backtrace_t(dvp, dvn, dsb, dbase, planes_t, path_t, read_len,
+                      path_len, bw, max_steps)
     ops2 = jax.lax.bitcast_convert_type(pack_ops2(bt.ops_rev), jnp.int32)
     return jnp.concatenate(
-        [res.score[:, None], bt.n_ops[:, None],
+        [score[:, None], bt.n_ops[:, None],
          bt.touched.astype(jnp.int32)[:, None], ops2], axis=1)

@@ -149,6 +149,36 @@ int64_t scc_order(int64_t n, int64_t m, const int64_t* src, const int64_t* dst,
   return nscc;
 }
 
+// ---------------------------------------------------------------------------
+// Approximate linear positions: longest-path-from-any-source coordinate,
+// one pass over nodes in id order (ids are topo ranks; on cyclic graphs
+// they are SCC condensation ranks and intra-SCC back edges are skipped,
+// keeping the pass well-defined).  The analogue of the reference's chain
+// decomposition + chainApproxPos (src/AlignmentGraph.cpp:309-642): both
+// arms of a bubble project to the SAME coordinate (pos of the bubble
+// head + its length), so seed diagonals cluster across variant arms —
+// unlike a topo-prefix cumsum, which shifts each arm by every earlier
+// node's length.
+void approx_pos(int64_t n, int64_t m, const int64_t* src, const int64_t* dst,
+                const int64_t* node_len, int64_t* out_pos) {
+  // in-edges grouped by destination via counting sort
+  vector<int64_t> ptr(n + 1, 0), idx(m);
+  for (int64_t e = 0; e < m; e++) ptr[dst[e] + 1]++;
+  for (int64_t v = 0; v < n; v++) ptr[v + 1] += ptr[v];
+  vector<int64_t> cur(ptr.begin(), ptr.end() - 1);
+  for (int64_t e = 0; e < m; e++) idx[cur[dst[e]]++] = src[e];
+  for (int64_t v = 0; v < n; v++) {
+    int64_t p = 0;
+    for (int64_t e = ptr[v]; e < ptr[v + 1]; e++) {
+      int64_t u = idx[e];
+      if (u >= v) continue;  // intra-SCC back edge (cyclic graphs)
+      int64_t cand = out_pos[u] + node_len[u];
+      if (cand > p) p = cand;
+    }
+    out_pos[v] = p;
+  }
+}
+
 // Undirected connected components.  Returns the number of components;
 // out_comp[v] = component id (components numbered by smallest member).
 int64_t connected_components(int64_t n, int64_t m, const int64_t* src,

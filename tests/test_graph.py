@@ -130,3 +130,22 @@ def test_reverse_position(toy_gfa):
     fwd_base = g.node_seq(v)[off]
     rc_base = g.node_seq(rv)[roff]
     assert rc_base == revcomp(fwd_base)
+
+
+def test_approx_pos_bubble_arms_share_coordinate(rng):
+    """Longest-path approx positions (the chainApproxPos analogue,
+    reference src/AlignmentGraph.cpp:309-642): both arms of a bubble
+    project to the same coordinate, and positions are strictly
+    increasing along any edge."""
+    from tests.test_e2e import bubble_graph
+    g = build_alignment_graph(bubble_graph(rng))
+    pos = g.approx_linear_pos()
+    by_name = {}
+    for v in range(g.n_nodes):
+        if not g.is_reverse(v) and g.orig_offset[v] == 0:
+            by_name[g.gfa_name(v)] = v
+    for i in range(12):
+        assert pos[by_name[f"a{i}"]] == pos[by_name[f"b{i}"]]
+    for v in range(g.n_nodes):
+        for w in g.out_neighbors(v):
+            assert pos[w] >= pos[v] + g.node_len[v] or w <= v
