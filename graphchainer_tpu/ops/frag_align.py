@@ -71,6 +71,15 @@ class FragResult(NamedTuple):
     out_ssb: jax.Array = None  # (F, B) int32 col0 bottom scores
     out_hp: jax.Array = None   # (F, B) uint32 bottom-row horizontal +1 bits
     out_hn: jax.Array = None   # (F, B) uint32 bottom-row horizontal -1 bits
+    # cell-precise X-score tracking (want_xcells=True, GA mode): the best
+    # X-score cell over all (slot end-word, row) pairs — the reference's
+    # per-cell X endpoint scan (src/GraphAlignerBitvectorCommon.h:321-383
+    # + WordSlice.h:313-460 local-minima scans; X = rows_aligned - 5*edits
+    # in the vg match/mismatch convention)
+    xbest: jax.Array = None    # (F,) int32 max X over cells (window-local
+                               # rows, cumulative scores)
+    xslot: jax.Array = None    # (F,) int32 slot of the argmax cell
+    xrow: jax.Array = None     # (F,) int32 window-local row of the argmax
 
 
 def _above_mask(r):

@@ -487,8 +487,8 @@ def _backtrace_t(dump_vp, dump_vn, dump_sb, dump_base, planes_t, path_t,
             m = m | (((plane >> bitpos) & 1) & ((pm >> b) & 1))
         return m == 1
 
-    def step(carry, i):
-        r, c, s, fail, done, touch = carry
+    def body(carry):
+        i, r, c, s, fail, done, touch, buf = carry
         d = score(r - 1, c - 1)
         l = score(r, c - 1)
         u = score(r - 1, c)
@@ -517,7 +517,14 @@ def _backtrace_t(dump_vp, dump_vn, dump_sb, dump_base, planes_t, path_t,
                                           jnp.where(go_left, l, u)), s)
         done_new = done | ((r_new < 0) & (c_new < 0)) | fail
         out_op = jnp.where(emit, op, jnp.uint8(OP_NONE)).astype(jnp.uint8)
-        return (r_new, c_new, s_new, fail, done_new, touch), out_op
+        buf = jax.lax.dynamic_update_index_in_dim(buf, out_op, i, 0)
+        return (i + 1, r_new, c_new, s_new, fail, done_new, touch, buf)
+
+    def cond(carry):
+        i, _, _, _, _, done, _, _ = carry
+        # early exit once every lane's walk has finished (walks run
+        # ~read+path/2 steps; the padded bound is read+path)
+        return (i < max_steps) & ~jnp.all(done)
 
     r0 = read_len - 1
     c0 = path_len - 1
@@ -525,10 +532,10 @@ def _backtrace_t(dump_vp, dump_vn, dump_sb, dump_base, planes_t, path_t,
     fail0 = (read_len <= 0) | (path_len <= 0)
     done0 = fail0
     touch0 = jnp.zeros((R,), bool)
-    (rf, cf, _, fail, done, touch), ops = jax.lax.scan(
-        step, (r0, c0, s0, fail0, done0, touch0),
-        jnp.arange(max_steps, dtype=jnp.int32))
-    ops = jnp.moveaxis(ops, 0, 1)            # (R, max_steps)
+    buf0 = jnp.full((max_steps, R), jnp.uint8(OP_NONE))
+    (_, rf, cf, _, fail, done, touch, buf) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), r0, c0, s0, fail0, done0, touch0, buf0))
+    ops = jnp.moveaxis(buf, 0, 1)            # (R, max_steps)
     complete = done & ~fail & (rf < 0) & (cf < 0)
     n = jnp.sum((ops != OP_NONE).astype(jnp.int32), axis=1)
     n = jnp.where(complete, n, -1)
