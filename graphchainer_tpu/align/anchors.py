@@ -455,7 +455,8 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                   seed_base: Optional[np.ndarray] = None,
                   band_level: Optional[np.ndarray] = None,
                   carry_in: Optional[tuple] = None,
-                  want_state: bool = False) -> frag_align.FragResult:
+                  want_state: bool = False,
+                  want_xcells: bool = False) -> frag_align.FragResult:
     """Run the fragment kernel over the whole job list, chunking the
     fragment axis so every transferred array stays under the device
     transfer cap, padding chunks to a fixed size for compile reuse.
@@ -482,7 +483,8 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
         # call (each call costs a fixed tunnel round trip).  Chunk sizes
         # bucket to multiples of 2048 to bound compile variants.
         row_bytes = max(2 * B, 8 * S, (2 + B * S // 4 + (3 * B
-                        if want_state else 0)) * 4)
+                        if want_state else 0)
+                        + (2 if want_xcells else 0)) * 4)
         fmax = max(2048, (max_batch_rows(row_bytes) // 2048) * 2048)
         fchunk = min(-(-F // 2048) * 2048, fmax)
     else:
@@ -529,7 +531,8 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                 dev_eq, dev_len, bb, bd, bp, ss8, rq2, rw16, n_slices=S,
                 max_in=max_in, band_level=bl, n_levels=n_levels,
                 seed_base=None if sb_zero else shard_rows(sb),
-                carry_in=ci, want_state=want_state)
+                carry_in=ci, want_state=want_state,
+                want_xcells=want_xcells)
             pending.append((res, hi - lo))
             continue
         bn = np.pad(band_nodes_cat[lo:hi], ((0, pad), (0, 0)),
@@ -545,7 +548,8 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
         res = frag_align.align_fragments(dev_eq, dev_len, bn, bi, ss, rq,
                                          rw, n_slices=S, max_in=max_in,
                                          seed_base=sb, band_level=bl,
-                                         n_levels=n_levels, carry_in=ci)
+                                         n_levels=n_levels, carry_in=ci,
+                                         want_xcells=want_xcells)
         pending.append((res, hi - lo))
     # phase 2: download only the per-fragment best results (the full
     # per-slot matrices stay on device unless want_state); the packed
@@ -562,11 +566,14 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                     (w[:, 1] >> 8) & 0xFF,
                     cc(w[:, 2:2 + bs_words]).view(np.int8).reshape(
                         keep, B, S)]
+            o = 2 + bs_words
             if want_state:
-                o = 2 + bs_words
                 part += [cc(w[:, o:o + B]),
                          cc(w[:, o + B:o + 2 * B]).view(np.uint32),
                          cc(w[:, o + 2 * B:o + 3 * B]).view(np.uint32)]
+                o += 3 * B
+            if want_xcells:
+                part += [w[:, o], w[:, o + 1] & 0xFF, w[:, o + 1] >> 8]
             outs.append(part)
             continue
         part = [np.asarray(res.best_score)[:keep],
@@ -577,14 +584,21 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
             part += [asarray_chunked(res.out_ssb)[:keep],
                      asarray_chunked(res.out_hp)[:keep],
                      asarray_chunked(res.out_hn)[:keep]]
+        if want_xcells:
+            part += [np.asarray(res.xbest)[:keep],
+                     np.asarray(res.xslot)[:keep],
+                     np.asarray(res.xrow)[:keep]]
         outs.append(part)
     cat = [np.concatenate(parts, axis=0) for parts in zip(*outs)]
+    o = 4
+    st = cat[o:o + 3] if want_state else (None, None, None)
+    o += 3 if want_state else 0
+    xc = cat[o:o + 3] if want_xcells else (None, None, None)
     return frag_align.FragResult(
         best_score=cat[0], best_slot=cat[1], best_col=cat[2],
         best_in=cat[3], end_score=None, end_col=None,
-        out_ssb=cat[4] if want_state else None,
-        out_hp=cat[5] if want_state else None,
-        out_hn=cat[6] if want_state else None)
+        out_ssb=st[0], out_hp=st[1], out_hn=st[2],
+        xbest=xc[0], xslot=xc[1], xrow=xc[2])
 
 
 def backwalk(best_in: np.ndarray, band_nodes: np.ndarray, end_slot: int,

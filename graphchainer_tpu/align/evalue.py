@@ -10,7 +10,15 @@ import math
 
 
 class EValueCalculator:
-    def __init__(self, min_identity: float = -1.0):
+    def __init__(self, min_identity: float = -1.0,
+                 legacy_score: bool = False):
+        # legacy_score: reproduce the reference's LITERAL
+        # getAlignmentScore (src/EValue.cpp:45-48), whose sign makes
+        # more edits RAISE the score — so --E-cutoff with the same
+        # threshold selects exactly the reference's alignment set.
+        # Default implements the formula its comment intends
+        # (edits lower the score).
+        self.legacy_score = legacy_score
         if min_identity < 0:
             self.match = -1.0
             self.mismatch = -1.0
@@ -71,7 +79,10 @@ class EValueCalculator:
         # (length - edits)*match + edits*mismatch.  The reference
         # (src/EValue.cpp:46-49) subtracts the (negative) score delta,
         # which makes more edits RAISE the score; its own comment states
-        # the intended approximation, which this implements.
+        # the intended approximation, which the default implements.
+        if self.legacy_score:
+            return (alignment_length * self.match
+                    - num_edits * (self.mismatch - self.match))
         return (alignment_length * self.match
                 + num_edits * (self.mismatch - self.match))
 

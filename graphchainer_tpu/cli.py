@@ -167,7 +167,14 @@ def build_parser() -> argparse.ArgumentParser:
                           "documented formula (edits LOWER the score); the "
                           "reference binary's getAlignmentScore raises it, "
                           "so identical thresholds select different sets "
-                          "(see PARITY.md)")
+                          "(see PARITY.md); pass --evalue-legacy-score "
+                          "for bit-compatible selection")
+    sel.add_argument("--evalue-legacy-score", action="store_true",
+                     help="use the reference binary's literal "
+                          "getAlignmentScore sign (edits RAISE the "
+                          "score) so --E-cutoff selects exactly the "
+                          "reference's alignment set "
+                          "(src/EValue.cpp:45-48)")
     ext = p.add_argument_group("extension")
     ext.add_argument("-b", "--bandwidth", type=int, default=None,
                      help="alignment band slots per fragment "
@@ -259,6 +266,7 @@ def params_from_args(args) -> PipelineParams:
         x_drop=args.x_drop, precise_clipping=args.precise_clipping,
         ramp_band_slots=args.ramp_bandwidth, bandwidth=args.bandwidth,
         selection_method=selection_method, e_cutoff=args.e_cutoff,
+        evalue_legacy_score=args.evalue_legacy_score,
         cigar_match_mismatch=args.cigar_match_mismatch,
         **({"inflight": max(args.threads, 1)}
            if args.threads is not None else {}),

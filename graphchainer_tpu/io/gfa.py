@@ -160,3 +160,19 @@ def path_sequence(g: Bigraph, name: str) -> str:
         out.append(s)
         prev = (nid, rev)
     return "".join(out)
+
+
+def save_gfa(g: Bigraph, path: str, keep=None, keep_links=None) -> None:
+    """Write a Bigraph (or a node/link subset) as GFA1.  keep: set of
+    segment ids to emit (None = all); keep_links: iterable of link
+    tuples to emit (None = all links among kept segments)."""
+    with open(path, "w") as f:
+        for i, (name, seq) in enumerate(zip(g.names, g.seqs)):
+            if keep is None or i in keep:
+                f.write(f"S\t{name}\t{seq}\n")
+        links = g.links if keep_links is None else keep_links
+        for u, ur, v, vr, o in links:
+            if keep is not None and (u not in keep or v not in keep):
+                continue
+            f.write(f"L\t{g.names[u]}\t{'-' if ur else '+'}"
+                    f"\t{g.names[v]}\t{'-' if vr else '+'}\t{o}M\n")

@@ -85,6 +85,7 @@ class AlignerConfig:
     # --E-cutoff filter (-1 = off)
     selection_method: str = "GreedyLength"
     e_cutoff: float = -1.0
+    evalue_legacy_score: bool = False    # --evalue-legacy-score
     # reference seed-control flags (src/AlignerMain.cpp:64-65,79-80):
     # try every seed / extend up to density*len(read) seeds / discard
     # small diagonal clusters
@@ -125,6 +126,10 @@ class _WindowRec:
     end_col: int = -1
     row_end: int = 0              # cumulative rows through this window
     xscore: float = 0.0           # running X-score after this window
+    # cell-precise best X cell inside this window (reference per-cell
+    # X endpoints, src/GraphAlignerBitvectorCommon.h:321-383):
+    # (global X value, slot, window-local row); None when not tracked
+    xcell: Optional[tuple] = None
 
 
 @dataclass
@@ -148,10 +153,56 @@ class _ExtState:
     end_col: int = -1
     xscore: float = 0.0     # running X-score (match +1 / edit -4)
     xscore_max: float = 0.0
+    # the window that failed the error/HMM/X-drop cutoff (never
+    # committed to `windows`): its backtrace + X cells still feed the
+    # endpoint choice, so clipping can land mid-window like the
+    # reference's per-cell X endpoints
+    tail: Optional[_WindowRec] = None
     # correctness HMM over per-window error fractions (reference
     # AlignmentCorrectnessEstimation drives band break decisions,
     # src/GraphAlignerBitvectorBanded.h:572-644)
     hmm: CorrectnessState = field(default_factory=CorrectnessState)
+
+
+_XDELTA = np.array([+1, -5, -4, -4], dtype=np.int64)  # M, DEL, INS, MM
+
+
+def _xdrop_trim(positions, ops: np.ndarray, span):
+    """Cell-precise X-drop endpoint trim on the polished alignment: walk
+    the CIGAR's running X-score (match +1, mismatch/ins -4, del -5) and
+    clip each end back to its X peak (the final precision pass of the
+    reference's per-cell X endpoints,
+    src/GraphAlignerBitvectorCommon.h:321-383: our kernel clips at node
+    granularity, this trims the <=32bp remainder).
+    Returns (positions, ops, score, span)."""
+    reads = np.isin(ops, (OP_MATCH_, OP_MM_, OP_INS_))
+    paths = np.isin(ops, (OP_MATCH_, OP_MM_, OP_DEL_))
+    lo, hi = 0, len(ops)
+    # with X-drop enabled the reference always traces from the max-X
+    # cell (getReverseTraceFromTableExactEndPos): clip each end to its
+    # X peak unconditionally
+    xs = np.cumsum(_XDELTA[ops])
+    if len(xs):
+        hi = int(len(xs) - 1 - np.argmax(xs[::-1])) + 1   # last argmax
+    rx = np.cumsum(_XDELTA[ops[:hi]][::-1])
+    if len(rx):
+        lo = hi - (int(len(rx) - 1 - np.argmax(rx[::-1])) + 1)
+    if lo == 0 and hi == len(ops):
+        return positions, ops, int(np.sum(ops != OP_MATCH_)), span
+    cut_r_front = int(reads[:lo].sum())
+    cut_p_front = int(paths[:lo].sum())
+    cut_r_back = int(reads[hi:].sum())
+    cut_p_back = int(paths[hi:].sum())
+    ops = ops[lo:hi]
+    positions = positions[cut_p_front:len(positions) - cut_p_back]
+    span = (span[0] + cut_r_front, span[1] - cut_r_back)
+    return positions, ops, int(np.sum(ops != OP_MATCH_)), span
+
+
+from graphchainer_tpu.ops.linear_align import (OP_DEL as OP_DEL_,
+                                               OP_INS as OP_INS_,
+                                               OP_MATCH as OP_MATCH_,
+                                               OP_MISMATCH as OP_MM_)
 
 
 class GraphAlignerModel:
@@ -218,7 +269,7 @@ class GraphAlignerModel:
                                max_in=cfg.max_in, slack=cfg.band_slack)
             res = run_fragments(self.gx, bnc, bi, seed_shift, req,
                                 rows_arr, S, cfg.max_in, band_level=bl,
-                                want_state=True)
+                                want_state=True, want_xcells=True)
             B = bn.shape[1]
             for i, st in enumerate(fresh):
                 shifts = np.zeros(B, dtype=np.int32)
@@ -245,7 +296,8 @@ class GraphAlignerModel:
                                        slack=cfg.band_slack)
             res = run_fragments(self.gx, bnc, bi, shifts_arr, req,
                                 rows_arr, S, cfg.max_in, band_level=bl,
-                                carry_in=carry, want_state=True)
+                                carry_in=carry, want_state=True,
+                                want_xcells=True)
             for i, st in enumerate(carried):
                 per_state[id(st)] = (res, i, bn[i], shifts_arr[i],
                                      slot_map[i], int(rows_arr[i]))
@@ -270,14 +322,34 @@ class GraphAlignerModel:
                         and cfg.x_drop is not None
                         and st.xscore_max - st.xscore > cfg.x_drop)):
                 st.active = False       # X-drop / correctness-HMM clip
+                if res.xbest is not None:
+                    # keep the failed window as a TAIL record: its X
+                    # cells (e.g. a good stretch before the garbage that
+                    # tripped the cutoff) still compete for the final
+                    # endpoint, giving mid-window cell-precise clips
+                    st.tail = _WindowRec(
+                        band_nodes=bn_i.copy(), best_in=res.best_in[i],
+                        slot_map=smap_i, shifts=shifts_i, rows=nrows,
+                        end_slot=int(res.best_slot[i]),
+                        end_col=int(res.best_col[i]),
+                        row_end=st.row + nrows, xscore=st.xscore,
+                        xcell=(st.row + int(res.xbest[i]),
+                               int(res.xslot[i]), int(res.xrow[i])))
                 continue
+            rows_before = st.row
             st.row += nrows
+            xcell = None
+            if res.xbest is not None:
+                # kernel X is (local_row+1) - 5*cumulative_edits; add the
+                # rows aligned before this window for the global X value
+                xcell = (rows_before + int(res.xbest[i]),
+                         int(res.xslot[i]), int(res.xrow[i]))
             st.windows.append(_WindowRec(
                 band_nodes=bn_i.copy(), best_in=res.best_in[i],
                 slot_map=smap_i, shifts=shifts_i, rows=nrows,
                 end_slot=int(res.best_slot[i]),
                 end_col=int(res.best_col[i]), row_end=st.row,
-                xscore=st.xscore))
+                xscore=st.xscore, xcell=xcell))
             st.band_nodes = bn_i
             st.band_shifts = shifts_i
             st.carry_ssb = res.out_ssb[i]
@@ -292,17 +364,21 @@ class GraphAlignerModel:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _multi_backwalk(windows: List[_WindowRec], end_slot: int
+    def _multi_backwalk(windows: List[_WindowRec], end_slot: int,
+                        end_slice: Optional[int] = None
                         ) -> Optional[List[int]]:
         """Walk the per-window backtrace pointers from the final end slot
         back to the seed, crossing window boundaries via slot_map.
-        Returns node ids in walk order (end -> seed), or None."""
+        end_slice: slice within the last window to start from (default:
+        the window's final slice; cell-precise X clipping starts at the
+        argmax cell's slice).  Returns node ids in walk order
+        (end -> seed), or None."""
         if not windows:
             return None
         w = len(windows) - 1
         rec = windows[w]
         slot = end_slot
-        s = (rec.rows - 1) // W
+        s = (rec.rows - 1) // W if end_slice is None else end_slice
         nodes = [int(rec.band_nodes[slot])]
         guard = sum(r.best_in.size for r in windows) + 8 * len(windows)
         for _ in range(guard):
@@ -338,22 +414,47 @@ class GraphAlignerModel:
         def walk_dir(st: _ExtState):
             """Backwalk from the end window.  When the X-score drops more
             than the X-drop cutoff below its running peak by the end of
-            the extension, the end is clipped back to the peak window
-            (the reference's X-score endpoint clipping at window
-            granularity, src/GraphAlignerBitvectorCommon.h:321-383);
-            smaller dips keep the full extension (reference default has
-            no X-drop).  Returns (end->seed node walk, direction-local
-            end offset, rows covered) or None."""
+            the extension, the end is clipped back to the exact best
+            X-score CELL (the reference's per-cell X endpoint clipping,
+            src/GraphAlignerBitvectorCommon.h:321-383: kernel-tracked
+            argmax over slot end-words x rows); smaller dips keep the
+            full extension (reference default has no X-drop).  Returns
+            (end->seed node walk, direction-local end offset, rows
+            covered) or None."""
             if not st.windows:
                 return None
             w_end = len(st.windows) - 1
             if not self.cfg.global_alignment:
-                xs = [rec.xscore for rec in st.windows]
-                peak = int(np.argmax(xs))
                 drop = (self.cfg.x_drop if self.cfg.x_drop is not None
                         else DEFAULT_END_DROP)
-                if xs[w_end] < xs[peak] - drop:
-                    w_end = peak
+                allw = list(st.windows)
+                if st.tail is not None:
+                    allw.append(st.tail)
+                cells = [(rec.xcell[0], wi) for wi, rec in
+                         enumerate(allw) if rec.xcell is not None]
+                final_x = st.xscore
+                if cells:
+                    peak_val, peak_w = max(cells)
+                    if final_x < peak_val - drop:
+                        # clip at the exact argmax cell
+                        rec = allw[peak_w]
+                        _, xslot, xrow = rec.xcell
+                        wins = allw[:peak_w + 1]
+                        nodes = self._multi_backwalk(wins, xslot,
+                                                     end_slice=xrow // W)
+                        if nodes is None:
+                            return None
+                        # the cell sits at the END column of its slot's
+                        # node word (X is scanned over end-of-node words)
+                        node = int(rec.band_nodes[xslot])
+                        off = int(self.g.node_len[node]) - 1
+                        rows = rec.row_end - rec.rows + xrow + 1
+                        return nodes, off, rows
+                else:
+                    xs = [rec.xscore for rec in st.windows]
+                    peak = int(np.argmax(xs))
+                    if xs[w_end] < xs[peak] - drop:
+                        w_end = peak
             wins = st.windows[:w_end + 1]
             rec = wins[-1]
             nodes = self._multi_backwalk(wins, rec.end_slot)
@@ -477,9 +578,15 @@ class GraphAlignerModel:
                 oc = scored.get((ri, ci))
                 if oc is None:
                     continue
+                score = oc.score
+                ops = oc.ops
+                if (cfg.x_drop is not None and not cfg.global_alignment
+                        and ops is not None and len(ops)):
+                    positions, ops, score, span = _xdrop_trim(
+                        positions, ops, span)
                 a = ReadAlignment(name=out[ri].name, seq=out[ri].seq,
-                                  positions=positions, ops=oc.ops,
-                                  score=oc.score, seq_start=span[0],
+                                  positions=positions, ops=ops,
+                                  score=score, seq_start=span[0],
                                   seq_end=span[1])
                 alts.append(a)
             if not alts:
@@ -493,7 +600,8 @@ class GraphAlignerModel:
                     e_cutoff=cfg.e_cutoff,
                     evalue_calc=EValueCalculator(
                         cfg.precise_clipping
-                        if cfg.precise_clipping is not None else 0.5)))
+                        if cfg.precise_clipping is not None else 0.5,
+                        legacy_score=cfg.evalue_legacy_score)))
             if not sel:
                 continue
             if cfg.selection_method != "All":

@@ -96,7 +96,8 @@ def _score_at_row(vp, vn, sb, r_mask):
 
 
 @partial(jax.jit,
-         static_argnames=("n_slices", "max_in", "full_start", "n_levels"))
+         static_argnames=("n_slices", "max_in", "full_start", "n_levels",
+                          "want_xcells"))
 def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                     band_nodes: jax.Array, band_in: jax.Array,
                     seed_shift: jax.Array, req: jax.Array,
@@ -105,7 +106,8 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                     full_start: bool = False,
                     band_level: jax.Array | None = None,
                     n_levels: int | None = None,
-                    carry_in: tuple | None = None) -> FragResult:
+                    carry_in: tuple | None = None,
+                    want_xcells: bool = False) -> FragResult:
     """Run the banded DP.
 
     node_eq:    (N2, 4) uint32  HBM-resident Eq bitplanes (fwd ++ reversed)
@@ -183,6 +185,9 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
         end_score=jnp.full((F, B), BIG, jnp.int32),
         end_col=jnp.zeros((F, B), jnp.int32),
         best_in=jnp.full((F, B, S), IN_NONE, ptr_dtype),
+        xbest=jnp.full((F,), -BIG, jnp.int32),
+        xslot=jnp.zeros((F,), jnp.int32),
+        xrow=jnp.zeros((F,), jnp.int32),
     )
 
     # The seed boundary word B0: score_before_start = seed_base (0 for a
@@ -364,6 +369,27 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
         state["end_col"] = new_end_col
         state["best_in"] = state["best_in"].at[:, :, s].set(
             best_in_s.astype(ptr_dtype))
+        if want_xcells:
+            # best X-score cell over this slice's end-of-node words:
+            # X(row) = rows_aligned - 5*edits = (s*W + row + 1) - 5*S(row)
+            # (reference per-cell X endpoint scan,
+            # src/GraphAlignerBitvectorCommon.h:321-383).  Rows past the
+            # fragment end and pad slots are masked.
+            srow = myers.word_scores(evp_all, evn_all, esb_all)  # (F,B,32)
+            riota = jnp.arange(W, dtype=jnp.int32)               # (32,)
+            grow = s * W + riota                                 # (32,)
+            xs = (grow + 1)[None, None, :] - 5 * srow            # (F,B,32)
+            ok = (slot_active & (esb_all < BIG))[..., None] \
+                & (grow[None, None, :] < frag_len[:, None, None])
+            xs = jnp.where(ok, xs, jnp.int32(-BIG))
+            xf = xs.reshape(F, -1)                               # (F,B*32)
+            arg = jnp.argmax(xf, axis=1).astype(jnp.int32)
+            val = jnp.max(xf, axis=1)
+            better = val > state["xbest"]
+            state["xbest"] = jnp.where(better, val, state["xbest"])
+            state["xslot"] = jnp.where(better, arg // W, state["xslot"])
+            state["xrow"] = jnp.where(better, s * W + arg % W,
+                                      state["xrow"])
 
     end_score = state["end_score"]
     best_slot = jnp.argmin(end_score, axis=1).astype(jnp.int32)
@@ -374,7 +400,10 @@ def align_fragments(node_eq: jax.Array, node_len: jax.Array,
                       best_col=best_col, best_in=state["best_in"],
                       end_score=end_score, end_col=state["end_col"],
                       out_ssb=state["ssb"], out_hp=state["hp"],
-                      out_hn=state["hn"])
+                      out_hn=state["hn"],
+                      xbest=state["xbest"] if want_xcells else None,
+                      xslot=state["xslot"] if want_xcells else None,
+                      xrow=state["xrow"] if want_xcells else None)
 
 
 # ---------------------------------------------------------------------------
@@ -415,7 +444,8 @@ def expand_req2(req2: jax.Array) -> jax.Array:
     return jnp.stack(planes, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("n_slices", "max_in", "n_levels"))
+@partial(jax.jit, static_argnames=("n_slices", "max_in", "n_levels",
+                                   "want_xcells"))
 def align_fragments_packed(node_eq: jax.Array, node_len: jax.Array,
                            bn_base: jax.Array, bn_d16: jax.Array,
                            bi_p16: jax.Array, seed_shift: jax.Array,
@@ -423,7 +453,8 @@ def align_fragments_packed(node_eq: jax.Array, node_len: jax.Array,
                            n_slices: int, max_in: int,
                            band_level: jax.Array, n_levels: int,
                            seed_base: jax.Array | None = None,
-                           carry_in: tuple | None = None) -> FragResult:
+                           carry_in: tuple | None = None,
+                           want_xcells: bool = False) -> FragResult:
     """align_fragments on wire-packed inputs.
 
     bn_base: (F,) int32 slot-0 node id; bn_d16: (F, B) int16 deltas
@@ -444,7 +475,8 @@ def align_fragments_packed(node_eq: jax.Array, node_len: jax.Array,
                            seed_shift.astype(jnp.int32), req,
                            frag_len.astype(jnp.int32), n_slices, max_in,
                            seed_base=seed_base, band_level=band_level,
-                           n_levels=n_levels, carry_in=carry_in)
+                           n_levels=n_levels, carry_in=carry_in,
+                           want_xcells=want_xcells)
 
 
 def _bytes_to_words(b: jax.Array) -> jax.Array:
@@ -456,7 +488,8 @@ def _bytes_to_words(b: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit,
-         static_argnames=("n_slices", "max_in", "n_levels", "want_state"))
+         static_argnames=("n_slices", "max_in", "n_levels", "want_state",
+                          "want_xcells"))
 def align_fragments_packed_out(node_eq: jax.Array, node_len: jax.Array,
                                bn_base: jax.Array, bn_d16: jax.Array,
                                bi_p16: jax.Array, seed_shift: jax.Array,
@@ -465,18 +498,21 @@ def align_fragments_packed_out(node_eq: jax.Array, node_len: jax.Array,
                                band_level: jax.Array, n_levels: int,
                                seed_base: jax.Array | None = None,
                                carry_in: tuple | None = None,
-                               want_state: bool = False) -> jax.Array:
+                               want_state: bool = False,
+                               want_xcells: bool = False) -> jax.Array:
     """align_fragments_packed with the results packed into ONE int32
     array (one download round trip): per fragment
       word 0:            best_score
       word 1:            best_slot | best_col << 8
       words 2..2+BS/4:   best_in bytes (B*S int8, 4 per word)
-      then, if want_state, B words each of out_ssb / out_hp / out_hn.
+      then, if want_state, B words each of out_ssb / out_hp / out_hn,
+      then, if want_xcells, xbest, xslot | xrow << 8.
     Requires B*S % 4 == 0 (bands are bucketed to multiples of 8)."""
     res = align_fragments_packed(node_eq, node_len, bn_base, bn_d16,
                                  bi_p16, seed_shift, req2, frag_len,
                                  n_slices, max_in, band_level, n_levels,
-                                 seed_base=seed_base, carry_in=carry_in)
+                                 seed_base=seed_base, carry_in=carry_in,
+                                 want_xcells=want_xcells)
     F, B = bn_d16.shape
     S = n_slices
     assert (B * S) % 4 == 0
@@ -488,4 +524,7 @@ def align_fragments_packed_out(node_eq: jax.Array, node_len: jax.Array,
         parts += [res.out_ssb,
                   jax.lax.bitcast_convert_type(res.out_hp, jnp.int32),
                   jax.lax.bitcast_convert_type(res.out_hn, jnp.int32)]
+    if want_xcells:
+        parts += [res.xbest[:, None],
+                  (res.xslot | (res.xrow << 8))[:, None]]
     return jnp.concatenate(parts, axis=1)

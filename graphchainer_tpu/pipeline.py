@@ -62,6 +62,7 @@ class PipelineParams:
                                               # chainer.band_slots)
     selection_method: str = "GreedyLength"    # --all-alignments/--greedy-*
     e_cutoff: float = -1.0                    # --E-cutoff (-1 = off)
+    evalue_legacy_score: bool = False         # reference literal sign
     cigar_match_mismatch: bool = False        # --cigar-match-mismatch (M
                                               # instead of =/X, reference
                                               # src/AlignerMain.cpp:70)
@@ -178,6 +179,7 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
                           ramp_band_slots=params.ramp_band_slots,
                           selection_method=params.selection_method,
                           e_cutoff=params.e_cutoff,
+                          evalue_legacy_score=params.evalue_legacy_score,
                           try_all_seeds=params.try_all_seeds,
                           seed_extend_density=params.seed_extend_density,
                           min_cluster_size=params.min_cluster_size,
@@ -225,7 +227,8 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
         # identity defaults to .5 like the reference (AlignerMain.cpp:172)
         ecalc = EValueCalculator(params.precise_clipping
                                  if params.precise_clipping is not None
-                                 else 0.5)
+                                 else 0.5,
+                                 legacy_score=params.evalue_legacy_score)
         db_size = int(np.sum(g.node_len)) // 2
 
     batch_q: "queue.Queue" = queue.Queue(maxsize=4)

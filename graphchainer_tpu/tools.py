@@ -26,6 +26,24 @@ Commands:
                           (reference VisualizeAlignment.cpp)
   pick-adjacent-pairs     report read-adjacent alignment pairs
                           (reference PickAdjacentAlnPairs.cpp)
+  extract-exact-path-subgraph  subgraph of aligned nodes+edges
+                          (reference ExtractExactPathSubgraph.cpp)
+  extract-neighbourhood   subgraph within N bp of aligned nodes
+                          (reference ExtractPathSubgraphNeighbourhood.cpp)
+  supported-subgraph      keep alignment-supported edges
+                          (reference SupportedSubgraph.cpp)
+  unitigify               merge bidirected non-branching runs
+                          (reference UnitigifyDBG.cpp)
+  untip                   drop short relative tips
+                          (reference UntipRelative.cpp)
+  estimate-repeat-count   per-node repeat estimate from coverage
+                          (reference EstimateRepeatCount.cpp)
+  pick-mummer-seeds       MUMmer matches -> seed GAM
+                          (reference PickMummerSeeds.cpp)
+  brute-force-prefix-seeds exact k-prefix seeds by graph DFS
+                          (reference BruteForceExactPrefixSeeds.cpp)
+  maf-to-alignment        MAF truth entries -> GAM + reads FASTA
+                          (reference MafToAlignment.cpp)
 """
 from __future__ import annotations
 
@@ -287,6 +305,394 @@ def cmd_gfa_path_sequence(args):
             f.write(f">{name}\n{path_sequence(g, name)}\n")
 
 
+def _load_bigraph(path: str):
+    from graphchainer_tpu.io.gfa import load_gfa
+    from graphchainer_tpu.io.vg_graph import load_vg
+    return load_vg(path) if path.endswith(".vg") else load_gfa(path)
+
+
+def _aln_nodes_edges(gam_path: str):
+    """Node-name / oriented-edge sets touched by a GAM's paths."""
+    from graphchainer_tpu.io.gam_reader import load_gam_alignments
+    nodes, edges = set(), set()
+    for aln in load_gam_alignments(gam_path):
+        ms = aln.mappings
+        for m in ms:
+            nodes.add(str(m.node_id))
+        for a, b in zip(ms[:-1], ms[1:]):
+            edges.add((str(a.node_id), a.is_reverse,
+                       str(b.node_id), b.is_reverse))
+    return nodes, edges
+
+
+def cmd_extract_exact_path_subgraph(args):
+    """Subgraph of exactly the nodes+edges traversed by alignments
+    (reference ExtractExactPathSubgraph.cpp)."""
+    from graphchainer_tpu.io.gfa import save_gfa
+    g = _load_bigraph(args.graph)
+    nodes, edges = _aln_nodes_edges(args.gam)
+    keep = {i for i, n in enumerate(g.names) if n in nodes}
+    eset = {(g.names[u], ur, g.names[v], vr)
+            for u, ur, v, vr, _ in g.links}
+    keep_links = [lk for lk in g.links
+                  if (g.names[lk[0]], lk[1], g.names[lk[2]], lk[3])
+                  in {e for e in edges
+                      if e in eset or (e[2], not e[3], e[0], not e[1])
+                      in eset}]
+    print(f"{len(keep)} nodes, ~{len(keep_links)} edges", file=sys.stderr)
+    save_gfa(g, args.output, keep=keep, keep_links=keep_links)
+
+
+def cmd_extract_neighbourhood(args):
+    """Subgraph within --length bp (Dijkstra over node lengths, both
+    directions) of any aligned node (reference
+    ExtractPathSubgraphNeighbourhood.cpp)."""
+    import heapq
+    from graphchainer_tpu.io.gfa import save_gfa
+    g = _load_bigraph(args.graph)
+    nodes, _ = _aln_nodes_edges(args.gam)
+    name_to_id = {n: i for i, n in enumerate(g.names)}
+    adj = {}
+    for u, ur, v, vr, _ in g.links:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {}
+    heap = []
+    for n in nodes:
+        i = name_to_id.get(n)
+        if i is not None:
+            dist[i] = 0
+            heapq.heappush(heap, (0, i))
+    while heap:
+        d, v = heapq.heappop(heap)
+        if d > dist.get(v, 1 << 60):
+            continue
+        nd = d + len(g.seqs[v])
+        if nd > args.length:
+            continue
+        for w in adj.get(v, ()):
+            if nd < dist.get(w, 1 << 60):
+                dist[w] = nd
+                heapq.heappush(heap, (nd, w))
+    keep = set(dist)
+    print(f"{len(keep)} nodes", file=sys.stderr)
+    save_gfa(g, args.output, keep=keep)
+
+
+def cmd_supported_subgraph(args):
+    """Keep only nodes appearing in alignments and edges traversed by at
+    least --min-support alignment adjacencies (reference
+    SupportedSubgraph.cpp)."""
+    from collections import Counter
+    from graphchainer_tpu.io.gam_reader import load_gam_alignments
+    from graphchainer_tpu.io.gfa import save_gfa
+    g = _load_bigraph(args.graph)
+    support = Counter()
+    nodes = set()
+    for aln in load_gam_alignments(args.gam):
+        ms = aln.mappings
+        for m in ms:
+            nodes.add(str(m.node_id))
+        for a, b in zip(ms[:-1], ms[1:]):
+            support[(str(a.node_id), str(b.node_id))] += 1
+    keep = {i for i, n in enumerate(g.names) if n in nodes}
+    keep_links = [
+        lk for lk in g.links
+        if max(support.get((g.names[lk[0]], g.names[lk[2]]), 0),
+               support.get((g.names[lk[2]], g.names[lk[0]]), 0))
+        >= args.min_support]
+    save_gfa(g, args.output, keep=keep, keep_links=keep_links)
+
+
+def cmd_unitigify(args):
+    """Merge bidirected non-branching runs into unitig segments
+    (reference UnitigifyDBG.cpp; our segments join with
+    overlap-trimmed concatenation)."""
+    from graphchainer_tpu.io.gfa import Bigraph, save_gfa
+    from graphchainer_tpu.utils.seq import revcomp
+    g = _load_bigraph(args.graph)
+    n = len(g.names)
+    # directed side graph: (node, end) -> [(node2, side2, overlap)]
+    out_of = {}
+    for u, ur, v, vr, o in g.links:
+        out_of.setdefault((u, ur), []).append((v, vr, o))
+        out_of.setdefault((v, not vr), []).append((u, not ur, o))
+
+    def unique_next(u, ur):
+        outs = out_of.get((u, ur), [])
+        if len(outs) != 1:
+            return None
+        v, vr, o = outs[0]
+        back = out_of.get((v, not vr), [])
+        if len(back) != 1:
+            return None
+        return v, vr, o
+
+    used = [False] * n
+    out = Bigraph()
+    runs = []
+    internal = set()      # directed side edges consumed inside a run
+    for s in range(n):
+        if used[s]:
+            continue
+        # extend left to a run start (or detect an isolated cycle)
+        u, ur = s, False
+        seen = {(s, False)}
+        while True:
+            prev = unique_next(u, not ur)
+            if prev is None:
+                break
+            pu, pur, _ = prev
+            if (pu, not pur) in seen:
+                break                       # cycle; cut here
+            u, ur = pu, not pur
+            seen.add((u, ur))
+        run = [(u, ur, 0)]
+        used[u] = True
+        while True:
+            nxt = unique_next(run[-1][0], run[-1][1])
+            if nxt is None or used[nxt[0]]:
+                break
+            internal.add((run[-1][0], run[-1][1], nxt[0], nxt[1]))
+            internal.add((nxt[0], not nxt[1], run[-1][0], not run[-1][1]))
+            run.append(nxt)
+            used[nxt[0]] = True
+        runs.append(run)
+    for ui, run in enumerate(runs):
+        seq = []
+        for v, vr, o in run:
+            s = revcomp(g.seqs[v]) if vr else g.seqs[v]
+            seq.append(s[o:])
+        out.add_segment(f"unitig{ui}", "".join(seq))
+    # map remaining original side edges to unitig-end links
+    out_side = {}         # (node, side): unitig orientation leaving here
+    in_side = {}          # (node, side): unitig orientation entering here
+    for ui, run in enumerate(runs):
+        tail_n, tail_r, _ = run[-1]
+        head_n, head_r, _ = run[0]
+        out_side[(tail_n, tail_r)] = (ui, False)
+        out_side[(head_n, not head_r)] = (ui, True)
+        in_side[(head_n, head_r)] = (ui, False)
+        in_side[(tail_n, not tail_r)] = (ui, True)
+    links = set()
+    for u, ur, v, vr, o in g.links:
+        if (u, ur, v, vr) in internal:
+            continue
+        a = out_side.get((u, ur))
+        b = in_side.get((v, vr))
+        if a is not None and b is not None:
+            links.add((a[0], a[1], b[0], b[1], o))
+    out.links = sorted(links)
+    print(f"{len(out.names)} unitigs", file=sys.stderr)
+    save_gfa(out, args.output)
+
+
+def cmd_untip(args):
+    """Remove tips: dead-end runs shorter than --max-len bp AND shorter
+    than --fraction of the longest parallel branch (reference
+    UntipRelative.cpp semantics, simplified to single-segment tips on
+    the bidirected graph)."""
+    from graphchainer_tpu.io.gfa import save_gfa
+    g = _load_bigraph(args.graph)
+    out_of = {}
+    for u, ur, v, vr, o in g.links:
+        out_of.setdefault((u, ur), []).append((v, vr))
+        out_of.setdefault((v, not vr), []).append((u, not ur))
+    drop = set()
+    for v in range(len(g.names)):
+        ln = len(g.seqs[v])
+        if ln >= args.max_len:
+            continue
+        fwd = out_of.get((v, False), [])
+        bwd = out_of.get((v, True), [])
+        # a tip dangles on exactly one side
+        if bool(fwd) == bool(bwd):
+            continue
+        anchor = (fwd or bwd)[0]
+        # longest alternative branch out of the anchor's other side
+        alts = [len(g.seqs[w]) for w, wr in
+                out_of.get((anchor[0], not anchor[1]), []) if w != v]
+        if alts and ln < args.fraction * max(alts):
+            drop.add(v)
+    keep = set(range(len(g.names))) - drop
+    print(f"removed {len(drop)} tips", file=sys.stderr)
+    save_gfa(g, args.output, keep=keep)
+
+
+def cmd_estimate_repeat_count(args):
+    """Per-node repeat-count estimate from alignment coverage and local
+    branching degree (reference EstimateRepeatCount.cpp: max of distinct
+    aligned reads normalized by median and the branch degree)."""
+    from collections import Counter, defaultdict
+    from graphchainer_tpu.io.gam_reader import load_gam_alignments
+    g = _load_bigraph(args.graph)
+    reads_per_node = defaultdict(set)
+    for aln in load_gam_alignments(args.gam):
+        for m in aln.mappings:
+            reads_per_node[str(m.node_id)].add(aln.name)
+    degree = Counter()
+    for u, ur, v, vr, _ in g.links:
+        degree[g.names[u]] += 1
+        degree[g.names[v]] += 1
+    covs = sorted(len(s) for s in reads_per_node.values()) or [1]
+    med = max(1, covs[len(covs) // 2])
+    with _out(args.output) as f:
+        f.write("node,reads,estimated_count\n")
+        for name in g.names:
+            r = len(reads_per_node.get(name, ()))
+            est = max(1, round(r / med), 1 if degree[name] <= 2
+                      else degree[name] // 2)
+            f.write(f"{name},{r},{est}\n")
+
+
+def _write_seed_gam(path: str, seeds):
+    """seeds: iterable of (read_name, node_name_or_id, offset,
+    is_reverse, k, query_pos)."""
+    from graphchainer_tpu.io import vg_wire as w
+    from graphchainer_tpu.io.gam import GamWriter
+    gw = GamWriter(path)
+    for name, node, off, rev, k, qpos in seeds:
+        if not str(node).lstrip("-").isdigit():
+            print(f"skipping seed on non-numeric node {node!r} "
+                  "(GAM node ids are integers)", file=sys.stderr)
+            continue
+        pos = w.position(int(node), int(off), bool(rev))
+        mp = w.mapping(pos, [w.edit(int(k), int(k))], 1)
+        gw.write(w.alignment("", w.path([mp]), name, score=int(qpos)))
+    gw.close()
+
+
+def cmd_pick_mummer_seeds(args):
+    """Convert MUMmer `mummer -mum` output (matches of reads against
+    per-node reference sequences named by node id) into a seed GAM,
+    keeping the --max-seeds longest per read (reference
+    PickMummerSeeds.cpp)."""
+    per_read = {}
+    cur = None
+    rev = False
+    with open(args.mums) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                name = line[1:].strip()
+                rev = name.endswith(" Reverse")
+                cur = name[:-8].strip() if rev else name
+                continue
+            parts = line.split()
+            if len(parts) < 4 or cur is None:
+                continue
+            node, refpos, readpos, ln = (parts[0], int(parts[1]),
+                                         int(parts[2]), int(parts[3]))
+            per_read.setdefault(cur, []).append(
+                (ln, node, refpos - 1, rev, readpos - 1))
+    seeds = []
+    for name, items in per_read.items():
+        items.sort(reverse=True)
+        for ln, node, off, rv, qpos in items[:args.max_seeds]:
+            seeds.append((name, node, off, rv, ln, qpos))
+    _write_seed_gam(args.output, seeds)
+    print(f"{len(seeds)} seeds", file=sys.stderr)
+
+
+def cmd_brute_force_prefix_seeds(args):
+    """Exact k-length read prefixes located by brute-force DFS over all
+    graph start positions (reference BruteForceExactPrefixSeeds.cpp).
+    Emits one seed per (read, matching start position)."""
+    from graphchainer_tpu.io.fastq import stream_reads
+    from graphchainer_tpu.utils.seq import revcomp
+    g = _load_bigraph(args.graph)
+    k = args.k
+    index = {}
+    name_of = {}
+    adj = {}
+    for u, ur, v, vr, o in g.links:
+        adj.setdefault((u, ur), []).append((v, vr))
+        adj.setdefault((v, not vr), []).append((u, not ur))
+
+    def walk(nid, rev, off, prefix):
+        seq = revcomp(g.seqs[nid]) if rev else g.seqs[nid]
+        take = seq[off:off + (k - len(prefix))]
+        prefix += take
+        if len(prefix) >= k:
+            yield prefix[:k]
+            return
+        for v, vr in adj.get((nid, rev), ()):
+            yield from walk(v, vr, 0, prefix)
+
+    for nid in range(len(g.names)):
+        for rev in (False, True):
+            L = len(g.seqs[nid])
+            for off in range(L):
+                for s in walk(nid, rev, off, ""):
+                    real_off = L - 1 - off if rev else off
+                    index.setdefault(s.upper(), []).append(
+                        (g.names[nid], real_off, rev))
+    seeds = []
+    for rd in stream_reads(args.reads):
+        name, seq = rd.name, rd.seq
+        if len(seq) < k:
+            continue
+        for node, off, rv in index.get(seq[:k].upper(), ()):
+            seeds.append((name, node, off, rv, k, k - 1))
+    _write_seed_gam(args.output, seeds)
+    print(f"{len(seeds)} seeds", file=sys.stderr)
+
+
+def cmd_maf_to_alignment(args):
+    """Convert MAF entries (reads simulated from a linear reference) to
+    GAM alignments against the graph whose path spells that reference
+    (reference MafToAlignment.cpp; the reference path is given as a GFA
+    P/W name instead of a vg reference alignment)."""
+    from graphchainer_tpu.io import vg_wire as w
+    from graphchainer_tpu.io.gam import GamWriter
+    g = _load_bigraph(args.graph)
+    steps = g.paths.get(args.path_name)
+    if steps is None:
+        raise SystemExit(f"no path {args.path_name!r} in graph")
+    pos_to_node = []
+    node_rev = {}
+    for nid, rev in steps:
+        pos_to_node.extend([nid] * len(g.seqs[nid]))
+        node_rev[nid] = rev
+    entries = []
+    with open(args.maf) as f:
+        lines = [ln.rstrip("\n") for ln in f]
+    i = 0
+    while i < len(lines):
+        if lines[i].startswith("a"):
+            ref = lines[i + 1].split()
+            read = lines[i + 2].split()
+            entries.append((read[1], int(ref[2]), int(ref[3]),
+                            read[4] == "-", read[6].replace("-", "")))
+            i += 3
+        else:
+            i += 1
+    gw = GamWriter(args.output)
+    with _out(args.reads_out) as rf:
+        for name, start, length, backward, seq in entries:
+            nids = []
+            for j in range(length):
+                nid = pos_to_node[start + j]
+                if not nids or nids[-1] != nid:
+                    nids.append(nid)
+            if backward:
+                nids = nids[::-1]
+            mps = []
+            for rank, nid in enumerate(nids):
+                rev = node_rev[nid] != backward
+                pos = w.position(int(g.names[nid])
+                                 if g.names[nid].isdigit() else nid,
+                                 0, rev)
+                ln = len(g.seqs[nid])
+                mps.append(w.mapping(pos, [w.edit(ln, ln)], rank + 1))
+            gw.write(w.alignment(seq, w.path(mps), name))
+            rf.write(f">{name}\n{seq}\n")
+    gw.close()
+    print(f"{len(entries)} alignments", file=sys.stderr)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="graphchainer-tpu-tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -362,6 +768,65 @@ def main(argv=None) -> int:
     s.add_argument("--max-gap", type=int, default=100)
     s.add_argument("--output", "-o", default="-")
     s.set_defaults(fn=cmd_pick_adjacent_pairs)
+
+    s = sub.add_parser("extract-exact-path-subgraph")
+    s.add_argument("--graph", required=True)
+    s.add_argument("--gam", required=True)
+    s.add_argument("--output", "-o", required=True)
+    s.set_defaults(fn=cmd_extract_exact_path_subgraph)
+
+    s = sub.add_parser("extract-neighbourhood")
+    s.add_argument("--graph", required=True)
+    s.add_argument("--gam", required=True)
+    s.add_argument("--length", type=int, required=True)
+    s.add_argument("--output", "-o", required=True)
+    s.set_defaults(fn=cmd_extract_neighbourhood)
+
+    s = sub.add_parser("supported-subgraph")
+    s.add_argument("--graph", required=True)
+    s.add_argument("--gam", required=True)
+    s.add_argument("--min-support", type=int, default=1)
+    s.add_argument("--output", "-o", required=True)
+    s.set_defaults(fn=cmd_supported_subgraph)
+
+    s = sub.add_parser("unitigify")
+    s.add_argument("--graph", required=True)
+    s.add_argument("--output", "-o", required=True)
+    s.set_defaults(fn=cmd_unitigify)
+
+    s = sub.add_parser("untip")
+    s.add_argument("--graph", required=True)
+    s.add_argument("--max-len", type=int, required=True)
+    s.add_argument("--fraction", type=float, default=0.5)
+    s.add_argument("--output", "-o", required=True)
+    s.set_defaults(fn=cmd_untip)
+
+    s = sub.add_parser("estimate-repeat-count")
+    s.add_argument("--graph", required=True)
+    s.add_argument("--gam", required=True)
+    s.add_argument("--output", "-o", default="-")
+    s.set_defaults(fn=cmd_estimate_repeat_count)
+
+    s = sub.add_parser("pick-mummer-seeds")
+    s.add_argument("--mums", required=True)
+    s.add_argument("--max-seeds", type=int, default=10)
+    s.add_argument("--output", "-o", required=True)
+    s.set_defaults(fn=cmd_pick_mummer_seeds)
+
+    s = sub.add_parser("brute-force-prefix-seeds")
+    s.add_argument("--graph", required=True)
+    s.add_argument("--reads", required=True)
+    s.add_argument("--k", type=int, required=True)
+    s.add_argument("--output", "-o", required=True)
+    s.set_defaults(fn=cmd_brute_force_prefix_seeds)
+
+    s = sub.add_parser("maf-to-alignment")
+    s.add_argument("--graph", required=True)
+    s.add_argument("--path-name", required=True)
+    s.add_argument("--maf", required=True)
+    s.add_argument("--output", "-o", required=True)
+    s.add_argument("--reads-out", required=True)
+    s.set_defaults(fn=cmd_maf_to_alignment)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -4,7 +4,7 @@ import pytest
 
 from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
 from graphchainer_tpu.index.minimizer import build_index
-from graphchainer_tpu.io.gfa import load_gfa
+from graphchainer_tpu.io.gfa import Bigraph, load_gfa
 from graphchainer_tpu.models.aligner import AlignerConfig, GraphAlignerModel
 
 from tests.conftest import TOY_READ
@@ -247,3 +247,26 @@ def test_ga_seed_policy_and_global_alignment():
         a = m.align_batch([("r", read)])[0]
         assert not a.failed
         assert a.seq_end - a.seq_start >= 0.9 * len(read)
+
+
+def test_xdrop_clips_at_exact_cell(rng):
+    """Cell-precise X-drop endpoints (reference per-cell X endpoint scan,
+    src/GraphAlignerBitvectorCommon.h:321-383): a read whose tail turns
+    to garbage mid-window is clipped at the last well-matching base, not
+    at a 64-row window boundary."""
+    backbone = "".join(rng.choice(list("ACGT"), 400))
+    bg = Bigraph()
+    bg.add_segment("s", backbone)
+    g = build_alignment_graph(bg)
+    idx = build_index(g, k=13, w=8)
+    good = 150
+    read = backbone[:good] + "".join(rng.choice(list("ACGT"), 80))
+    model = GraphAlignerModel(g, idx, AlignerConfig(band_slots=16,
+                                                    polish_band_words=4,
+                                                    x_drop=20))
+    aln = model.align_batch([("clip", read)])[0]
+    assert not aln.failed
+    # the aligned span must end within a few bases of the good prefix --
+    # window-granular clipping would land on a multiple of 64 (128 or 192)
+    assert abs(aln.seq_end - good) <= 8, (aln.seq_start, aln.seq_end)
+    assert aln.seq_start <= 5
