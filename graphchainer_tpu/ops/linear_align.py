@@ -616,24 +616,83 @@ def backtrace_device_packed(dump_vp, dump_vn, dump_sb, dump_base, read_p4,
                            touched=bt.touched)
 
 
-@partial(jax.jit, static_argnames=("bw", "max_steps"))
+_PALLAS_OK = None
+
+
+def _pallas_core_ok() -> bool:
+    """Probe once whether the Pallas polish core (pallas_polish2)
+    compiles on the current default backend (Mosaic TPU lowering; the
+    CPU interpret path is exercised by tests instead).  Disable with
+    GRAPHCHAINER_NO_PALLAS=1."""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        import os
+        if os.environ.get("GRAPHCHAINER_NO_PALLAS"):
+            _PALLAS_OK = False
+            return False
+        try:
+            import jax as _jax
+            if _jax.default_backend() not in ("tpu",):
+                _PALLAS_OK = False
+                return False
+            from graphchainer_tpu.ops.pallas_polish2 import \
+                polish_core_pallas
+            r = polish_core_pallas(
+                jnp.zeros((4, 4, 128), jnp.uint32),
+                jnp.zeros((128, 128), jnp.uint32),
+                jnp.full((128,), 64, jnp.int32),
+                jnp.full((128,), 64, jnp.int32), 2)
+            _jax.block_until_ready(r[3])
+            _PALLAS_OK = True
+        except Exception as e:           # pragma: no cover - backend dep
+            import sys
+            print(f"pallas polish core unavailable ({type(e).__name__}); "
+                  "using the XLA core", file=sys.stderr)
+            _PALLAS_OK = False
+    return _PALLAS_OK
+
+
+@partial(jax.jit, static_argnames=("bw", "max_steps", "use_pallas"))
+def _polish_full_packed_impl(read_p4, path_p4, read_len, path_len,
+                             bw: int, max_steps: int,
+                             use_pallas: bool) -> jax.Array:
+    planes_t = jnp.transpose(expand_planes(read_p4), (2, 1, 0))
+    path_t = jnp.transpose(expand_nibbles(path_p4), (1, 0)) \
+        .astype(jnp.uint32)
+    if use_pallas:
+        from graphchainer_tpu.ops.pallas_polish2 import polish_core_pallas
+        R = planes_t.shape[2]
+        pad = (-R) % 128
+        if pad:
+            planes_t = jnp.pad(planes_t, ((0, 0), (0, 0), (0, pad)))
+            path_t = jnp.pad(path_t, ((0, 0), (0, pad)))
+            read_len = jnp.pad(read_len, (0, pad))
+            path_len = jnp.pad(path_len, (0, pad))
+        dvp, dvn, dsb, dbase = polish_core_pallas(
+            planes_t, path_t, read_len, path_len, bw)
+    else:
+        dvp, dvn, dsb, dbase = _polish_core_t(planes_t, path_t, read_len,
+                                              path_len, bw)
+    score = _score_from_dump_t(dvp, dvn, dsb, dbase, read_len, path_len,
+                               bw)
+    bt = _backtrace_t(dvp, dvn, dsb, dbase, planes_t, path_t, read_len,
+                      path_len, bw, max_steps)
+    ops2 = jax.lax.bitcast_convert_type(pack_ops2(bt.ops_rev), jnp.int32)
+    out = jnp.concatenate(
+        [score[:, None], bt.n_ops[:, None],
+         bt.touched.astype(jnp.int32)[:, None], ops2], axis=1)
+    return out[:read_p4.shape[0]]
+
+
 def polish_full_packed(read_p4, path_p4, read_len, path_len, bw: int,
                        max_steps: int) -> jax.Array:
     """Score + backtrace in ONE device call with ONE packed result array
     (the tunnel charges a fixed round trip per call/download): per read
       word 0: score, word 1: n_ops, word 2: touched,
       words 3..: 2-bit edit ops (16 per word), walk order.
-    Runs on the lane-major transposed core (reads on the 128 VPU lanes)."""
-    planes_t = jnp.transpose(expand_planes(read_p4), (2, 1, 0))
-    path_t = jnp.transpose(expand_nibbles(path_p4), (1, 0)) \
-        .astype(jnp.uint32)
-    dvp, dvn, dsb, dbase = _polish_core_t(planes_t, path_t, read_len,
-                                          path_len, bw)
-    score = _score_from_dump_t(dvp, dvn, dsb, dbase, read_len, path_len,
-                               bw)
-    bt = _backtrace_t(dvp, dvn, dsb, dbase, planes_t, path_t, read_len,
-                      path_len, bw, max_steps)
-    ops2 = jax.lax.bitcast_convert_type(pack_ops2(bt.ops_rev), jnp.int32)
-    return jnp.concatenate(
-        [score[:, None], bt.n_ops[:, None],
-         bt.touched.astype(jnp.int32)[:, None], ops2], axis=1)
+    Runs on the lane-major transposed core (reads on the 128 VPU lanes);
+    the banded-DP fill uses the Pallas kernel (ops/pallas_polish2.py)
+    when the backend's Mosaic lowering supports it."""
+    return _polish_full_packed_impl(read_p4, path_p4, read_len, path_len,
+                                    bw, max_steps,
+                                    use_pallas=_pallas_core_ok())
