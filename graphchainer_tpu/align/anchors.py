@@ -527,12 +527,23 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
             ss8 = shard_rows(ss.astype(np.int8))
             rw16 = shard_rows(rw.astype(np.int16))
             bl = shard_rows(bl)
-            res = frag_align.align_fragments_packed_out(
-                dev_eq, dev_len, bb, bd, bp, ss8, rq2, rw16, n_slices=S,
-                max_in=max_in, band_level=bl, n_levels=n_levels,
-                seed_base=None if sb_zero else shard_rows(sb),
-                carry_in=ci, want_state=want_state,
-                want_xcells=want_xcells)
+            if want_xcells:
+                res = frag_align.align_fragments_packed_out(
+                    dev_eq, dev_len, bb, bd, bp, ss8, rq2, rw16,
+                    n_slices=S, max_in=max_in, band_level=bl,
+                    n_levels=n_levels,
+                    seed_base=None if sb_zero else shard_rows(sb),
+                    carry_in=ci, want_state=want_state,
+                    want_xcells=True)
+            else:
+                # lane-major core: ~4x device throughput (fragments on
+                # the 128 VPU lanes)
+                res = frag_align.align_fragments_packed_out_tl(
+                    dev_eq, dev_len, bb, bd, bp, ss8, rq2, rw16,
+                    n_slices=S, max_in=max_in, band_level=bl,
+                    n_levels=n_levels,
+                    seed_base=None if sb_zero else shard_rows(sb),
+                    carry_in=ci, want_state=want_state)
             pending.append((res, hi - lo))
             continue
         bn = np.pad(band_nodes_cat[lo:hi], ((0, pad), (0, 0)),
@@ -545,11 +556,17 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                                   for a in (bn, bi, ss, rq, rw, sb))
         if bl is not None:
             bl = shard_rows(bl)
-        res = frag_align.align_fragments(dev_eq, dev_len, bn, bi, ss, rq,
-                                         rw, n_slices=S, max_in=max_in,
-                                         seed_base=sb, band_level=bl,
-                                         n_levels=n_levels, carry_in=ci,
-                                         want_xcells=want_xcells)
+        if want_xcells:
+            res = frag_align.align_fragments(
+                dev_eq, dev_len, bn, bi, ss, rq, rw, n_slices=S,
+                max_in=max_in, seed_base=sb, band_level=bl,
+                n_levels=n_levels, carry_in=ci, want_xcells=True)
+        else:
+            res = frag_align.align_fragments_tl(
+                dev_eq, dev_len, bn, bi, ss, rq, rw, n_slices=S,
+                max_in=max_in, seed_base=sb, band_level=bl,
+                n_levels=n_levels, carry_in=ci,
+                want_state=want_state)
         pending.append((res, hi - lo))
     # phase 2: download only the per-fragment best results (the full
     # per-slot matrices stay on device unless want_state); the packed

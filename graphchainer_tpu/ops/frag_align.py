@@ -528,3 +528,366 @@ def align_fragments_packed_out(node_eq: jax.Array, node_len: jax.Array,
         parts += [res.xbest[:, None],
                   (res.xslot | (res.xrow << 8))[:, None]]
     return jnp.concatenate(parts, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Lane-major core (fragments on the 128 VPU lanes, band slots on
+# sublanes).  The (F, B) layout above leaves B = 8..16 of 128 lanes
+# active; this core is the transposed re-design (same math, verified
+# bit-identical in tests/test_frag_align.py) used by the packed CLC
+# path, and is structured to lower under Pallas/Mosaic: 2-D
+# (sublane, lane) arrays only, select-loops instead of gathers, and
+# merges via progressive row-expansion + one repack.
+
+_ROWS32 = np.arange(W, dtype=np.uint32)
+_ABOVE32 = np.where(_ROWS32 < W - 1,
+                    np.uint32(0xFFFFFFFF) << (_ROWS32 + 1),
+                    np.uint32(0)).astype(np.uint32)
+
+
+class _MergeAcc:
+    """Progressive elementwise-min of candidate Myers words, kept as 33
+    expanded row-score planes (boundary + 32 rows) of shape (B, F);
+    repacked to (vp, vn, sb) once after the last candidate."""
+
+    def __init__(self, shape):
+        self.before = jnp.full(shape, BIG, jnp.int32)
+        self.rows = [jnp.full(shape, BIG, jnp.int32) for _ in range(W)]
+
+    def add(self, vp, vn, sb):
+        pc = jax.lax.population_count
+        self.before = jnp.minimum(
+            self.before, sb - pc(vp).astype(jnp.int32)
+            + pc(vn).astype(jnp.int32))
+        for r in range(W):
+            m = jnp.uint32(_ABOVE32[r])
+            s = (sb - pc(vp & m).astype(jnp.int32)
+                 + pc(vn & m).astype(jnp.int32))
+            self.rows[r] = jnp.minimum(self.rows[r], s)
+
+    def add_vertical(self, prev_ssb, valid):
+        """source_word(prev_ssb) expands in closed form:
+        S(r) = prev_ssb + r + 1."""
+        s0 = jnp.where(valid, prev_ssb, BIG)
+        self.before = jnp.minimum(self.before, s0)
+        for r in range(W):
+            self.rows[r] = jnp.minimum(self.rows[r], s0 + (r + 1))
+
+    def bottom(self):
+        return self.rows[W - 1]
+
+    def pack(self):
+        vp = jnp.zeros(self.before.shape, jnp.uint32)
+        vn = jnp.zeros(self.before.shape, jnp.uint32)
+        prev = self.before
+        for r in range(W):
+            d = self.rows[r] - prev
+            vp = vp | ((d == 1).astype(jnp.uint32) << np.uint32(r))
+            vn = vn | ((d == -1).astype(jnp.uint32) << np.uint32(r))
+            prev = self.rows[r]
+        return vp, vn, prev
+
+
+def _frag_core_t(slot_eq_t, slot_len_t, band_in_t, band_level_t, req_t,
+                 frag_len, seed_base, *, S: int, max_in: int,
+                 n_levels: int, carried: bool,
+                 carry=None, want_state: bool):
+    """Lane-major fragment DP.  All arrays are (…, F) with F on lanes:
+
+    slot_eq_t:   (4, B, F) uint32 seed-shifted Eq bitplanes per slot
+    slot_len_t:  (B, F) int32 effective slot lengths (post seed trim)
+    band_in_t:   (max_in, B, F) int32 in-edge slot ids (-1 none)
+    band_level_t:(B, F) int32 topo level per slot (-1 pad)
+    req_t:       (S, 4, F) uint32 read row planes per slice
+    frag_len:    (1, F) int32;  seed_base: (1, F) int32
+    carry:       optional (ssb, hp, hn) each (B, F)
+
+    Returns (best_score (1,F), best_slot (1,F), best_col (1,F),
+    best_in (S, B, F) int32, [ssb, hp, hn (B, F) when want_state]).
+    """
+    _, B, F = slot_eq_t.shape
+    pc = jax.lax.population_count
+    slot_active = slot_len_t > 0
+    is_seed = np.arange(B)[:, None] == 0          # (B,1) static
+    end_slice = (frag_len - 1) // W               # (1,F)
+    er = ((frag_len - 1) % W).astype(jnp.uint32)
+    end_row_mask = jnp.where(er < W - 1,
+                             jnp.uint32(0xFFFFFFFF) << (er + 1),
+                             jnp.uint32(0))       # (1,F)
+
+    b0_vp, b0_vn, b0_sb = source_word(seed_base.astype(jnp.int32))
+
+    evp = jnp.zeros((B, F), jnp.uint32)
+    evn = jnp.zeros((B, F), jnp.uint32)
+    esb = jnp.full((B, F), BIG, jnp.int32)
+    ssb = (carry[0].astype(jnp.int32) if carried
+           else jnp.full((B, F), BIG, jnp.int32))
+    hp = carry[1].astype(jnp.uint32) if carried \
+        else jnp.zeros((B, F), jnp.uint32)
+    hn = carry[2].astype(jnp.uint32) if carried \
+        else jnp.zeros((B, F), jnp.uint32)
+    end_score = jnp.full((B, F), BIG, jnp.int32)
+    end_col = jnp.zeros((B, F), jnp.int32)
+    best_in_slices = []
+
+    def eq_col(req_s, c):
+        bits = (slot_eq_t >> jnp.uint32(c)) & jnp.uint32(1)   # (4,B,F)
+        return (req_s[0][None] * bits[0] | req_s[1][None] * bits[1]
+                | req_s[2][None] * bits[2] | req_s[3][None] * bits[3])
+
+    for s in range(S):
+        req_s = [req_t[s, b] for b in range(4)]   # 4 x (F,)
+        prev_ssb, prev_hp, prev_hn = ssb, hp, hn
+        prev_exists = (s > 0) or carried
+        at_end = end_slice == s                   # (1,F)
+
+        def level_body(l, cy, _req_s=req_s, _prev=(prev_ssb, prev_hp,
+                                                   prev_hn),
+                       _prev_exists=prev_exists, _at_end=at_end):
+            (evp_a, evn_a, esb_a, n_ssb, n_hp, n_hn, n_esc, n_ecl,
+             bin_s) = cy
+            _prev_ssb, _prev_hp, _prev_hn = _prev
+            lvl = band_level_t == l               # (B,F)
+            eq0 = eq_col(_req_s, 0)               # (B,F)
+
+            acc = _MergeAcc((B, F))
+            cbest = jnp.full((B, F), IN_NONE, jnp.int32)
+            csb_run = jnp.full((B, F), BIG, jnp.int32)
+
+            if not _prev_exists:
+                seed_valid = jnp.broadcast_to(is_seed, (B, F))
+                avp, avn, asb, _ = advance_word(
+                    jnp.broadcast_to(b0_vp, (B, F)),
+                    jnp.broadcast_to(b0_vn, (B, F)),
+                    jnp.broadcast_to(b0_sb, (B, F)), eq0, jnp.int32(1))
+                avp = jnp.where(seed_valid, avp, jnp.uint32(0xFFFFFFFF))
+                avn = jnp.where(seed_valid, avn, jnp.uint32(0))
+                asb = jnp.where(seed_valid, asb, BIG)
+                acc.add(avp, avn, asb)
+                better = asb < csb_run
+                csb_run = jnp.minimum(csb_run, asb)
+                cbest = jnp.where(seed_valid & better, IN_SEED, cbest)
+
+            if _prev_exists:
+                valid = slot_active & (_prev_ssb < BIG)
+                acc.add_vertical(_prev_ssb, valid)
+                vsb = jnp.where(valid, _prev_ssb + W, BIG)
+                better = vsb < csb_run
+                csb_run = jnp.minimum(csb_run, vsb)
+                cbest = jnp.where(valid & better, IN_VERT, cbest)
+
+            for e in range(max_in):
+                u = band_in_t[e]                  # (B,F)
+                valid = (u >= 0) & slot_active
+                uvp = jnp.zeros((B, F), jnp.uint32)
+                uvn = jnp.zeros((B, F), jnp.uint32)
+                usb = jnp.full((B, F), BIG, jnp.int32)
+                for k in range(B):
+                    m = u == k
+                    uvp = jnp.where(m, evp_a[k][None], uvp)
+                    uvn = jnp.where(m, evn_a[k][None], uvn)
+                    usb = jnp.where(m, esb_a[k][None], usb)
+                valid &= usb < BIG
+                if _prev_exists:
+                    ubs = (usb - pc(uvp).astype(jnp.int32)
+                           + pc(uvn).astype(jnp.int32))
+                    hin = jnp.clip(_prev_ssb - ubs, -1, 1)
+                    hin = jnp.where(_prev_ssb >= BIG, jnp.int32(1), hin)
+                else:
+                    hin = jnp.int32(1)
+                avp, avn, asb, _ = advance_word(uvp, uvn, usb, eq0, hin)
+                avp = jnp.where(valid, avp, jnp.uint32(0xFFFFFFFF))
+                avn = jnp.where(valid, avn, jnp.uint32(0))
+                asb = jnp.where(valid, asb, BIG)
+                acc.add(avp, avn, asb)
+                better = asb < csb_run
+                csb_run = jnp.minimum(csb_run, asb)
+                cbest = jnp.where(valid & better, u, cbest)
+
+            cvp, cvn, csb = acc.pack()
+
+            if not _prev_exists:
+                len0 = is_seed & (slot_len_t == 0)
+                cvp = jnp.where(len0, jnp.broadcast_to(b0_vp, (B, F)),
+                                cvp)
+                cvn = jnp.where(len0, jnp.broadcast_to(b0_vn, (B, F)),
+                                cvn)
+                csb = jnp.where(len0, jnp.broadcast_to(b0_sb, (B, F)),
+                                csb)
+                cbest = jnp.where(len0, IN_SEED, cbest)
+
+            col0_sb = csb
+
+            sr = (csb - pc(cvp & end_row_mask).astype(jnp.int32)
+                  + pc(cvn & end_row_mask).astype(jnp.int32))
+            upd = _at_end & slot_active
+            best_sc = jnp.where(upd, sr, BIG)
+            best_cl = jnp.zeros((B, F), jnp.int32)
+
+            wvp, wvn, wsb = cvp, cvn, csb
+            hp_acc = jnp.zeros((B, F), jnp.uint32)
+            hn_acc = jnp.zeros((B, F), jnp.uint32)
+            evp_c = jnp.where(slot_len_t <= 1, wvp, jnp.uint32(0))
+            evn_c = jnp.where(slot_len_t <= 1, wvn, jnp.uint32(0))
+            esb_c = jnp.where(slot_len_t <= 1, wsb, BIG)
+
+            for c in range(1, W):
+                eqc = eq_col(_req_s, c)
+                if _prev_exists:
+                    hin = (((_prev_hp >> jnp.uint32(c)) & 1)
+                           .astype(jnp.int32)
+                           - ((_prev_hn >> jnp.uint32(c)) & 1)
+                           .astype(jnp.int32))
+                else:
+                    hin = jnp.int32(1)
+                wvp, wvn, wsb, hout = advance_word(wvp, wvn, wsb, eqc,
+                                                   hin)
+                hp_acc |= (hout > 0).astype(jnp.uint32) << jnp.uint32(c)
+                hn_acc |= (hout < 0).astype(jnp.uint32) << jnp.uint32(c)
+                in_node = c < slot_len_t
+                sr = (wsb - pc(wvp & end_row_mask).astype(jnp.int32)
+                      + pc(wvn & end_row_mask).astype(jnp.int32))
+                upd = _at_end & in_node & (sr < best_sc)
+                best_sc = jnp.where(upd, sr, best_sc)
+                best_cl = jnp.where(upd, c, best_cl)
+                cap = c == slot_len_t - 1
+                evp_c = jnp.where(cap, wvp, evp_c)
+                evn_c = jnp.where(cap, wvn, evn_c)
+                esb_c = jnp.where(cap, wsb, esb_c)
+
+            esb_c = jnp.where(slot_active | (is_seed & (slot_len_t == 0)),
+                              esb_c, BIG)
+
+            evp_a = jnp.where(lvl, evp_c, evp_a)
+            evn_a = jnp.where(lvl, evn_c, evn_a)
+            esb_a = jnp.where(lvl, esb_c, esb_a)
+            n_ssb = jnp.where(lvl, col0_sb, n_ssb)
+            n_hp = jnp.where(lvl, hp_acc, n_hp)
+            n_hn = jnp.where(lvl, hn_acc, n_hn)
+            improved = lvl & (best_sc < n_esc)
+            n_esc = jnp.where(improved, best_sc, n_esc)
+            n_ecl = jnp.where(improved, best_cl, n_ecl)
+            bin_s = jnp.where(lvl, cbest, bin_s)
+            return (evp_a, evn_a, esb_a, n_ssb, n_hp, n_hn, n_esc,
+                    n_ecl, bin_s)
+
+        cy = (evp, evn, esb,
+              jnp.full((B, F), BIG, jnp.int32),
+              jnp.zeros((B, F), jnp.uint32),
+              jnp.zeros((B, F), jnp.uint32),
+              end_score, end_col,
+              jnp.full((B, F), IN_NONE, jnp.int32))
+        cy = jax.lax.fori_loop(0, n_levels, level_body, cy)
+        (evp, evn, esb, ssb, hp, hn, end_score, end_col, bin_s) = cy
+        best_in_slices.append(bin_s)
+
+    # reductions over B (sublanes)
+    best_score = end_score[0][None]
+    best_slot = jnp.zeros((1, F), jnp.int32)
+    best_col = end_col[0][None]
+    for b in range(1, B):
+        better = end_score[b][None] < best_score
+        best_score = jnp.where(better, end_score[b][None], best_score)
+        best_slot = jnp.where(better, b, best_slot)
+        best_col = jnp.where(better, end_col[b][None], best_col)
+    best_in = jnp.stack(best_in_slices, axis=0)   # (S, B, F)
+    out = [best_score, best_slot, best_col, best_in]
+    if want_state:
+        out += [ssb, hp, hn]
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnames=("n_slices", "max_in", "n_levels",
+                                   "want_state"))
+def align_fragments_tl(node_eq, node_len, band_nodes, band_in,
+                       seed_shift, req, frag_len, n_slices: int,
+                       max_in: int, seed_base=None, band_level=None,
+                       n_levels: int = None, carry_in=None,
+                       want_state: bool = False) -> FragResult:
+    """align_fragments on the lane-major core: same (F-major) inputs and
+    FragResult contract (minus end_score/end_col internals), for direct
+    comparison and as the XLA fallback of the Pallas fragment kernel."""
+    F, B = band_nodes.shape
+    N2 = node_eq.shape[0]
+    ids = band_nodes.astype(jnp.int32)
+    idc = jnp.clip(ids, 0, N2 - 1)
+    slot_eq = jnp.take(node_eq, idc, axis=0)             # (F,B,4)
+    slot_len = jnp.where(ids >= 0, jnp.take(node_len, idc, axis=0), 0)
+    if seed_shift.ndim == 2:
+        shift = seed_shift.astype(jnp.int32)
+    else:
+        shift = jnp.where(jnp.arange(B)[None, :] == 0,
+                          seed_shift[:, None], 0)
+    slot_eq = slot_eq >> (shift.astype(jnp.uint32) & 31)[..., None]
+    slot_len = slot_len - shift
+    if seed_base is None:
+        seed_base = jnp.zeros((F,), jnp.int32)
+    if band_level is None:
+        band_level = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[None, :], (F, B))
+        n_levels = B
+    carry_t = None
+    if carry_in is not None:
+        carry_t = tuple(jnp.transpose(c, (1, 0)) for c in carry_in)
+    out = _frag_core_t(
+        jnp.transpose(slot_eq, (2, 1, 0)).astype(jnp.uint32),
+        jnp.transpose(slot_len, (1, 0)),
+        jnp.transpose(band_in.astype(jnp.int32), (2, 1, 0)),
+        jnp.transpose(band_level.astype(jnp.int32), (1, 0)),
+        jnp.transpose(req, (1, 2, 0)).astype(jnp.uint32),
+        frag_len.astype(jnp.int32)[None, :],
+        seed_base.astype(jnp.int32)[None, :],
+        S=n_slices, max_in=max_in, n_levels=n_levels,
+        carried=carry_in is not None, carry=carry_t,
+        want_state=want_state)
+    best_score, best_slot, best_col, best_in = out[:4]
+    res = dict(best_score=best_score[0], best_slot=best_slot[0],
+               best_col=best_col[0],
+               best_in=jnp.transpose(best_in, (2, 1, 0)).astype(
+                   jnp.int8 if B <= 127 else jnp.int16),
+               end_score=None, end_col=None)
+    if want_state:
+        res.update(out_ssb=jnp.transpose(out[4], (1, 0)),
+                   out_hp=jnp.transpose(out[5], (1, 0)),
+                   out_hn=jnp.transpose(out[6], (1, 0)))
+    return FragResult(**res)
+
+
+@partial(jax.jit,
+         static_argnames=("n_slices", "max_in", "n_levels", "want_state"))
+def align_fragments_packed_out_tl(node_eq, node_len, bn_base, bn_d16,
+                                  bi_p16, seed_shift, req2, frag_len,
+                                  n_slices: int, max_in: int,
+                                  band_level, n_levels: int,
+                                  seed_base=None, carry_in=None,
+                                  want_state: bool = False) -> jax.Array:
+    """align_fragments_packed_out on the lane-major core (same wire
+    formats in and out; ~4x the device throughput of the F-major
+    kernel)."""
+    F, B = bn_d16.shape
+    band_nodes = jnp.where(bn_d16 == BN_PAD, jnp.int32(-1),
+                           bn_base[:, None] + bn_d16.astype(jnp.int32))
+    arangeB = jnp.arange(B, dtype=jnp.int32)[None, :]
+    ins = []
+    for e in range(max_in):
+        u = ((bi_p16.astype(jnp.int32) >> (4 * e)) & 0xF)
+        ins.append(jnp.where(u == arangeB, jnp.int32(-1), u))
+    band_in = jnp.stack(ins, axis=-1)
+    req = expand_req2(req2)
+    res = align_fragments_tl(node_eq, node_len, band_nodes, band_in,
+                             seed_shift.astype(jnp.int32), req,
+                             frag_len.astype(jnp.int32), n_slices,
+                             max_in, seed_base=seed_base,
+                             band_level=band_level, n_levels=n_levels,
+                             carry_in=carry_in, want_state=want_state)
+    S = n_slices
+    assert (B * S) % 4 == 0
+    slotcol = res.best_slot | (res.best_col << 8)
+    parts = [res.best_score[:, None], slotcol[:, None],
+             _bytes_to_words(jax.lax.bitcast_convert_type(
+                 res.best_in, jnp.uint8).reshape(F, B * S))]
+    if want_state:
+        parts += [res.out_ssb,
+                  jax.lax.bitcast_convert_type(res.out_hp, jnp.int32),
+                  jax.lax.bitcast_convert_type(res.out_hn, jnp.int32)]
+    return jnp.concatenate(parts, axis=1)

@@ -252,3 +252,50 @@ def test_packed_rejects_ambiguous_reads(rng):
     (_, bnc, bi, ss, req, rows, S, bl) = assemble_batch(
         gx, [job], B=16, max_in=4, slack=8)
     assert _try_pack_frag(bnc, bi, req, rows, 4) is None
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_lane_major_core_matches_reference_kernel(seed):
+    """align_fragments_tl (fragments on lanes, slots on sublanes) is
+    bit-identical to align_fragments on fresh and carried windows."""
+    rng = np.random.default_rng(300 + seed)
+    bg = random_dag_bigraph(rng, n_seg=12, p_edge=0.3, max_len=14)
+    g = build_alignment_graph(bg)
+    gx = GraphTensors.build(g)
+    jobs = []
+    for _ in range(5):
+        v = int(rng.integers(0, g.n_nodes))
+        read = "".join(rng.choice(list("ACGT"), int(rng.integers(30, 90))))
+        jobs.append(FragJob(rmm=match_masks(read), seed_node=v,
+                            seed_trim_len=int(g.node_len[v]),
+                            reverse=False))
+    (band_nodes, bnc, band_in, seed_shift, req, rows, S, bl) = \
+        assemble_batch(gx, jobs, B=16, max_in=4, slack=8)
+    dev_eq, dev_len = gx.device_tables()
+    from graphchainer_tpu.align.anchors import level_bucket
+    nl = level_bucket(bl, band_nodes.shape[1])
+    kw = dict(n_slices=S, max_in=4, band_level=bl, n_levels=nl)
+    a = frag_align.align_fragments(dev_eq, dev_len, bnc, band_in,
+                                   seed_shift, req, rows, **kw)
+    b = frag_align.align_fragments_tl(dev_eq, dev_len, bnc, band_in,
+                                      seed_shift, req, rows,
+                                      want_state=True, **kw)
+    assert np.array_equal(np.asarray(a.best_score), np.asarray(b.best_score))
+    assert np.array_equal(np.asarray(a.best_slot), np.asarray(b.best_slot))
+    assert np.array_equal(np.asarray(a.best_col), np.asarray(b.best_col))
+    assert np.array_equal(np.asarray(a.best_in), np.asarray(b.best_in))
+    assert np.array_equal(np.asarray(a.out_ssb), np.asarray(b.out_ssb))
+    assert np.array_equal(np.asarray(a.out_hp), np.asarray(b.out_hp))
+    assert np.array_equal(np.asarray(a.out_hn), np.asarray(b.out_hn))
+    # carried continuation equality on the same band
+    carry = (np.asarray(a.out_ssb), np.asarray(a.out_hp),
+             np.asarray(a.out_hn))
+    a2 = frag_align.align_fragments(dev_eq, dev_len, bnc, band_in,
+                                    seed_shift, req, rows,
+                                    carry_in=carry, **kw)
+    b2 = frag_align.align_fragments_tl(dev_eq, dev_len, bnc, band_in,
+                                       seed_shift, req, rows,
+                                       carry_in=carry, **kw)
+    assert np.array_equal(np.asarray(a2.best_score),
+                          np.asarray(b2.best_score))
+    assert np.array_equal(np.asarray(a2.best_in), np.asarray(b2.best_in))
