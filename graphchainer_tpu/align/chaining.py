@@ -159,8 +159,12 @@ def batch_arrays(g: AlignmentGraph, mpc: MPCIndex,
                  per_read_anchors: Sequence[Sequence[Anchor]],
                  A: Optional[int] = None, E: Optional[int] = None):
     """Pack per-read anchors + events into padded batch arrays for the
-    device scan (ops/chain_scan.py).  Returns a dict of numpy arrays plus
-    the per-read event lists' KW."""
+    device scan (ops/chain_scan.py).  Returns a dict of numpy arrays.
+
+    Vectorized across the WHOLE batch: one concatenated event list for
+    all reads, one lexsort, scatter into the padded (R, E) matrices —
+    semantically identical to per-read build_events (pinned by
+    tests/test_chaining.py test_batch_arrays_matches_build_events)."""
     def _bucket(x, m):
         out = m
         while out < x:
@@ -168,32 +172,124 @@ def batch_arrays(g: AlignmentGraph, mpc: MPCIndex,
         return out
 
     R = len(per_read_anchors)
-    evs = [build_events(g, mpc, a) for a in per_read_anchors]
-    # coarse padding buckets so repeated batches reuse compiled shapes
-    A = A or _bucket(max((len(a) for a in per_read_anchors), default=1), 64)
-    E = E or _bucket(max((len(e.ev_type) for e in evs), default=1), 512)
-    kw = max(1, max((e.ev_kmask.shape[1] for e in evs), default=1))
+    base, n_paths = global_path_ids(mpc)
+    kw = _bucket(max(1, -(-n_paths // 32)), 1)
+
+    counts = np.array([len(a) for a in per_read_anchors], dtype=np.int64)
+    Atot = int(counts.sum())
+    A = A or _bucket(int(counts.max(initial=1)), 64)
+    if Atot == 0:
+        return dict(x=np.zeros((R, A), np.int32),
+                    y=np.zeros((R, A), np.int32),
+                    valid=np.zeros((R, A), bool),
+                    ev_type=np.full((R, E or 512), -1, np.int16),
+                    ev_anchor=np.zeros((R, E or 512), np.int16),
+                    ev_k=np.full((R, E or 512), -1, np.int16),
+                    ev_kmask=np.zeros((R, E or 512, kw), np.uint32),
+                    ev_group=np.full((R, E or 512), -1, np.int16))
+
+    rid = np.repeat(np.arange(R, dtype=np.int64), counts)
+    jloc = (np.arange(Atot, dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts))
+    s = np.empty(Atot, dtype=np.int64)
+    e = np.empty(Atot, dtype=np.int64)
+    ax = np.empty(Atot, dtype=np.int64)
+    ay = np.empty(Atot, dtype=np.int64)
+    i = 0
+    for anchors in per_read_anchors:
+        for a in anchors:
+            s[i] = a.path[0]
+            e[i] = a.path[-1]
+            ax[i] = a.x
+            ay[i] = a.y
+            i += 1
+    gbase = base[g.comp[s]]
+
+    # event rows: SAME_START(node=s,sec=0,sub=0), SAME_END(node=e,sec=0,
+    # sub=1), INSERT(node=e,sec=1), QUERY(node=u,sec=2) per backwards
+    # pointer of s — the same raw tuples build_events emits per read
+    nb = (mpc.back_offsets[s + 1] - mpc.back_offsets[s]).astype(np.int64)
+    NQ = int(nb.sum())
+    qrep = np.repeat(np.arange(Atot, dtype=np.int64), nb)
+    qflat = (np.arange(NQ, dtype=np.int64)
+             - np.repeat(np.cumsum(nb) - nb, nb)
+             + mpc.back_offsets[s][qrep])
+    ev_node = np.concatenate([s, e, e, mpc.back_node[qflat]])
+    ev_sec = np.concatenate([np.zeros(Atot, np.int64),
+                             np.zeros(Atot, np.int64),
+                             np.full(Atot, 1, np.int64),
+                             np.full(NQ, 2, np.int64)])
+    ev_sub = np.concatenate([np.zeros(Atot, np.int64),
+                             np.ones(Atot, np.int64),
+                             np.zeros(Atot, np.int64),
+                             np.zeros(NQ, np.int64)])
+    ev_t = np.concatenate([np.full(Atot, EV_SAME_START, np.int64),
+                           np.full(Atot, EV_SAME_END, np.int64),
+                           np.full(Atot, EV_INSERT, np.int64),
+                           np.full(NQ, EV_QUERY, np.int64)])
+    ev_j = np.concatenate([jloc, jloc, jloc, jloc[qrep]])
+    ev_x = np.concatenate([ax, ax, ax, ax[qrep]])
+    ev_y = np.concatenate([ay, ay, ay, ay[qrep]])
+    ev_r = np.concatenate([rid, rid, rid, rid[qrep]])
+    ev_kq = np.concatenate([np.full(3 * Atot, -1, np.int64),
+                            gbase[qrep] + mpc.back_k[qflat]])
+    # the anchor row id of each event (for the INSERT kmask fill below)
+    ev_aid = np.concatenate([np.arange(Atot, dtype=np.int64)] * 3
+                            + [qrep])
+
+    # execution order per read: (node, section, y, x, j, subtype)
+    o = np.lexsort((ev_sub, ev_j, ev_x, ev_y, ev_sec, ev_node, ev_r))
+    ev_node, ev_t, ev_j, ev_kq, ev_r, ev_aid = (
+        a[o] for a in (ev_node, ev_t, ev_j, ev_kq, ev_r, ev_aid))
+
+    NE = len(o)
+    new_read = np.ones(NE, dtype=bool)
+    new_read[1:] = ev_r[1:] != ev_r[:-1]
+    new_grp = new_read.copy()
+    new_grp[1:] |= ev_node[1:] != ev_node[:-1]
+    grp = np.cumsum(new_grp) - 1
+    # per-read group base: group id at each read's first event
+    read_start = np.nonzero(new_read)[0]
+    per_read_ne = np.diff(np.append(read_start, NE))
+    grp -= np.repeat(grp[read_start], per_read_ne)
+    # per-read event position
+    epos = np.arange(NE, dtype=np.int64) - np.repeat(read_start,
+                                                     per_read_ne)
+
+    E = E or _bucket(int(per_read_ne.max(initial=1)), 512)
     x = np.zeros((R, A), dtype=np.int32)
     y = np.zeros((R, A), dtype=np.int32)
     valid = np.zeros((R, A), dtype=bool)
+    x[rid, jloc] = ax
+    y[rid, jloc] = ay
+    valid[rid, jloc] = True
     # int16 event arrays halve the per-batch upload (A, E < 32768)
     ev_type = np.full((R, E), -1, dtype=np.int16)
     ev_anchor = np.zeros((R, E), dtype=np.int16)
     ev_k = np.full((R, E), -1, dtype=np.int16)
     ev_kmask = np.zeros((R, E, kw), dtype=np.uint32)
     ev_group = np.full((R, E), -1, dtype=np.int16)
-    for r, (anchors, e) in enumerate(zip(per_read_anchors, evs)):
-        n = min(len(anchors), A)
-        for j in range(n):
-            x[r, j] = anchors[j].x
-            y[r, j] = anchors[j].y
-            valid[r, j] = True
-        ne = min(len(e.ev_type), E)
-        ev_type[r, :ne] = e.ev_type[:ne]
-        ev_anchor[r, :ne] = e.ev_anchor[:ne]
-        ev_k[r, :ne] = e.ev_k[:ne]
-        ev_kmask[r, :ne, :e.ev_kmask.shape[1]] = e.ev_kmask[:ne]
-        ev_group[r, :ne] = e.ev_group[:ne]
+    keep = epos < E
+    rr, pp = ev_r[keep], epos[keep]
+    ev_type[rr, pp] = ev_t[keep]
+    ev_anchor[rr, pp] = ev_j[keep]
+    ev_k[rr, pp] = ev_kq[keep]
+    ev_group[rr, pp] = grp[keep]
+
+    # INSERT kmask: OR the global-path bits of each end node's path set
+    ins = keep & (ev_t == EV_INSERT)
+    if ins.any():
+        ie = e[ev_aid[ins]]
+        npk0 = mpc.nodepath_offsets[ie]
+        npn = (mpc.nodepath_offsets[ie + 1] - npk0).astype(np.int64)
+        NP = int(npn.sum())
+        prep = np.repeat(np.arange(len(ie), dtype=np.int64), npn)
+        pflat = (np.arange(NP, dtype=np.int64)
+                 - np.repeat(np.cumsum(npn) - npn, npn) + npk0[prep])
+        gk = gbase[ev_aid[ins]][prep] + mpc.nodepath_k[pflat]
+        flat = ((ev_r[ins][prep] * E + epos[ins][prep]) * kw + gk // 32)
+        np.bitwise_or.at(ev_kmask.reshape(-1), flat,
+                         (np.uint32(1) << (gk % 32).astype(np.uint32)))
     return dict(x=x, y=y, valid=valid, ev_type=ev_type, ev_anchor=ev_anchor,
                 ev_k=ev_k, ev_kmask=ev_kmask, ev_group=ev_group)
 

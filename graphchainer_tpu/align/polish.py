@@ -105,7 +105,14 @@ def _polish_once(reads: Sequence[str], paths: Sequence[str],
     import jax as _jax
     from graphchainer_tpu.parallel.device import shard_rows
     ndev = len(_jax.devices())
-    Rp = R + ((-R) % ndev if ndev > 1 else 0)
+    # bucket the read axis (pow2 from 16): retry subsets and ragged final
+    # batches must not each compile a fresh kernel variant (tens of
+    # seconds per compile on the dev TPU)
+    Rp = 16
+    while Rp < R:
+        Rp *= 2
+    if ndev > 1:
+        Rp += (-Rp) % ndev
 
     # 4-bit packed wire arrays (the tunnel is bandwidth-bound; decode is
     # fused on device — ops/linear_align.py packed front-ends)

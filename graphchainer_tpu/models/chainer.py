@@ -253,16 +253,28 @@ class ChainerModel:
                                 seed_shift, req, rows, S, cfg.max_in,
                                 band_level=band_level)
 
-        walks = batch_backwalks(res, band_nodes, rows)
+        # fused native backwalk + fwd/bwd join (one pass over all pairs;
+        # semantics pinned against extract_anchor by
+        # tests/test_frag_align.py test_join_anchors_matches_extract)
+        from graphchainer_tpu import native
+        fr = np.asarray(frags, dtype=np.int64).reshape(-1, 7)
+        end_slice = (rows.astype(np.int64) - 1) // 32
+        (ok, score, fnode, foff, lnode, loff, poff, pdata) = \
+            native.join_anchors(
+                np.asarray(res.best_in), np.asarray(res.best_slot),
+                np.asarray(res.best_score), np.asarray(res.best_col),
+                end_slice, band_nodes, self.g.node_len, fr[:, 3],
+                fr[:, 4], fr[:, 5], fr[:, 6], frag_align.BIG)
+        keep = np.nonzero(
+            (ok == 1)
+            & (score <= cfg.max_anchor_error * (fr[:, 2] - fr[:, 1])))[0]
         per_read_anchors: List[List[Anchor]] = [[] for _ in reads]
-        for (ri, l, r, fi_fwd, fi_bwd, v, off) in frags:
-            a = extract_anchor(self.g, jobs, band_nodes, res, fi_fwd,
-                               fi_bwd, l, r, v, off, rows, walks=walks)
-            if a is None:
-                continue
-            if a.score > cfg.max_anchor_error * (r - l):
-                continue
-            per_read_anchors[ri].append(a)
+        for q in keep:
+            per_read_anchors[fr[q, 0]].append(Anchor(
+                path=pdata[poff[q]:poff[q + 1]],
+                x=int(fr[q, 1]), y=int(fr[q, 2]) - 1, score=int(score[q]),
+                first_node=int(fnode[q]), first_off=int(foff[q]),
+                last_node=int(lnode[q]), last_off=int(loff[q])))
 
         live = [ri for ri in range(len(reads)) if per_read_anchors[ri]]
         if not live:

@@ -73,6 +73,10 @@ def get_lib() -> ctypes.CDLL:
         lib.backwalks.restype = ctypes.c_void_p
         lib.backwalks.argtypes = [ctypes.c_int64, ctypes.c_int64,
                                   ctypes.c_int64, _I8P, _I64P, _I64P, _I64P]
+        lib.join_anchors.restype = ctypes.c_void_p
+        lib.join_anchors.argtypes = ([ctypes.c_int64] * 4 + [_I8P]
+                                     + [_I64P] * 10 + [ctypes.c_int64]
+                                     + [_I64P] * 6)
         lib.chain_paths.restype = ctypes.c_void_p
         lib.paths_sizes.argtypes = [ctypes.c_void_p, _I64P]
         lib.paths_copy.argtypes = [ctypes.c_void_p, _I64P, _I64P]
@@ -337,3 +341,50 @@ def backwalks(best_in: np.ndarray, best_slot: np.ndarray,
     lib.paths_copy(h, _ptr(offsets), _ptr(data))
     lib.paths_free(h)
     return [data[offsets[i]:offsets[i + 1]] for i in range(nq)]
+
+
+def join_anchors(best_in: np.ndarray, best_slot: np.ndarray,
+                 best_score: np.ndarray, best_col: np.ndarray,
+                 end_slice: np.ndarray, band_nodes: np.ndarray,
+                 node_len: np.ndarray, fi_fwd: np.ndarray,
+                 fi_bwd: np.ndarray, seed_node: np.ndarray,
+                 seed_off: np.ndarray, big: int):
+    """Fused backwalk + fwd/bwd anchor join (one native pass over all
+    fragment pairs; replaces the per-fragment extract_anchor Python).
+
+    Returns (ok, score, first_node, first_off, last_node, last_off,
+    path_offsets [nfrag+1], path_nodes flat) — joined consecutive-deduped
+    split-node paths, empty where ok == 0."""
+    lib = get_lib()
+    if best_in.shape[1] > 127:
+        raise ValueError(
+            "native join_anchors is int8-indexed (B <= 127)")
+    best_in = np.ascontiguousarray(best_in, dtype=np.int8)
+    F, B, S = best_in.shape
+    nfrag = len(fi_fwd)
+    arrs = [np.ascontiguousarray(a, dtype=np.int64)
+            for a in (best_slot, best_score, best_col, end_slice,
+                      band_nodes, node_len, fi_fwd, fi_bwd, seed_node,
+                      seed_off)]
+    ok = np.empty(nfrag, dtype=np.int64)
+    score = np.empty(nfrag, dtype=np.int64)
+    first_node = np.empty(nfrag, dtype=np.int64)
+    first_off = np.empty(nfrag, dtype=np.int64)
+    last_node = np.empty(nfrag, dtype=np.int64)
+    last_off = np.empty(nfrag, dtype=np.int64)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    h = lib.join_anchors(ctypes.c_int64(nfrag), ctypes.c_int64(F),
+                         ctypes.c_int64(B), ctypes.c_int64(S),
+                         best_in.ctypes.data_as(i8p),
+                         *[_ptr(a) for a in arrs], ctypes.c_int64(big),
+                         _ptr(ok), _ptr(score), _ptr(first_node),
+                         _ptr(first_off), _ptr(last_node), _ptr(last_off))
+    sizes = np.empty(2, dtype=np.int64)
+    lib.paths_sizes(h, _ptr(sizes))
+    nq, ndata = int(sizes[0]), int(sizes[1])
+    offsets = np.empty(nq + 1, dtype=np.int64)
+    data = np.empty(max(ndata, 1), dtype=np.int64)
+    lib.paths_copy(h, _ptr(offsets), _ptr(data))
+    lib.paths_free(h)
+    return (ok, score, first_node, first_off, last_node, last_off,
+            offsets, data)

@@ -102,7 +102,15 @@ def chain_scan(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask, ev_group):
     from graphchainer_tpu.parallel.device import shard_rows
     ndev = len(_jax.devices())
     R = x.shape[0]
-    pad = (-R) % ndev if ndev > 1 else 0
+    # bucket the read axis (pow2 from 16) so batches with varying live
+    # counts (failed reads, rescue subsets) reuse one compiled shape —
+    # compiles cost tens of seconds on the dev TPU
+    Rb = 16
+    while Rb < R:
+        Rb *= 2
+    pad = Rb - R
+    if ndev > 1:
+        pad += (-Rb) % ndev
     if pad:
         # padded reads carry zero rows: with ev_ta == 0 the decoded
         # type is EV_NONE (t = -1) and valid is all-False

@@ -738,6 +738,105 @@ void* backwalks(int64_t F, int64_t B, int64_t S, const int8_t* best_in,
 }
 
 // ---------------------------------------------------------------------------
+// Fused backwalk + anchor join: the whole fwd/bwd fragment-pair join of
+// align/anchors.extract_anchor in one native pass (no per-fragment Python).
+// Mirrors extract_anchor exactly: walk both halves' best_in pointers,
+// reverse the forward walk, join at the seed node, dedup consecutive ids,
+// and compute the trace endpoints (reference keeps them in Apos,
+// src/Aligner.cpp:722-728).  Returns a PathsResult of joined paths (empty
+// when ok=0) plus per-fragment scalars.
+
+namespace {
+// walk best_in pointers (end -> seed); returns false on a broken walk
+inline bool walk_frag(const int8_t* best_in, const int64_t* band_nodes,
+                      int64_t f, int64_t B, int64_t S, int64_t slot,
+                      int64_t s, std::vector<int64_t>& walk) {
+  walk.clear();
+  walk.push_back(band_nodes[f * B + slot]);
+  for (int64_t step = 0; step < B * S + 4; step++) {
+    int8_t e = best_in[(f * B + slot) * S + s];
+    if (e == -2) return true;
+    if (e == -3) {
+      if (--s < 0) return false;
+      continue;
+    }
+    if (e < 0) return false;
+    slot = e;
+    walk.push_back(band_nodes[f * B + slot]);
+  }
+  return false;
+}
+}  // namespace
+
+void* join_anchors(int64_t nfrag, int64_t F, int64_t B, int64_t S,
+                   const int8_t* best_in, const int64_t* best_slot,
+                   const int64_t* best_score, const int64_t* best_col,
+                   const int64_t* end_slice, const int64_t* band_nodes,
+                   const int64_t* node_len, const int64_t* fi_fwd,
+                   const int64_t* fi_bwd, const int64_t* seed_node,
+                   const int64_t* seed_off, int64_t big, int64_t* out_ok,
+                   int64_t* out_score, int64_t* out_first_node,
+                   int64_t* out_first_off, int64_t* out_last_node,
+                   int64_t* out_last_off) {
+  auto* res = new PathsResult();
+  res->offsets.push_back(0);
+  std::vector<int64_t> wf, wb, path;
+  for (int64_t q = 0; q < nfrag; q++) {
+    out_ok[q] = 0;
+    out_score[q] = 0;
+    out_first_node[q] = out_last_node[q] = -1;
+    out_first_off[q] = out_last_off[q] = 0;
+    int64_t f = fi_fwd[q], b = fi_bwd[q];
+    int64_t sc = best_score[f];
+    bool ok = sc < big && walk_frag(best_in, band_nodes, f, B, S,
+                                    best_slot[f], end_slice[f], wf);
+    if (ok && b >= 0) {
+      int64_t scb = best_score[b];
+      ok = scb < big && walk_frag(best_in, band_nodes, b, B, S,
+                                  best_slot[b], end_slice[b], wb);
+      sc += scb;
+    }
+    // both walks must close at the seed node (slot 0)
+    if (ok && wf.back() != seed_node[q]) ok = false;
+    if (ok && b >= 0 && wb.back() != seed_node[q]) ok = false;
+    if (!ok) {
+      res->offsets.push_back((int64_t)res->data.size());
+      continue;
+    }
+    int64_t end_slot_f = best_slot[f];
+    out_last_node[q] = band_nodes[f * B + end_slot_f];
+    out_last_off[q] = best_col[f] + (end_slot_f == 0 ? seed_off[q] : 0);
+    if (b >= 0) {
+      int64_t end_slot_b = best_slot[b];
+      int64_t fn = band_nodes[b * B + end_slot_b];
+      out_first_node[q] = fn;
+      int64_t fo = end_slot_b == 0
+                       ? (seed_off[q] - 1) - best_col[b]
+                       : node_len[fn] - 1 - best_col[b];
+      out_first_off[q] = fo > 0 ? fo : 0;
+    } else {
+      out_first_node[q] = seed_node[q];
+      out_first_off[q] = seed_off[q];
+    }
+    out_score[q] = sc;
+    out_ok[q] = 1;
+    // join: bwd walk (already in path order, minus its seed copy) then
+    // the reversed fwd walk; dedup consecutive ids
+    path.clear();
+    if (b >= 0)
+      for (size_t i = 0; i + 1 < wb.size(); i++) path.push_back(wb[i]);
+    for (size_t i = wf.size(); i-- > 0;) path.push_back(wf[i]);
+    int64_t prev = -1;
+    for (int64_t v : path) {
+      if (v != prev) res->data.push_back(v);
+      prev = v;
+    }
+    res->offsets.push_back((int64_t)res->data.size());
+  }
+  return (void*)res;
+}
+
+// ---------------------------------------------------------------------------
 // Suffix array + matching statistics for the MUM/MEM seeder (re-design of
 // the reference MummerSeeder, src/MummerSeeder.cpp, which vendors mummer4's
 // sparseSA + libdivsufsort).  Prefix-doubling construction, O(n log^2 n) —

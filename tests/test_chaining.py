@@ -136,3 +136,37 @@ def test_overlapping_anchors_coverage(rng):
     C, pred = chain_oracle(g, mpc, anchors)
     assert int(C[1]) == (30 - 10 + 1) + (45 - 30)  # union of [10,30],[20,45]
     assert int(pred[1]) == 0
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_batch_arrays_matches_build_events(seed):
+    """The vectorized whole-batch packer must reproduce the per-read
+    build_events lists bit for bit (type/anchor/k/kmask/group order)."""
+    from graphchainer_tpu.align.chaining import build_events
+    rng = np.random.default_rng(90 + seed)
+    bg = random_dag_bigraph(rng, n_seg=9, p_edge=0.3, max_len=5)
+    g = build_alignment_graph(bg)
+    mpc = build_mpc(g)
+    per_read = [random_anchors(rng, g, int(rng.integers(1, 18)))
+                for _ in range(5)]
+    arrs = batch_arrays(g, mpc, per_read)
+    for r, anchors in enumerate(per_read):
+        ev = build_events(g, mpc, anchors)
+        ne = len(ev.ev_type)
+        np.testing.assert_array_equal(arrs["ev_type"][r, :ne], ev.ev_type)
+        np.testing.assert_array_equal(arrs["ev_anchor"][r, :ne],
+                                      ev.ev_anchor)
+        np.testing.assert_array_equal(arrs["ev_k"][r, :ne], ev.ev_k)
+        np.testing.assert_array_equal(arrs["ev_group"][r, :ne],
+                                      ev.ev_group)
+        kw = ev.ev_kmask.shape[1]
+        np.testing.assert_array_equal(
+            arrs["ev_kmask"][r, :ne, :kw], ev.ev_kmask)
+        assert (arrs["ev_type"][r, ne:] == -1).all()
+        n = len(anchors)
+        np.testing.assert_array_equal(
+            arrs["x"][r, :n], [a.x for a in anchors])
+        np.testing.assert_array_equal(
+            arrs["y"][r, :n], [a.y for a in anchors])
+        assert arrs["valid"][r, :n].all()
+        assert not arrs["valid"][r, n:].any()

@@ -299,3 +299,63 @@ def test_lane_major_core_matches_reference_kernel(seed):
     assert np.array_equal(np.asarray(a2.best_score),
                           np.asarray(b2.best_score))
     assert np.array_equal(np.asarray(a2.best_in), np.asarray(b2.best_in))
+
+
+def test_join_anchors_matches_extract():
+    """native.join_anchors (fused backwalk + fwd/bwd join) must agree with
+    the per-fragment extract_anchor Python on every field, including
+    failures (broken walks, BIG scores)."""
+    from graphchainer_tpu import native
+    from graphchainer_tpu.align.anchors import (GraphTensors,
+                                                batch_backwalks,
+                                                extract_anchor,
+                                                run_fragments)
+    from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+    from graphchainer_tpu.graph.mpc import build_mpc
+    from graphchainer_tpu.graph.simulate import generate_path, simulate_reads
+    from graphchainer_tpu.index.minimizer import build_index
+    from graphchainer_tpu.models.chainer import ChainerConfig, ChainerModel
+    from graphchainer_tpu.ops import frag_align
+
+    rng = np.random.default_rng(3)
+    from tests.test_mpc import random_dag_bigraph
+    bg = random_dag_bigraph(rng, n_seg=30, p_edge=0.25, max_len=60)
+    g = build_alignment_graph(bg)
+    mpc = build_mpc(g)
+    idx = build_index(g, k=11, w=6)
+    model = ChainerModel(g, mpc, idx, ChainerConfig(band_slots=16,
+                                                    polish_band_words=4))
+    path_seq, _ = generate_path(g, seed=5)
+    reads = simulate_reads(path_seq, 6, min(len(path_seq), 400), seed=8,
+                           error_rate=0.12)
+    jobs, frags, _ = model._fragment_jobs(reads)
+    assert jobs, "fixture produced no jobs"
+    (band_nodes, bnc, bi, ss, req, rows, S, bl) = assemble_batch(
+        model.gx, jobs, B=16, max_in=4, slack=8)
+    res = run_fragments(model.gx, bnc, bi, ss, req, rows, S, 4,
+                        band_level=bl)
+    fr = np.asarray(frags, dtype=np.int64).reshape(-1, 7)
+    end_slice = (rows.astype(np.int64) - 1) // 32
+    (ok, score, fnode, foff, lnode, loff, poff, pdata) = \
+        native.join_anchors(
+            np.asarray(res.best_in), np.asarray(res.best_slot),
+            np.asarray(res.best_score), np.asarray(res.best_col),
+            end_slice, band_nodes, g.node_len, fr[:, 3], fr[:, 4],
+            fr[:, 5], fr[:, 6], frag_align.BIG)
+    walks = batch_backwalks(res, band_nodes, rows)
+    n_ok = 0
+    for q, (ri, l, r, fi_fwd, fi_bwd, v, off) in enumerate(frags):
+        a = extract_anchor(g, jobs, band_nodes, res, fi_fwd, fi_bwd,
+                           l, r, v, off, rows, walks=walks)
+        if a is None:
+            assert ok[q] == 0, f"frag {q}: native ok, python None"
+            assert poff[q + 1] == poff[q]
+            continue
+        n_ok += 1
+        assert ok[q] == 1, f"frag {q}: python ok, native fail"
+        assert score[q] == a.score
+        assert (fnode[q], foff[q]) == (a.first_node, a.first_off)
+        assert (lnode[q], loff[q]) == (a.last_node, a.last_off)
+        np.testing.assert_array_equal(pdata[poff[q]:poff[q + 1]],
+                                      np.asarray(a.path, dtype=np.int64))
+    assert n_ok > 0, "fixture produced no successful anchors"
