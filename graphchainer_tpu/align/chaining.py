@@ -171,11 +171,38 @@ def batch_arrays(g: AlignmentGraph, mpc: MPCIndex,
             out *= 2
         return out
 
-    R = len(per_read_anchors)
+    counts = np.array([len(a) for a in per_read_anchors], dtype=np.int64)
+    Atot = int(counts.sum())
+    s = np.empty(Atot, dtype=np.int64)
+    e = np.empty(Atot, dtype=np.int64)
+    ax = np.empty(Atot, dtype=np.int64)
+    ay = np.empty(Atot, dtype=np.int64)
+    i = 0
+    for anchors in per_read_anchors:
+        for a in anchors:
+            s[i] = a.path[0]
+            e[i] = a.path[-1]
+            ax[i] = a.x
+            ay[i] = a.y
+            i += 1
+    return batch_arrays_cols(g, mpc, counts, s, e, ax, ay, A=A, E=E)
+
+
+def batch_arrays_cols(g: AlignmentGraph, mpc: MPCIndex,
+                      counts: np.ndarray, s: np.ndarray, e: np.ndarray,
+                      ax: np.ndarray, ay: np.ndarray,
+                      A: Optional[int] = None, E: Optional[int] = None):
+    """Columnar batch_arrays: per-read anchor counts plus flat
+    (start node, end node, x, y) arrays grouped by read."""
+    def _bucket(x, m):
+        out = m
+        while out < x:
+            out *= 2
+        return out
+
+    R = len(counts)
     base, n_paths = global_path_ids(mpc)
     kw = _bucket(max(1, -(-n_paths // 32)), 1)
-
-    counts = np.array([len(a) for a in per_read_anchors], dtype=np.int64)
     Atot = int(counts.sum())
     A = A or _bucket(int(counts.max(initial=1)), 64)
     if Atot == 0:
@@ -191,18 +218,6 @@ def batch_arrays(g: AlignmentGraph, mpc: MPCIndex,
     rid = np.repeat(np.arange(R, dtype=np.int64), counts)
     jloc = (np.arange(Atot, dtype=np.int64)
             - np.repeat(np.cumsum(counts) - counts, counts))
-    s = np.empty(Atot, dtype=np.int64)
-    e = np.empty(Atot, dtype=np.int64)
-    ax = np.empty(Atot, dtype=np.int64)
-    ay = np.empty(Atot, dtype=np.int64)
-    i = 0
-    for anchors in per_read_anchors:
-        for a in anchors:
-            s[i] = a.path[0]
-            e[i] = a.path[-1]
-            ax[i] = a.x
-            ay[i] = a.y
-            i += 1
     gbase = base[g.comp[s]]
 
     # event rows: SAME_START(node=s,sec=0,sub=0), SAME_END(node=e,sec=0,

@@ -25,14 +25,12 @@ import threading
 
 import numpy as np
 
-from graphchainer_tpu import constants
+from graphchainer_tpu import constants, native
 from graphchainer_tpu.align import polish
 from graphchainer_tpu.align.anchors import (Anchor, FragJob, GraphTensors,
-                                            assemble_batch, batch_backwalks,
-                                            build_jobs, extract_anchor,
+                                            assemble_batch, build_jobs,
                                             run_fragments)
-from graphchainer_tpu.align.chaining import batch_arrays, best_chain
-from graphchainer_tpu.align.stitch import extend_tails, stitch
+from graphchainer_tpu.align.chaining import batch_arrays_cols
 from graphchainer_tpu.graph.alignment_graph import AlignmentGraph
 from graphchainer_tpu.graph.mpc import MPCIndex
 from graphchainer_tpu.index.minimizer import MinimizerIndex, get_seeds
@@ -256,7 +254,6 @@ class ChainerModel:
         # fused native backwalk + fwd/bwd join (one pass over all pairs;
         # semantics pinned against extract_anchor by
         # tests/test_frag_align.py test_join_anchors_matches_extract)
-        from graphchainer_tpu import native
         fr = np.asarray(frags, dtype=np.int64).reshape(-1, 7)
         end_slice = (rows.astype(np.int64) - 1) // 32
         (ok, score, fnode, foff, lnode, loff, poff, pdata) = \
@@ -268,23 +265,22 @@ class ChainerModel:
         keep = np.nonzero(
             (ok == 1)
             & (score <= cfg.max_anchor_error * (fr[:, 2] - fr[:, 1])))[0]
-        per_read_anchors: List[List[Anchor]] = [[] for _ in reads]
-        for q in keep:
-            per_read_anchors[fr[q, 0]].append(Anchor(
-                path=pdata[poff[q]:poff[q + 1]],
-                x=int(fr[q, 1]), y=int(fr[q, 2]) - 1, score=int(score[q]),
-                first_node=int(fnode[q]), first_off=int(foff[q]),
-                last_node=int(lnode[q]), last_off=int(loff[q])))
-
-        live = [ri for ri in range(len(reads)) if per_read_anchors[ri]]
-        if not live:
+        # anchors stay COLUMNAR through chaining + stitching (the hot
+        # path creates no per-anchor Python objects); frags are emitted
+        # in read order, so `keep` is grouped by read
+        counts = np.bincount(fr[keep, 0], minlength=len(reads))
+        live = np.nonzero(counts)[0]
+        if len(live) == 0:
             return out
         for ri in range(len(reads)):
-            out[ri].n_anchors = len(per_read_anchors[ri])
+            out[ri].n_anchors = int(counts[ri])
+        a_x = fr[keep, 1]
+        a_y = fr[keep, 2] - 1
 
         with timers.stage("chain_scan", len(live)):
-            arrs = batch_arrays(self.g, self.mpc,
-                                [per_read_anchors[ri] for ri in live])
+            arrs = batch_arrays_cols(
+                self.g, self.mpc, counts[live],
+                pdata[poff[keep]], pdata[poff[keep + 1] - 1], a_x, a_y)
             sres = chain_scan(**{k: arrs[k] for k in
                                  ("x", "y", "valid", "ev_type", "ev_anchor",
                                   "ev_k", "ev_kmask", "ev_group")})
@@ -293,24 +289,30 @@ class ChainerModel:
 
         polish_reads, polish_paths, polish_refs = [], [], []
         t_stitch = timers.time.perf_counter()
+        # rebase the kept anchors' ragged paths into one flat array
+        plens = poff[keep + 1] - poff[keep]
+        p_off = np.zeros(len(keep) + 1, dtype=np.int64)
+        np.cumsum(plens, out=p_off[1:])
+        pidx = (np.arange(int(p_off[-1]), dtype=np.int64)
+                - np.repeat(p_off[:-1], plens) + np.repeat(poff[keep],
+                                                           plens))
+        anch_off = np.zeros(len(live) + 1, dtype=np.int64)
+        np.cumsum(counts[live], out=anch_off[1:])
+        # one native pass: best_chain + stitch + extend_tails per read
+        # (fault isolation: per-read ok flags instead of exceptions)
+        (positions_l, n_chained, first_x, last_y, okst) = \
+            native.stitch_batch(
+                self.gx, anch_off, a_x, a_y, fnode[keep], foff[keep],
+                lnode[keep], loff[keep], p_off, pdata[pidx],
+                c_val, c_pred, [reads[ri][1] for ri in live],
+                cfg.colinear_gap)
         for bi, ri in enumerate(live):
-            # per-read fault isolation (reference ThreadReadAssertion /
-            # assertionBroke semantics, src/Aligner.cpp:585-592): a failure
-            # in one read's host stages must not take down the batch.
             try:
-                anchors = per_read_anchors[ri]
-                ids, score = best_chain(self.g, anchors,
-                                        c_val[bi, :len(anchors)],
-                                        c_pred[bi, :len(anchors)])
-                out[ri].n_chained = len(ids)
-                st = stitch(self.g, anchors, ids, cfg.colinear_gap)
-                if st is None:
+                out[ri].n_chained = int(n_chained[bi])
+                if not okst[bi]:
                     continue
                 read = reads[ri][1]
-                head = int(anchors[ids[0]].x)
-                tail = len(read) - 1 - int(anchors[ids[-1]].y)
-                positions = extend_tails(self.g, st.positions, read,
-                                         max(head, 0), max(tail, 0))
+                positions = positions_l[bi]
                 out[ri].positions = positions
                 pathseq = self.gx.positions_seq(positions)
             except Exception as e:          # noqa: BLE001
@@ -319,7 +321,7 @@ class ChainerModel:
                 continue
             if cfg.fast_mode:
                 # positional mismatch count (no CIGAR)
-                x = int(anchors[ids[0]].x) - max(head, 0)
+                x = int(first_x[bi]) - max(int(first_x[bi]), 0)
                 n = min(len(pathseq), len(read) - x)
                 a = np.frombuffer(pathseq[:n].encode(), np.uint8)
                 b = np.frombuffer(read[x:x + n].encode(), np.uint8)

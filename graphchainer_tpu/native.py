@@ -388,3 +388,80 @@ def join_anchors(best_in: np.ndarray, best_slot: np.ndarray,
     lib.paths_free(h)
     return (ok, score, first_node, first_off, last_node, last_off,
             offsets, data)
+
+
+def stitch_batch(gx, anch_off: np.ndarray, ax: np.ndarray, ay: np.ndarray,
+                 first_node: np.ndarray, first_off: np.ndarray,
+                 last_node: np.ndarray, last_off: np.ndarray,
+                 path_off: np.ndarray, path_nodes: np.ndarray,
+                 c_val: np.ndarray, c_pred: np.ndarray,
+                 reads: list, colinear_gap: int):
+    """Whole-batch best_chain + stitch + extend_tails in one native pass
+    (semantics pinned against the Python path by
+    tests/test_e2e.py test_native_stitch_matches_python).
+
+    gx: GraphTensors; anchors columnar, grouped by read (anch_off ragged
+    offsets); c_val/c_pred: (nr, A) chain DP results; reads: list of read
+    strings aligned with the rows.
+
+    Returns (positions list [(n,2) int64 per read], n_chained, first_x,
+    last_y, ok)."""
+    lib = get_lib()
+    if not hasattr(lib, "_stitch_sig"):
+        _U8P = ctypes.POINTER(ctypes.c_uint8)
+        lib.stitch_batch.restype = ctypes.c_void_p
+        lib.stitch_batch.argtypes = (
+            [ctypes.c_int64] + [_I64P] * 4 + [_I64P, _I64P, _U8P]
+            + [_I64P] * 3 + [ctypes.c_int64] + [_I64P] * 9
+            + [_I64P, _I64P, ctypes.c_int64, _U8P, _I64P,
+               ctypes.c_int64] + [_I64P] * 4)
+        lib._stitch_sig = True
+    g = gx.g
+    nr = len(anch_off) - 1
+    read_bytes = np.frombuffer("".join(reads).encode("ascii"),
+                               dtype=np.uint8)
+    read_off = np.zeros(nr + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in reads], out=read_off[1:])
+    a_stride = c_val.shape[1] if c_val.ndim == 2 else 0
+    cv = np.ascontiguousarray(c_val, dtype=np.int64)
+    cp = np.ascontiguousarray(c_pred, dtype=np.int64)
+    i64 = lambda a: np.ascontiguousarray(a, dtype=np.int64)
+    arrs = dict(
+        out_ptr=gx.out_ptr, out_idx=gx.out_idx, in_ptr=gx.in_ptr,
+        in_idx=gx.in_idx, node_len=gx.node_len64, comp=i64(g.comp),
+        di_base=gx.di_base, orig_node=i64(g.orig_node),
+        orig_offset=i64(g.orig_offset), anch_off=i64(anch_off),
+        ax=i64(ax), ay=i64(ay), first_node=i64(first_node),
+        first_off=i64(first_off), last_node=i64(last_node),
+        last_off=i64(last_off), path_off=i64(path_off),
+        path_nodes=i64(path_nodes))
+    n_chained = np.empty(nr, dtype=np.int64)
+    first_x = np.empty(nr, dtype=np.int64)
+    last_y = np.empty(nr, dtype=np.int64)
+    ok = np.empty(nr, dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    h = lib.stitch_batch(
+        ctypes.c_int64(g.n_nodes), _ptr(arrs["out_ptr"]),
+        _ptr(arrs["out_idx"]), _ptr(arrs["in_ptr"]), _ptr(arrs["in_idx"]),
+        _ptr(arrs["node_len"]), _ptr(arrs["comp"]),
+        gx.seq_bytes.ctypes.data_as(u8p), _ptr(arrs["di_base"]),
+        _ptr(arrs["orig_node"]), _ptr(arrs["orig_offset"]),
+        ctypes.c_int64(nr), _ptr(arrs["anch_off"]), _ptr(arrs["ax"]),
+        _ptr(arrs["ay"]), _ptr(arrs["first_node"]),
+        _ptr(arrs["first_off"]), _ptr(arrs["last_node"]),
+        _ptr(arrs["last_off"]), _ptr(arrs["path_off"]),
+        _ptr(arrs["path_nodes"]), _ptr(cv), _ptr(cp),
+        ctypes.c_int64(a_stride),
+        read_bytes.ctypes.data_as(u8p), _ptr(read_off),
+        ctypes.c_int64(colinear_gap), _ptr(n_chained), _ptr(first_x),
+        _ptr(last_y), _ptr(ok))
+    sizes = np.empty(2, dtype=np.int64)
+    lib.paths_sizes(h, _ptr(sizes))
+    nq, ndata = int(sizes[0]), int(sizes[1])
+    offsets = np.empty(nq + 1, dtype=np.int64)
+    data = np.empty(max(ndata, 1), dtype=np.int64)
+    lib.paths_copy(h, _ptr(offsets), _ptr(data))
+    lib.paths_free(h)
+    positions = [data[offsets[i]:offsets[i + 1]].reshape(-1, 2).copy()
+                 for i in range(nq)]
+    return positions, n_chained, first_x, last_y, ok

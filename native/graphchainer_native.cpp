@@ -738,6 +738,270 @@ void* backwalks(int64_t F, int64_t B, int64_t S, const int8_t* best_in,
 }
 
 // ---------------------------------------------------------------------------
+// Whole-batch chain stitching: best_chain + stitch + extend_tails
+// (align/chaining.best_chain, align/stitch.stitch/extend_tails) in one
+// native pass — the reference's connect/flush loop (src/Aligner.cpp:
+// 744-822) plus pathToTrace (409-424), batched over reads.  Anchors come
+// in columnar form (per-read offsets + ragged split-node paths).  Emits
+// interleaved (node, offset) position pairs per read.
+
+namespace {
+// bounded BFS s->t over out-CSR (chain_paths semantics, including the
+// `dis > lim` source cutoff); appends the s..t node path to out, or
+// leaves it empty when unreachable
+inline void bfs_path(const int64_t* ptr, const int64_t* idx,
+                     const int64_t* node_len, int64_t S, int64_t T,
+                     int64_t lim, std::vector<int64_t>& vis,
+                     std::vector<int64_t>& dis, std::vector<int64_t>& pre,
+                     std::vector<int64_t>& Q, int64_t flag,
+                     std::vector<int64_t>& out) {
+  out.clear();
+  Q.clear();
+  Q.push_back(S);
+  vis[S] = flag;
+  dis[S] = 0;
+  for (size_t i = 0; i < Q.size() && vis[T] != flag; i++) {
+    int64_t s = Q[i];
+    if (dis[s] > lim) continue;
+    for (int64_t e = ptr[s]; e < ptr[s + 1]; e++) {
+      int64_t t = idx[e];
+      if (vis[t] != flag) {
+        vis[t] = flag;
+        dis[t] = dis[s] + node_len[t];
+        pre[t] = s;
+        Q.push_back(t);
+      }
+    }
+  }
+  if (vis[T] != flag) return;
+  for (int64_t i = T; i != S; i = pre[i]) out.push_back(i);
+  out.push_back(S);
+  std::reverse(out.begin(), out.end());
+}
+
+// expand a node path into per-char (node, offset) pairs
+inline void path_positions(const int64_t* node_len,
+                           const std::vector<int64_t>& path,
+                           int64_t first_off, int64_t last_off,
+                           std::vector<int64_t>& out) {
+  out.clear();
+  for (size_t i = 0; i < path.size(); i++) {
+    int64_t v = path[i];
+    int64_t a = i == 0 ? first_off : 0;
+    int64_t b = i + 1 == path.size() ? last_off : node_len[v] - 1;
+    for (int64_t o = a; o <= b; o++) {
+      out.push_back(v);
+      out.push_back(o);
+    }
+  }
+}
+}  // namespace
+
+void* stitch_batch(
+    int64_t n_nodes, const int64_t* out_ptr, const int64_t* out_idx,
+    const int64_t* in_ptr, const int64_t* in_idx, const int64_t* node_len,
+    const int64_t* comp, const uint8_t* seq_bytes, const int64_t* di_base,
+    const int64_t* orig_node, const int64_t* orig_offset, int64_t nr,
+    const int64_t* anch_off, const int64_t* ax, const int64_t* ay,
+    const int64_t* first_node, const int64_t* first_off,
+    const int64_t* last_node, const int64_t* last_off,
+    const int64_t* path_off, const int64_t* path_nodes,
+    const int64_t* c_val, const int64_t* c_pred, int64_t a_stride,
+    const uint8_t* read_bytes, const int64_t* read_off,
+    int64_t colinear_gap, int64_t* out_n_chained, int64_t* out_first_x,
+    int64_t* out_last_y, int64_t* out_ok) {
+  auto* res = new PathsResult();
+  res->offsets.push_back(0);
+  std::vector<int64_t> vis(n_nodes, 0), dis(n_nodes), pre(n_nodes), Q;
+  std::vector<int64_t> inset(n_nodes, 0);  // epoch-tagged "nodes" set
+  int64_t flag = 0, inflag = 0;
+  std::vector<int64_t> ids, bt, bfs, pos_path, longest, tmp, positions;
+  for (int64_t r = 0; r < nr; r++) {
+    out_n_chained[r] = 0;
+    out_first_x[r] = out_last_y[r] = 0;
+    out_ok[r] = 0;
+    int64_t a0 = anch_off[r], a1 = anch_off[r + 1], nA = a1 - a0;
+    const int64_t* C = c_val + r * a_stride;
+    const int64_t* P = c_pred + r * a_stride;
+    // ---- best_chain: per-component argmax (ties: larger j), strictly
+    // greater score wins between components (ascending comp order)
+    ids.clear();
+    int64_t best_score = -1;
+    // distinct comps in ascending order: collect + sort unique
+    bt.clear();
+    for (int64_t j = 0; j < nA; j++)
+      bt.push_back(comp[path_nodes[path_off[a0 + j + 1] - 1]]);
+    std::vector<int64_t> ucomp(bt);
+    std::sort(ucomp.begin(), ucomp.end());
+    ucomp.erase(std::unique(ucomp.begin(), ucomp.end()), ucomp.end());
+    for (int64_t c : ucomp) {
+      int64_t jbest = -1;
+      for (int64_t j = 0; j < nA; j++)
+        if (bt[j] == c && (jbest == -1 || C[j] >= C[jbest])) jbest = j;
+      if (jbest >= 0 && C[jbest] > best_score) {
+        best_score = C[jbest];
+        ids.clear();
+        int64_t i = jbest;
+        for (int64_t step = 0; step <= nA && i != -1; step++) {
+          ids.push_back(i);
+          if (P[i] == i) break;
+          i = P[i];
+        }
+        std::reverse(ids.begin(), ids.end());
+      }
+    }
+    if (ids.empty()) {
+      res->offsets.push_back((int64_t)res->data.size());
+      continue;
+    }
+    out_n_chained[r] = (int64_t)ids.size();
+    out_first_x[r] = ax[a0 + ids.front()];
+    out_last_y[r] = ay[a0 + ids.back()];
+    // ---- stitch
+    longest.clear();
+    pos_path.clear();
+    inflag++;
+    int64_t cur_first_off = 0, cur_last_off = 0;
+    for (size_t ii = 0; ii < ids.size(); ii++) {
+      int64_t aj = a0 + ids[ii];
+      int64_t p0 = path_off[aj], p1 = path_off[aj + 1];
+      if (pos_path.empty()) {
+        for (int64_t p = p0; p < p1; p++) {
+          pos_path.push_back(path_nodes[p]);
+          inset[path_nodes[p]] = inflag;
+        }
+        cur_first_off = first_off[aj];
+        cur_last_off = last_off[aj];
+        continue;
+      }
+      bool gap = (path_nodes[p0] == pos_path.back()
+                  && colinear_gap != -1
+                  && first_off[aj] - cur_last_off > colinear_gap + 1);
+      bfs.clear();
+      if (inset[path_nodes[p0]] != inflag
+          && pos_path.back() != first_node[aj]) {
+        int64_t prev_aj = a0 + ids[ii - 1];
+        int64_t src = path_nodes[path_off[prev_aj + 1] - 1];
+        int64_t dst = first_node[aj];
+        int64_t lim = colinear_gap;
+        if (lim != -1)
+          lim -= first_off[aj]
+                 + (node_len[src] - last_off[prev_aj] - 1);
+        if (lim < -1) lim = -1;
+        flag++;
+        bfs_path(out_ptr, out_idx, node_len, src, dst, lim, vis, dis,
+                 pre, Q, flag, bfs);
+        if (bfs.empty()) gap = true;
+      }
+      if (gap) {
+        path_positions(node_len, pos_path, cur_first_off, cur_last_off,
+                       tmp);
+        if (tmp.size() > longest.size()) longest = tmp;
+        inflag++;
+        pos_path.clear();
+        cur_first_off = first_off[aj];
+      } else {
+        for (int64_t v : bfs)
+          if (inset[v] != inflag) {
+            inset[v] = inflag;
+            pos_path.push_back(v);
+          }
+      }
+      for (int64_t p = p0; p < p1; p++) {
+        int64_t v = path_nodes[p];
+        if (inset[v] != inflag) {
+          inset[v] = inflag;
+          pos_path.push_back(v);
+        }
+      }
+      cur_last_off = last_off[aj];
+    }
+    if (!pos_path.empty()) {
+      path_positions(node_len, pos_path, cur_first_off, cur_last_off, tmp);
+      if (tmp.size() > longest.size()) longest = tmp;
+    }
+    if (longest.empty()) {
+      res->offsets.push_back((int64_t)res->data.size());
+      continue;
+    }
+    out_ok[r] = 1;
+    // ---- extend_tails over the uncovered read head/tail
+    const uint8_t* read = read_bytes + read_off[r];
+    int64_t rlen = read_off[r + 1] - read_off[r];
+    int64_t head = out_first_x[r] > 0 ? out_first_x[r] : 0;
+    int64_t tail = rlen - 1 - out_last_y[r];
+    if (tail < 0) tail = 0;
+    positions.clear();
+    auto node_char = [&](int64_t v, int64_t o) -> uint8_t {
+      return seq_bytes[di_base[orig_node[v]] + orig_offset[v] + o];
+    };
+    // backward head (collect reversed, then emit in order)
+    {
+      std::vector<int64_t> headv;
+      int64_t v = longest[0], o = longest[1];
+      int64_t hi = head - 1, left = head;
+      while (left > 0) {
+        if (o > 0) {
+          o--;
+        } else {
+          if (in_ptr[v + 1] == in_ptr[v]) break;
+          uint8_t ch = (hi >= 0 && hi < rlen) ? read[hi] : 'N';
+          int64_t nxt = -1;
+          for (int64_t e = in_ptr[v]; e < in_ptr[v + 1]; e++) {
+            int64_t w = in_idx[e];
+            if (node_char(w, node_len[w] - 1) == ch) {
+              nxt = w;
+              break;
+            }
+          }
+          v = nxt >= 0 ? nxt : in_idx[in_ptr[v]];
+          o = node_len[v] - 1;
+        }
+        headv.push_back(v);
+        headv.push_back(o);
+        hi--;
+        left--;
+      }
+      for (size_t i = headv.size(); i >= 2; i -= 2) {
+        positions.push_back(headv[i - 2]);
+        positions.push_back(headv[i - 1]);
+      }
+    }
+    positions.insert(positions.end(), longest.begin(), longest.end());
+    {
+      int64_t v = longest[longest.size() - 2],
+              o = longest[longest.size() - 1];
+      int64_t ti = rlen - tail, left = tail;
+      while (left > 0) {
+        if (o + 1 < node_len[v]) {
+          o++;
+        } else {
+          if (out_ptr[v + 1] == out_ptr[v]) break;
+          uint8_t ch = (ti >= 0 && ti < rlen) ? read[ti] : 'N';
+          int64_t nxt = -1;
+          for (int64_t e = out_ptr[v]; e < out_ptr[v + 1]; e++) {
+            int64_t w = out_idx[e];
+            if (node_char(w, 0) == ch) {
+              nxt = w;
+              break;
+            }
+          }
+          v = nxt >= 0 ? nxt : out_idx[out_ptr[v]];
+          o = 0;
+        }
+        positions.push_back(v);
+        positions.push_back(o);
+        ti++;
+        left--;
+      }
+    }
+    res->data.insert(res->data.end(), positions.begin(), positions.end());
+    res->offsets.push_back((int64_t)res->data.size());
+  }
+  return (void*)res;
+}
+
+// ---------------------------------------------------------------------------
 // Fused backwalk + anchor join: the whole fwd/bwd fragment-pair join of
 // align/anchors.extract_anchor in one native pass (no per-fragment Python).
 // Mirrors extract_anchor exactly: walk both halves' best_in pointers,

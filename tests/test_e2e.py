@@ -203,3 +203,96 @@ def test_pipeline_concurrent_uneven_batches(tmp_path):
     assert stats.reads == 7
     assert not stats.assertion_broke
     assert stats.reads_with_an_alignment == 7
+
+
+def test_native_stitch_matches_python(rng):
+    """native.stitch_batch (best_chain + stitch + extend_tails in C++)
+    must reproduce the Python pipeline's positions exactly."""
+    from graphchainer_tpu import native
+    from graphchainer_tpu.align.anchors import Anchor, assemble_batch
+    from graphchainer_tpu.align.anchors import run_fragments
+    from graphchainer_tpu.align.chaining import (batch_arrays_cols,
+                                                 best_chain)
+    from graphchainer_tpu.align.stitch import extend_tails, stitch
+    from graphchainer_tpu.graph.simulate import generate_path, simulate_reads
+    from graphchainer_tpu.ops import frag_align
+    from graphchainer_tpu.ops.chain_scan import chain_scan
+    from tests.test_mpc import random_dag_bigraph
+
+    bg = random_dag_bigraph(rng, n_seg=25, p_edge=0.3, max_len=80)
+    g = build_alignment_graph(bg)
+    model = make_model(g, k=11, w=6)
+    path_seq, _ = generate_path(g, seed=2)
+    reads = simulate_reads(path_seq, 8, min(len(path_seq), 500), seed=4,
+                           error_rate=0.12)
+    cfg = model.cfg
+    jobs, frags, _ = model._fragment_jobs(reads)
+    assert jobs
+    (band_nodes, bnc, bi, ss, req, rows, S, bl) = assemble_batch(
+        model.gx, jobs, B=cfg.band_slots, max_in=cfg.max_in,
+        slack=cfg.band_slack)
+    res = run_fragments(model.gx, bnc, bi, ss, req, rows, S, cfg.max_in,
+                        band_level=bl)
+    fr = np.asarray(frags, dtype=np.int64).reshape(-1, 7)
+    end_slice = (rows.astype(np.int64) - 1) // 32
+    (ok, score, fnode, foff, lnode, loff, poff, pdata) = \
+        native.join_anchors(
+            np.asarray(res.best_in), np.asarray(res.best_slot),
+            np.asarray(res.best_score), np.asarray(res.best_col),
+            end_slice, band_nodes, g.node_len, fr[:, 3], fr[:, 4],
+            fr[:, 5], fr[:, 6], frag_align.BIG)
+    keep = np.nonzero((ok == 1) & (score <= cfg.max_anchor_error
+                                   * (fr[:, 2] - fr[:, 1])))[0]
+    assert len(keep) > 0
+    counts = np.bincount(fr[keep, 0], minlength=len(reads))
+    live = np.nonzero(counts)[0]
+    a_x, a_y = fr[keep, 1], fr[keep, 2] - 1
+    arrs = batch_arrays_cols(g, model.mpc, counts[live],
+                             pdata[poff[keep]], pdata[poff[keep + 1] - 1],
+                             a_x, a_y)
+    sres = chain_scan(**{k: arrs[k] for k in
+                         ("x", "y", "valid", "ev_type", "ev_anchor",
+                          "ev_k", "ev_kmask", "ev_group")})
+    c_val, c_pred = np.asarray(sres.c_val), np.asarray(sres.c_pred)
+    plens = poff[keep + 1] - poff[keep]
+    p_off = np.zeros(len(keep) + 1, dtype=np.int64)
+    np.cumsum(plens, out=p_off[1:])
+    pidx = (np.arange(int(p_off[-1]), dtype=np.int64)
+            - np.repeat(p_off[:-1], plens) + np.repeat(poff[keep], plens))
+    anch_off = np.zeros(len(live) + 1, dtype=np.int64)
+    np.cumsum(counts[live], out=anch_off[1:])
+    (positions_l, n_chained, first_x, last_y, okst) = native.stitch_batch(
+        model.gx, anch_off, a_x, a_y, fnode[keep], foff[keep],
+        lnode[keep], loff[keep], p_off, pdata[pidx], c_val, c_pred,
+        [reads[ri][1] for ri in live], cfg.colinear_gap)
+    # python reference path per read
+    n_checked = 0
+    for bi, ri in enumerate(live):
+        qs = keep[(fr[keep, 0] == ri)]
+        anchors = [Anchor(path=[int(v) for v in pdata[poff[q]:poff[q + 1]]],
+                          x=int(fr[q, 1]), y=int(fr[q, 2]) - 1,
+                          score=int(score[q]), first_node=int(fnode[q]),
+                          first_off=int(foff[q]), last_node=int(lnode[q]),
+                          last_off=int(loff[q])) for q in qs]
+        ids, bscore = best_chain(g, anchors, c_val[bi, :len(anchors)],
+                                 c_pred[bi, :len(anchors)])
+        assert n_chained[bi] == len(ids)
+        if not ids:
+            assert okst[bi] == 0
+            continue
+        assert first_x[bi] == anchors[ids[0]].x
+        assert last_y[bi] == anchors[ids[-1]].y
+        st = stitch(g, anchors, ids, cfg.colinear_gap)
+        if st is None:
+            assert okst[bi] == 0
+            continue
+        read = reads[ri][1]
+        head = int(anchors[ids[0]].x)
+        tail = len(read) - 1 - int(anchors[ids[-1]].y)
+        positions = extend_tails(g, st.positions, read, max(head, 0),
+                                 max(tail, 0))
+        assert okst[bi] == 1
+        np.testing.assert_array_equal(positions_l[bi], positions,
+                                      err_msg=f"read {ri}")
+        n_checked += 1
+    assert n_checked > 0
