@@ -82,6 +82,51 @@ def minimizers(seq_codes: np.ndarray, k: int, w: int):
     return pos.astype(np.int64), kv[pos]
 
 
+def minimizers_batch(codes_list, k: int, w: int):
+    """minimizers() for MANY sequences in one vectorized pass (one
+    kmer-code scan + one sliding-window argmin over the concatenation).
+    Returns a list of (positions, codes) identical to per-sequence
+    minimizers() — windows never span sequence boundaries because only
+    window starts fully inside one sequence's kmer range are kept;
+    sequences with <= w kmers fall back to the scalar path."""
+    out = [None] * len(codes_list)
+    todo = []
+    for i, c in enumerate(codes_list):
+        m = len(c) - k + 1
+        if m <= w:      # single-window semantics differ; scalar fallback
+            out[i] = minimizers(c, k, w)
+        else:
+            todo.append(i)
+    if not todo:
+        return out
+    cat = np.concatenate([codes_list[i] for i in todo])
+    n_i = np.array([len(codes_list[i]) for i in todo], dtype=np.int64)
+    c0 = np.zeros(len(todo) + 1, dtype=np.int64)
+    np.cumsum(n_i, out=c0[1:])
+    kv, valid = kmer_codes(cat, k)
+    # kmers whose k-span crosses a sequence boundary are not real kmers
+    # of any sequence: invalidate global positions [c0_i + m_i, c0_{i+1})
+    m_i = n_i - k + 1
+    for t in range(len(todo) - 1):      # vectorizable; t is small
+        valid[c0[t] + m_i[t]:c0[t + 1]] = False
+    h = _mix64(kv)
+    h = np.where(valid, h, np.uint64(0xFFFFFFFFFFFFFFFF))
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    arg = np.argmin(win, axis=1) + np.arange(len(h) - w + 1)
+    starts = np.arange(len(h) - w + 1, dtype=np.int64)
+    # window start s belongs to sequence t iff c0_t <= s <= c0_t+m_t-w
+    owner = np.searchsorted(c0, starts, side="right") - 1
+    inside = starts <= c0[owner] + m_i[owner] - w
+    sel = np.unique(arg[inside])
+    sel = sel[valid[sel]]
+    o2 = np.searchsorted(c0, sel, side="right") - 1
+    bounds = np.searchsorted(o2, np.arange(len(todo) + 1))
+    for t in range(len(todo)):
+        g_pos = sel[bounds[t]:bounds[t + 1]]
+        out[todo[t]] = ((g_pos - c0[t]).astype(np.int64), kv[g_pos])
+    return out
+
+
 @dataclass
 class MinimizerIndex:
     k: int
@@ -176,6 +221,27 @@ def get_seeds(index: MinimizerIndex, read: str,
             for j in range(len(di))]
 
 
+def get_seed_arrays_batch(index: MinimizerIndex, reads, density: float):
+    """get_seed_arrays for a whole batch: one minimizer pass over the
+    concatenated reads + one index binary search; the per-read budget
+    selection runs on the per-read slices.  Returns a list of
+    (di_node, node_offset, seq_pos, goodness) or None per read."""
+    mins = minimizers_batch([_encode(r) for r in reads], index.k, index.w)
+    kv_cat = np.concatenate([kv for _, kv in mins]) \
+        if mins else np.zeros(0, np.uint64)
+    lo_cat = np.searchsorted(index.codes, kv_cat, side="left")
+    hi_cat = np.searchsorted(index.codes, kv_cat, side="right")
+    out = []
+    o = 0
+    for read, (pos, kv) in zip(reads, mins):
+        n = len(pos)
+        out.append(_select_seeds(index, len(read), pos, kv,
+                                 lo_cat[o:o + n], hi_cat[o:o + n],
+                                 density) if n else None)
+        o += n
+    return out
+
+
 def get_seed_arrays(index: MinimizerIndex, read: str, density: float = 10.0):
     """Vectorized seed lookup: returns (di_node, node_offset, seq_pos,
     goodness) arrays sorted by ascending seq_pos, or None."""
@@ -184,8 +250,14 @@ def get_seed_arrays(index: MinimizerIndex, read: str, density: float = 10.0):
         return None
     lo = np.searchsorted(index.codes, kv, side="left")
     hi = np.searchsorted(index.codes, kv, side="right")
+    return _select_seeds(index, len(read), pos, kv, lo, hi, density)
+
+
+def _select_seeds(index: MinimizerIndex, read_len: int, pos: np.ndarray,
+                  kv: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                  density: float):
     counts = (hi - lo).astype(np.int64)
-    budget = float("inf") if density < 0 else density * len(read)
+    budget = float("inf") if density < 0 else density * read_len
     keep = (counts > 0) & (counts < index.count_cap)
     if not keep.any():
         return None

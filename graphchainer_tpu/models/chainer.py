@@ -131,7 +131,12 @@ class ChainerModel:
         """Seeds + fragment windows -> kernel job list (vectorized window
         assignment and top-k-per-window selection)."""
         cfg = self.cfg
-        from graphchainer_tpu.index.minimizer import get_seed_arrays
+        from graphchainer_tpu.index.minimizer import get_seed_arrays_batch
+        # one vectorized minimizer pass + index search for the whole batch
+        batch_arrs = None
+        if self.file_seeds is None and self.seed_fn is None:
+            batch_arrs = get_seed_arrays_batch(
+                self.index, [s for _, s in reads], cfg.seed_density)
         jobs: List[FragJob] = []
         frags = []   # (read_idx, l, r, fi_fwd, fi_bwd, seed split, seed off)
         # local, not instance state: align_batch runs concurrently from
@@ -153,7 +158,7 @@ class ChainerModel:
                 good = np.array([s.goodness for s in fs])
                 mlen = np.array([s.match_len for s in fs], dtype=np.int64)
             else:
-                arrs = get_seed_arrays(self.index, seq, cfg.seed_density)
+                arrs = batch_arrs[ri]
                 if arrs is None:
                     continue
                 di, off, sp, good = arrs

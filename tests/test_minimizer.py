@@ -99,3 +99,52 @@ def test_cluster_seeds(rng):
     assert out[0].node_offset in (100, 160, 220)
     assert out[-1].node_offset == 400
     assert out[0].goodness == 45.0
+
+
+def test_minimizers_batch_matches_scalar():
+    """minimizers_batch over a mixed batch (long reads, short reads,
+    ambiguous chars) must equal per-sequence minimizers() exactly."""
+    import numpy as np
+    from graphchainer_tpu.index.minimizer import (_encode, minimizers,
+                                                  minimizers_batch)
+    rng = np.random.default_rng(17)
+    seqs = []
+    for n in (5, 14, 15, 40, 300, 2000, 31, 64):
+        s = "".join(rng.choice(list("ACGT"), n))
+        seqs.append(s)
+    # sprinkle ambiguity
+    s = list(seqs[-1])
+    for p in rng.choice(len(s), 5, replace=False):
+        s[p] = "N"
+    seqs[-1] = "".join(s)
+    k, w = 15, 10
+    batch = minimizers_batch([_encode(s) for s in seqs], k, w)
+    for s, got in zip(seqs, batch):
+        pos, kv = minimizers(_encode(s), k, w)
+        np.testing.assert_array_equal(got[0], pos, err_msg=f"len {len(s)}")
+        np.testing.assert_array_equal(got[1], kv, err_msg=f"len {len(s)}")
+
+
+def test_get_seed_arrays_batch_matches_scalar():
+    import numpy as np
+    from graphchainer_tpu.index.minimizer import (get_seed_arrays,
+                                                  get_seed_arrays_batch)
+    rng = np.random.default_rng(3)
+    bg = Bigraph()
+    path_seq = "".join(rng.choice(list("ACGT"), 1500))
+    bg.add_segment("x", path_seq)
+    g = build_alignment_graph(bg)
+    idx = build_index(g, k=15, w=10)
+    reads = []
+    for _ in range(6):
+        a = int(rng.integers(0, max(len(path_seq) - 200, 1)))
+        reads.append(path_seq[a:a + 200])
+    reads.append("ACGT")          # too short: no minimizers
+    batch = get_seed_arrays_batch(idx, reads, 10.0)
+    for r, got in zip(reads, batch):
+        ref = get_seed_arrays(idx, r, 10.0)
+        if ref is None:
+            assert got is None
+            continue
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(a, b)
