@@ -155,6 +155,91 @@ def build_jobs(read_mm: np.ndarray, frag_start: int, frag_end: int,
     return fwd, bwd
 
 
+@dataclass
+class JobCols:
+    """Columnar fragment-job batch (no per-job Python objects): the
+    CLC hot path's replacement for List[FragJob]."""
+    seed: np.ndarray      # (F,) int64 split-node id (slot 0 of the band)
+    trim: np.ndarray      # (F,) int64 seed_trim_len
+    rev: np.ndarray       # (F,) bool backward-extension job
+    read_idx: np.ndarray  # (F,) int64 read of the batch
+    lo: np.ndarray        # (F,) int64 read row range [lo, hi)
+    hi: np.ndarray        # (F,) int64 (rev jobs consume rows hi-1 .. lo)
+
+    def __len__(self):
+        return len(self.seed)
+
+
+def assemble_batch_cols(gx: GraphTensors, jc: JobCols, read_mm_cat:
+                        np.ndarray, read_base: np.ndarray, B: int,
+                        max_in: int = MAX_IN_DEGREE, slack: int = 8):
+    """assemble_batch for a columnar job batch: the read match-mask rows
+    are gathered from the concatenated batch masks in one vectorized
+    indexing pass.  Output contract identical to assemble_batch
+    (pinned by tests/test_frag_align.py test_assemble_cols_matches)."""
+    g = gx.g
+    if B > 127:
+        raise ValueError(
+            f"band slots B={B} exceeds 127: the CLC band is int8-indexed "
+            "(native backwalks); use -b/-B <= 127 or optimal mode")
+    F = len(jc)
+    rows = np.maximum(jc.hi - jc.lo, 1).astype(np.int32)
+    S = int(max(1, -(-int(rows.max(initial=1)) // W)))
+
+    band_nodes = np.full((F, B), -1, dtype=np.int64)
+    band_in = np.full((F, B, max_in), -1, dtype=np.int64)
+    band_level = np.full((F, B), -1, dtype=np.int64)
+    for rev in (False, True):
+        sel = np.nonzero(jc.rev == rev)[0]
+        if not len(sel):
+            continue
+        max_bp = int(rows[sel].max()) + slack
+        ptr, idx = (gx.in_ptr, gx.in_idx) if rev else (gx.out_ptr,
+                                                      gx.out_idx)
+        bn, bi, bl, trunc = native.band_build(
+            g.n_nodes, ptr, idx, gx.node_len64,
+            np.ascontiguousarray(jc.seed[sel]),
+            np.ascontiguousarray(jc.trim[sel]), B, max_bp, max_in, rev,
+            by_dist=g.cyclic)
+        if trunc:
+            _warn_truncated(trunc, max_in)
+        band_nodes[sel] = bn
+        band_in[sel] = bi
+        band_level[sel] = bl
+
+    # adaptive band width (see assemble_batch)
+    used = int((band_nodes >= 0).sum(axis=1).max()) if F else 1
+    B_eff = min(B, max(8, -(-used // 8) * 8))
+    if B_eff < B:
+        band_nodes = band_nodes[:, :B_eff]
+        band_in = band_in[:, :B_eff]
+        band_level = band_level[:, :B_eff]
+
+    band_nodes_cat = np.where(
+        band_nodes >= 0,
+        band_nodes + np.where(jc.rev, g.n_nodes, 0)[:, None],
+        -1).astype(np.int32)
+
+    seed_len = g.node_len[np.clip(band_nodes[:, 0], 0,
+                                  g.n_nodes - 1)].astype(np.int64)
+    seed_shift = (seed_len - jc.trim).astype(np.int32)
+
+    # read-row match planes: ONE gather over the concatenated batch masks
+    ar = np.arange(S * W, dtype=np.int64)[None, :]
+    base = read_base[jc.read_idx][:, None]
+    idx_f = base + jc.lo[:, None] + ar
+    idx_b = base + jc.hi[:, None] - 1 - ar
+    idx = np.where(jc.rev[:, None], idx_b, idx_f)
+    in_range = ar < rows[:, None]
+    mm_pad = np.where(in_range,
+                      read_mm_cat[np.clip(idx, 0, len(read_mm_cat) - 1)],
+                      0).astype(np.uint8)
+    req = pack_row_planes(mm_pad).reshape(F, S, 4)
+
+    return (band_nodes, band_nodes_cat, band_in.astype(np.int8),
+            seed_shift, req, rows, S, band_level.astype(np.int8))
+
+
 _trunc_warned = False
 
 

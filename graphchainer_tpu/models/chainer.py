@@ -28,7 +28,7 @@ import numpy as np
 from graphchainer_tpu import constants, native
 from graphchainer_tpu.align import polish
 from graphchainer_tpu.align.anchors import (Anchor, FragJob, GraphTensors,
-                                            assemble_batch, build_jobs,
+                                            assemble_batch_cols,
                                             run_fragments)
 from graphchainer_tpu.align.chaining import batch_arrays_cols
 from graphchainer_tpu.graph.alignment_graph import AlignmentGraph
@@ -127,23 +127,29 @@ class ChainerModel:
         return self._baseline
 
     # ------------------------------------------------------------------
-    def _fragment_jobs(self, reads: Sequence[Tuple[str, str]]):
-        """Seeds + fragment windows -> kernel job list (vectorized window
-        assignment and top-k-per-window selection)."""
+    def _fragment_jobs_cols(self, reads: Sequence[Tuple[str, str]]):
+        """Seeds + fragment windows -> COLUMNAR kernel job batch: one
+        vectorized pass over all reads (window assignment, near-duplicate
+        collapse and top-k-per-window selection run on the concatenated
+        seed lists with the read id as the outermost sort key).
+
+        Returns (JobCols, frags [nfrag,7] int64 rows of
+        (read_idx, l, r, fi_fwd, fi_bwd, seed split, seed off),
+        seed_counts)."""
         cfg = self.cfg
+        from graphchainer_tpu.align.anchors import JobCols
         from graphchainer_tpu.index.minimizer import get_seed_arrays_batch
         # one vectorized minimizer pass + index search for the whole batch
         batch_arrs = None
         if self.file_seeds is None and self.seed_fn is None:
             batch_arrs = get_seed_arrays_batch(
                 self.index, [s for _, s in reads], cfg.seed_density)
-        jobs: List[FragJob] = []
-        frags = []   # (read_idx, l, r, fi_fwd, fi_bwd, seed split, seed off)
         # local, not instance state: align_batch runs concurrently from
         # the pipeline's in-flight batches
         seed_counts = [0] * len(reads)
         flen, sep = cfg.colinear_split_len, cfg.colinear_split_gap
         kper = cfg.seeds_per_fragment
+        parts = []
         for ri, (name, seq) in enumerate(reads):
             if self.file_seeds is not None or self.seed_fn is not None:
                 if self.seed_fn is not None:
@@ -164,72 +170,118 @@ class ChainerModel:
                 di, off, sp, good = arrs
                 mlen = np.full(len(di), self.index.k, dtype=np.int64)
             seed_counts[ri] = len(di)
-            mm = match_masks(seq)
-            # long seeds (MEMs can exceed the fragment length) anchor a
-            # window by their start; clamp the effective length so they
-            # are not dropped for spanning window boundaries
-            mlen_eff = np.minimum(mlen, max(flen // 2, 1))
-            if len(seq) < flen:
-                if len(seq) < 5:
-                    continue
-                nwin = 1
-                wmin = np.zeros(len(di), dtype=np.int64)
-                wmax = np.where(sp + mlen_eff <= len(seq), 0, -1)
-            else:
-                nwin = (len(seq) - flen) // sep + 1
-                # windows containing the (clamped) seed match
-                wmin = -(-(sp + mlen_eff - flen) // sep)
-                wmax = np.minimum(sp // sep, nwin - 1)
-                wmin = np.maximum(wmin, 0)
-            valid = wmax >= wmin
-            if not valid.any():
+            if len(seq) < 5:
                 continue
-            reps = np.where(valid, wmax - wmin + 1, 0)
-            total = int(reps.sum())
-            sidx = np.repeat(np.arange(len(di)), reps)
-            run0 = np.cumsum(reps) - reps
-            widx = (np.arange(total) - np.repeat(run0, reps)
-                    + np.repeat(wmin, reps))
-            # near-duplicate collapse: same (window, node, offset bucket).
-            # lexsort on the raw columns — a packed int key overflows on
-            # chromosome-scale node offsets (>= 32768 bp segments)
-            obkt = off[sidx] >> 3
-            dnode = di[sidx]
-            o = np.lexsort((-good[sidx], obkt, dnode, widx))
-            first = np.ones(total, dtype=bool)
-            first[1:] = ((widx[o][1:] != widx[o][:-1])
-                         | (dnode[o][1:] != dnode[o][:-1])
-                         | (obkt[o][1:] != obkt[o][:-1]))
-            o = o[first]
-            # top-k per window by goodness
-            o2 = o[np.lexsort((-good[sidx[o]], widx[o]))]
-            w_sorted = widx[o2]
-            grp_first = np.ones(len(o2), dtype=bool)
-            grp_first[1:] = w_sorted[1:] != w_sorted[:-1]
-            grp_id = np.cumsum(grp_first) - 1
-            grp_start = np.nonzero(grp_first)[0]
-            rank = np.arange(len(o2)) - grp_start[grp_id]
-            o2 = o2[rank < kper]
-            # vectorized split lookup
-            v_all, voff_all = self.gx.find_splits(di[sidx[o2]],
-                                                  off[sidx[o2]])
-            for t, e in enumerate(o2):
-                w = int(widx[e])
-                s_i = int(sidx[e])
-                if len(seq) < flen:
-                    l, r = 0, len(seq)
-                else:
-                    l, r = w * sep, w * sep + flen
-                v, s_off = int(v_all[t]), int(voff_all[t])
-                fwd, bwd = build_jobs(mm, l, r, v, s_off, int(sp[s_i]),
-                                      self.g)
-                fi_fwd = len(jobs)
-                jobs.append(fwd)
-                fi_bwd = -1
-                if len(bwd.rmm) > 0:
-                    fi_bwd = len(jobs)
-                    jobs.append(bwd)
-                frags.append((ri, l, r, fi_fwd, fi_bwd, v, s_off))
+            parts.append((np.full(len(di), ri, dtype=np.int64), di, off,
+                          sp, good, mlen))
+        z = np.zeros(0, np.int64)
+        empty = (JobCols(seed=z, trim=z, rev=np.zeros(0, bool),
+                         read_idx=z, lo=z, hi=z),
+                 np.zeros((0, 7), dtype=np.int64), seed_counts)
+        if not parts:
+            return empty
+        rid, di, off, sp, good, mlen = (np.concatenate(a)
+                                        for a in zip(*parts))
+        rlen = np.array([len(s) for _, s in reads], dtype=np.int64)
+        rl = rlen[rid]
+        # long seeds (MEMs can exceed the fragment length) anchor a
+        # window by their start; clamp the effective length so they
+        # are not dropped for spanning window boundaries
+        mlen_eff = np.minimum(mlen, max(flen // 2, 1))
+        short = rl < flen
+        nwin = np.where(short, 1, (rl - flen) // sep + 1)
+        wmin = np.where(short, 0,
+                        np.maximum(-(-(sp + mlen_eff - flen) // sep), 0))
+        wmax = np.where(short, np.where(sp + mlen_eff <= rl, 0, -1),
+                        np.minimum(sp // sep, nwin - 1))
+        valid = wmax >= wmin
+        reps = np.where(valid, wmax - wmin + 1, 0)
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        sidx = np.repeat(np.arange(len(rid)), reps)
+        run0 = np.cumsum(reps) - reps
+        widx = (np.arange(total) - np.repeat(run0, reps)
+                + np.repeat(wmin, reps))
+        # near-duplicate collapse: same (read, window, node, offset
+        # bucket).  lexsort on the raw columns — a packed int key
+        # overflows on chromosome-scale node offsets
+        obkt = off[sidx] >> 3
+        dnode = di[sidx]
+        srid = rid[sidx]
+        o = np.lexsort((-good[sidx], obkt, dnode, widx, srid))
+        first = np.ones(total, dtype=bool)
+        first[1:] = ((srid[o][1:] != srid[o][:-1])
+                     | (widx[o][1:] != widx[o][:-1])
+                     | (dnode[o][1:] != dnode[o][:-1])
+                     | (obkt[o][1:] != obkt[o][:-1]))
+        o = o[first]
+        # top-k per (read, window) by goodness
+        o2 = o[np.lexsort((-good[sidx[o]], widx[o], srid[o]))]
+        w_sorted, r_sorted = widx[o2], srid[o2]
+        grp_first = np.ones(len(o2), dtype=bool)
+        grp_first[1:] = ((w_sorted[1:] != w_sorted[:-1])
+                         | (r_sorted[1:] != r_sorted[:-1]))
+        grp_id = np.cumsum(grp_first) - 1
+        grp_start = np.nonzero(grp_first)[0]
+        rank = np.arange(len(o2)) - grp_start[grp_id]
+        o2 = o2[rank < kper]
+        # vectorized split lookup + frag geometry
+        v_all, voff_all = self.gx.find_splits(di[sidx[o2]], off[sidx[o2]])
+        v_all = v_all.astype(np.int64)
+        voff_all = voff_all.astype(np.int64)
+        frid = srid[o2]
+        short_q = short[sidx[o2]]
+        fl = np.where(short_q, 0, widx[o2] * sep)
+        fr_ = np.where(short_q, rl[sidx[o2]], fl + flen)
+        spq = sp[sidx[o2]]
+        has_bwd = spq > fl
+        nfrag = len(o2)
+        job_start = np.zeros(nfrag, dtype=np.int64)
+        np.cumsum(1 + has_bwd[:-1], out=job_start[1:])
+        fi_fwd = job_start
+        fi_bwd = np.where(has_bwd, job_start + 1, -1)
+        F = int(job_start[-1]) + 1 + int(has_bwd[-1]) if nfrag else 0
+        seed = np.empty(F, dtype=np.int64)
+        trim = np.empty(F, dtype=np.int64)
+        rev = np.zeros(F, dtype=bool)
+        read_idx = np.empty(F, dtype=np.int64)
+        lo = np.empty(F, dtype=np.int64)
+        hi = np.empty(F, dtype=np.int64)
+        seed[fi_fwd] = v_all
+        trim[fi_fwd] = self.g.node_len[v_all].astype(np.int64) - voff_all
+        read_idx[fi_fwd] = frid
+        lo[fi_fwd] = spq
+        hi[fi_fwd] = fr_
+        bsel = np.nonzero(has_bwd)[0]
+        bpos = fi_bwd[bsel]
+        seed[bpos] = v_all[bsel]
+        trim[bpos] = voff_all[bsel]
+        rev[bpos] = True
+        read_idx[bpos] = frid[bsel]
+        lo[bpos] = fl[bsel]
+        hi[bpos] = spq[bsel]
+        frags = np.stack([frid, fl, fr_, fi_fwd, fi_bwd, v_all,
+                          voff_all], axis=1)
+        return (JobCols(seed=seed, trim=trim, rev=rev, read_idx=read_idx,
+                        lo=lo, hi=hi), frags, seed_counts)
+
+    def _fragment_jobs(self, reads: Sequence[Tuple[str, str]]):
+        """Object-form adapter over _fragment_jobs_cols (tests / GA-mode
+        compatibility): materializes FragJob rmm slices per job."""
+        jc, frags, seed_counts = self._fragment_jobs_cols(reads)
+        mms = {}
+        jobs: List[FragJob] = []
+        for i in range(len(jc)):
+            ri = int(jc.read_idx[i])
+            if ri not in mms:
+                mms[ri] = match_masks(reads[ri][1])
+            rmm = mms[ri][jc.lo[i]:jc.hi[i]]
+            if jc.rev[i]:
+                rmm = rmm[::-1]
+            jobs.append(FragJob(rmm=rmm, seed_node=int(jc.seed[i]),
+                                seed_trim_len=int(jc.trim[i]),
+                                reverse=bool(jc.rev[i])))
         return jobs, frags, seed_counts
 
     # ------------------------------------------------------------------
@@ -240,17 +292,21 @@ class ChainerModel:
                              score=len(s), seq_end=len(s))
                for n, s in reads]
         with timers.stage("seed+window", len(reads)):
-            jobs, frags, seed_counts = self._fragment_jobs(reads)
+            jobs, frags, seed_counts = self._fragment_jobs_cols(reads)
         for ri, n in enumerate(seed_counts):
             out[ri].n_seeds = n
-        if not jobs:
+        if not len(jobs):
             return out
 
         with timers.stage("band_build", len(jobs)):
+            read_mm_cat = match_masks("".join(s for _, s in reads))
+            read_base = np.zeros(len(reads) + 1, dtype=np.int64)
+            np.cumsum([len(s) for _, s in reads], out=read_base[1:])
             (band_nodes, band_nodes_cat, band_in, seed_shift, req, rows, S,
-             band_level) = assemble_batch(self.gx, jobs, B=cfg.band_slots,
-                                          max_in=cfg.max_in,
-                                          slack=cfg.band_slack)
+             band_level) = assemble_batch_cols(self.gx, jobs, read_mm_cat,
+                                               read_base, B=cfg.band_slots,
+                                               max_in=cfg.max_in,
+                                               slack=cfg.band_slack)
         with timers.stage("frag_kernel", len(jobs)):
             res = run_fragments(self.gx, band_nodes_cat, band_in,
                                 seed_shift, req, rows, S, cfg.max_in,

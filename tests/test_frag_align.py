@@ -359,3 +359,41 @@ def test_join_anchors_matches_extract():
         np.testing.assert_array_equal(pdata[poff[q]:poff[q + 1]],
                                       np.asarray(a.path, dtype=np.int64))
     assert n_ok > 0, "fixture produced no successful anchors"
+
+
+def test_assemble_cols_matches_objects():
+    """assemble_batch_cols on the columnar job batch must equal
+    assemble_batch on the materialized FragJob objects (same bands, same
+    packed read planes), including short/tiny reads and bwd jobs."""
+    from graphchainer_tpu.align.anchors import assemble_batch_cols
+    from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+    from graphchainer_tpu.graph.mpc import build_mpc
+    from graphchainer_tpu.graph.simulate import generate_path, simulate_reads
+    from graphchainer_tpu.index.minimizer import build_index
+    from graphchainer_tpu.models.chainer import ChainerConfig, ChainerModel
+    from graphchainer_tpu.utils.seq import match_masks
+    from tests.test_mpc import random_dag_bigraph
+
+    rng = np.random.default_rng(9)
+    bg = random_dag_bigraph(rng, n_seg=25, p_edge=0.3, max_len=70)
+    g = build_alignment_graph(bg)
+    mpc = build_mpc(g)
+    idx = build_index(g, k=11, w=6)
+    model = ChainerModel(g, mpc, idx, ChainerConfig(band_slots=16))
+    path_seq, _ = generate_path(g, seed=5)
+    reads = simulate_reads(path_seq, 5, min(len(path_seq), 400), seed=8,
+                           error_rate=0.12)
+    reads += [("s1", reads[0][1][:30]), ("s2", reads[1][1][:3])]
+    jc, frags, _ = model._fragment_jobs_cols(reads)
+    jobs, frags2, _ = model._fragment_jobs(reads)
+    np.testing.assert_array_equal(np.asarray(frags), np.asarray(frags2))
+    assert len(jobs) == len(jc)
+    read_mm_cat = match_masks("".join(s for _, s in reads))
+    read_base = np.zeros(len(reads) + 1, dtype=np.int64)
+    np.cumsum([len(s) for _, s in reads], out=read_base[1:])
+    a = assemble_batch_cols(model.gx, jc, read_mm_cat, read_base, B=16,
+                            max_in=4, slack=8)
+    b = assemble_batch(model.gx, jobs, B=16, max_in=4, slack=8)
+    for i, (x, y) in enumerate(zip(a, b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=f"output {i}")
