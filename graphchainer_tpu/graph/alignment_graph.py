@@ -126,6 +126,20 @@ class AlignmentGraph:
                 self.node_len.astype(np.int64))
         return self._approx_pos
 
+    def chains(self):
+        """Chain decomposition (chain id + per-chain approximate position
+        per split node) — the reference's findChains/chainApproxPos
+        (src/AlignmentGraph.cpp:309-642): original-node splits, tip
+        components, simple cycles and superbubble endpoints share a
+        chain; the position is a DFS coordinate within the chain.
+        Returns (chain_number [N] int64, chain_pos [N] int64).  Cached."""
+        if not hasattr(self, "_chains"):
+            self._chains = native.find_chains(
+                self.n_nodes, self.out_ptr, self.out_idx, self.in_ptr,
+                self.in_idx, self.node_len, self.di_ptr, self.di_splits,
+                split_size=32)
+        return self._chains
+
     def stats(self) -> Dict[str, int]:
         return dict(n_split_nodes=self.n_nodes,
                     n_edges=len(self.out_idx),

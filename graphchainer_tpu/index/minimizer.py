@@ -288,53 +288,67 @@ def _select_seeds(index: MinimizerIndex, read_len: int, pos: np.ndarray,
 
 def cluster_seeds(g, seeds, tolerance: int = 100,
                   min_cluster_size: int = 0):
-    """Diagonal seed clustering (reference orderSeedsByChaining,
-    src/GraphAligner.h:233-295): group seeds by approximate diagonal
-    (graph linear position - read position) within `tolerance` bp, score
-    each cluster by its non-overlapping matched read bp, and return seeds
-    ordered by descending cluster goodness (cluster order preserved
-    within)."""
+    """Chain-grouped diagonal seed clustering (reference
+    orderSeedsByChaining, src/GraphAligner.h:233-295): seeds group by the
+    graph's chain decomposition (AlignmentGraph.chains — bubbles popped,
+    tips merged, cycles collapsed: src/AlignmentGraph.cpp:309-642), sort
+    by in-chain diagonal (chain pos + offset - read pos), split clusters
+    at diagonal gaps > `tolerance`, score each cluster by its
+    non-overlapping matched read bp, and return seeds ordered by
+    descending (cluster bp + seed rarity) goodness."""
     if not seeds:
         return []
-    approx = g.approx_linear_pos()
-    diag = []
-    for s in seeds:
-        v, off = g.find_split(s.di_node, s.node_offset)
-        diag.append(int(approx[v]) + off - s.seq_pos)
-    order = sorted(range(len(seeds)), key=lambda i: diag[i])
+    chain_no, chain_pos = g.chains()
+    vs = np.empty(len(seeds), dtype=np.int64)
+    offs = np.empty(len(seeds), dtype=np.int64)
+    for i, s in enumerate(seeds):
+        vs[i], offs[i] = g.find_split(s.di_node, s.node_offset)
+    sp = np.array([s.seq_pos for s in seeds], dtype=np.int64)
+    mlen = np.array([s.match_len for s in seeds], dtype=np.int64)
+    raw = np.array([s.goodness for s in seeds], dtype=np.float64)
+    cno = chain_no[vs]
+    diag = chain_pos[vs] + offs - sp
+    # cluster = run of seeds in the same chain whose sorted diagonals
+    # step by <= tolerance
+    o = np.lexsort((diag, cno))
+    new_cl = np.ones(len(o), dtype=bool)
+    new_cl[1:] = ((cno[o][1:] != cno[o][:-1])
+                  | (diag[o][1:] > diag[o][:-1] + tolerance))
+    cl_id = np.cumsum(new_cl) - 1
+    goodness = np.empty(len(seeds), dtype=np.float64)
+    cl_size = np.empty(len(seeds), dtype=np.int64)
     clusters = []
-    cur = [order[0]]
-    for i in order[1:]:
-        if diag[i] - diag[cur[-1]] <= tolerance:
-            cur.append(i)
-        else:
-            clusters.append(cur)
-            cur = [i]
-    clusters.append(cur)
+    for c in range(int(cl_id[-1]) + 1):
+        cl = o[cl_id == c]
+        # non-overlapping matched bp along the read (reference counts the
+        # half-open interval (matchStart, matchEnd]; our seq_pos is the
+        # match START, the reference's is the end — same intervals)
+        cl = cl[np.argsort(sp[cl], kind="stable")]
+        last_end = -(1 << 60)
+        bps = 0
+        for i in cl:
+            a = int(sp[i])
+            b = int(sp[i]) + int(mlen[i]) - 1
+            bps += b - max(a, last_end)
+            last_end = b
+        goodness[cl] = bps + raw[cl]
+        cl_size[cl] = len(cl)
+        clusters.append((bps, cl))
+    keep = np.ones(len(seeds), dtype=bool)
     if min_cluster_size > 1:
         # reference --seeds-clustersize (src/AlignerMain.cpp:79): discard
-        # clusters with fewer seeds
-        kept = [cl for cl in clusters if len(cl) >= min_cluster_size]
-        if kept:
-            clusters = kept
-    scored = []
-    for cl in clusters:
-        # non-overlapping matched bp along the read
-        ivs = sorted((seeds[i].seq_pos,
-                      seeds[i].seq_pos + seeds[i].match_len) for i in cl)
-        covered = 0
-        end = -1
-        for a, b in ivs:
-            a = max(a, end)
-            if b > a:
-                covered += b - a
-                end = b
-        scored.append((covered, cl))
-    scored.sort(key=lambda t: -t[0])
+        # clusters with fewer seeds (unless none would survive)
+        if (cl_size >= min_cluster_size).any():
+            keep = cl_size >= min_cluster_size
+    # descending goodness; ties keep the (chain, diagonal) sweep order —
+    # spreads the first tries across the read instead of piling them at
+    # one end when a cluster's seeds all score equally
+    order = o[np.argsort(-goodness[o], kind="stable")]
     out = []
-    for covered, cl in scored:
-        for i in sorted(cl, key=lambda i: -seeds[i].goodness):
-            s = seeds[i]
-            s.goodness = float(covered)
-            out.append(s)
+    for i in order:
+        if not keep[i]:
+            continue
+        s = seeds[i]
+        s.goodness = float(goodness[i])
+        out.append(s)
     return out

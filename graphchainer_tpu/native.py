@@ -465,3 +465,30 @@ def stitch_batch(gx, anch_off: np.ndarray, ax: np.ndarray, ay: np.ndarray,
     positions = [data[offsets[i]:offsets[i + 1]].reshape(-1, 2).copy()
                  for i in range(nq)]
     return positions, n_chained, first_x, last_y, ok
+
+
+def find_chains(n: int, out_ptr: np.ndarray, out_idx: np.ndarray,
+                in_ptr: np.ndarray, in_idx: np.ndarray,
+                node_len: np.ndarray, di_ptr: np.ndarray,
+                di_splits: np.ndarray, split_size: int = 32):
+    """Chain decomposition + per-chain approximate positions (reference
+    findChains / fixChainApproxPos, src/AlignmentGraph.cpp:309-642).
+    Returns (chain_number [N] int64 union-find roots, chain_pos [N]
+    int64)."""
+    lib = get_lib()
+    if not hasattr(lib, "_chains_sig"):
+        lib.find_chains.restype = None
+        lib.find_chains.argtypes = ([ctypes.c_int64] + [_I64P] * 5
+                                    + [ctypes.c_int64, _I64P, _I64P,
+                                       ctypes.c_int64, _I64P, _I64P])
+        lib._chains_sig = True
+    i64 = lambda a: np.ascontiguousarray(a, dtype=np.int64)
+    op, oi, ip, ii = i64(out_ptr), i64(out_idx), i64(in_ptr), i64(in_idx)
+    nl, dp, ds = i64(node_len), i64(di_ptr), i64(di_splits)
+    chain = np.empty(n, dtype=np.int64)
+    pos = np.empty(n, dtype=np.int64)
+    lib.find_chains(ctypes.c_int64(n), _ptr(op), _ptr(oi), _ptr(ip),
+                    _ptr(ii), _ptr(nl), ctypes.c_int64(len(dp) - 1),
+                    _ptr(dp), _ptr(ds), ctypes.c_int64(split_size),
+                    _ptr(chain), _ptr(pos))
+    return chain, pos

@@ -14,8 +14,10 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <map>
 #include <queue>
+#include <set>
 #include <utility>
 #include <vector>
 
@@ -735,6 +737,274 @@ void* backwalks(int64_t F, int64_t B, int64_t S, const int8_t* best_in,
     res->offsets.push_back((int64_t)res->data.size());
   }
   return (void*)res;
+}
+
+// ---------------------------------------------------------------------------
+// Chain decomposition + per-chain approximate positions: re-design of the
+// reference's findChains / chainTips / chainCycles / chainBubble /
+// fixChainApproxPos (src/AlignmentGraph.cpp:309-642).  Chains group split
+// nodes whose relative coordinates are meaningful (bubbles popped, tips
+// merged, simple cycles collapsed); chain_pos is a DFS coordinate within
+// the chain (+len forward, -len backward).  Seed clustering groups by
+// chain and diagonalizes within it (GraphAligner.h:233-295).
+
+namespace {
+struct UF {
+  std::vector<int64_t> parent, rank_;
+  explicit UF(int64_t n) : parent(n), rank_(n, 0) {
+    for (int64_t i = 0; i < n; i++) parent[i] = i;
+  }
+  int64_t find(int64_t x) {
+    int64_t r = x;
+    while (parent[r] != r) r = parent[r];
+    while (parent[x] != r) {
+      int64_t nx = parent[x];
+      parent[x] = r;
+      x = nx;
+    }
+    return r;
+  }
+  void merge(int64_t a, int64_t b) {
+    a = find(a);
+    b = find(b);
+    if (a == b) return;
+    if (rank_[a] < rank_[b]) std::swap(a, b);
+    parent[b] = a;
+    if (rank_[a] == rank_[b]) rank_[a]++;
+  }
+};
+
+// Tarjan SCC over CSR; comp ids in condensation-topological order
+void scc_csr(int64_t n, const int64_t* ptr, const int64_t* idx,
+             std::vector<int64_t>& comp) {
+  comp.assign(n, -1);
+  std::vector<int64_t> low(n, -1), num(n, -1), stk, fv, fe;
+  std::vector<char> on(n, 0);
+  int64_t counter = 0, nscc = 0;
+  for (int64_t root = 0; root < n; root++) {
+    if (num[root] != -1) continue;
+    fv.push_back(root);
+    fe.push_back(ptr[root]);
+    num[root] = low[root] = counter++;
+    stk.push_back(root);
+    on[root] = 1;
+    while (!fv.empty()) {
+      int64_t v = fv.back();
+      int64_t& e = fe.back();
+      if (e < ptr[v + 1]) {
+        int64_t t = idx[e++];
+        if (num[t] == -1) {
+          num[t] = low[t] = counter++;
+          stk.push_back(t);
+          on[t] = 1;
+          fv.push_back(t);
+          fe.push_back(ptr[t]);
+        } else if (on[t] && num[t] < low[v]) {
+          low[v] = num[t];
+        }
+      } else {
+        if (low[v] == num[v]) {
+          int64_t w;
+          do {
+            w = stk.back();
+            stk.pop_back();
+            on[w] = 0;
+            comp[w] = nscc;
+          } while (w != v);
+          nscc++;
+        }
+        fv.pop_back();
+        fe.pop_back();
+        if (!fv.empty() && low[v] < low[fv.back()]) low[fv.back()] = low[v];
+      }
+    }
+  }
+  // reverse-topo -> topo
+  for (int64_t v = 0; v < n; v++) comp[v] = nscc - 1 - comp[v];
+}
+
+// superbubble detection from `start` (reference findBubble semantics):
+// returns (found, end node)
+bool find_bubble(int64_t start, int64_t n, const int64_t* optr,
+                 const int64_t* oidx, const int64_t* iptr,
+                 const int64_t* iidx, const std::vector<char>& ignorable,
+                 int64_t* bubble_end) {
+  std::vector<int64_t> S{start};
+  std::set<int64_t> visited, seen{start};
+  while (!S.empty()) {
+    int64_t v = S.back();
+    S.pop_back();
+    seen.erase(v);
+    visited.insert(v);
+    if (optr[v + 1] == optr[v]) return false;
+    for (int64_t e = optr[v]; e < optr[v + 1]; e++) {
+      int64_t u = oidx[e];
+      if (ignorable[u]) continue;
+      if (u == v) continue;
+      if (u == start) return false;
+      seen.insert(u);
+      bool open_parent = false;
+      for (int64_t f = iptr[u]; f < iptr[u + 1]; f++) {
+        int64_t w = iidx[f];
+        if (w == u) continue;
+        if (!ignorable[w] && !visited.count(w)) {
+          open_parent = true;
+          break;
+        }
+      }
+      if (!open_parent) S.push_back(u);
+    }
+    if (S.size() == 1 && seen.size() == 1 && seen.count(S[0])) {
+      int64_t t = S.back();
+      for (int64_t e = optr[t]; e < optr[t + 1]; e++)
+        if (oidx[e] == start) return false;
+      *bubble_end = t;
+      return true;
+    }
+  }
+  return false;
+}
+}  // namespace
+
+void find_chains(int64_t n, const int64_t* out_ptr, const int64_t* out_idx,
+                 const int64_t* in_ptr, const int64_t* in_idx,
+                 const int64_t* node_len, int64_t ndi,
+                 const int64_t* di_ptr, const int64_t* di_splits,
+                 int64_t split_size, int64_t* out_chain,
+                 int64_t* out_pos) {
+  std::vector<int64_t> comp;
+  scc_csr(n, out_ptr, out_idx, comp);
+  int64_t ncomp = n ? *std::max_element(comp.begin(), comp.end()) + 1 : 0;
+  UF uf(n);
+  // splits of one original node share a chain
+  for (int64_t d = 0; d < ndi; d++)
+    for (int64_t j = di_ptr[d] + 1; j < di_ptr[d + 1]; j++)
+      uf.merge(di_splits[di_ptr[d]], di_splits[j]);
+  std::vector<char> ignorable(n, 0);
+  // --- tips: components whose whole forward (resp. backward) closure is
+  // acyclic drain; merged into their unique neighbor chain.  Node ids
+  // are SCC-condensation ranks, so ascending id order is ascending comp.
+  std::vector<char> fw_tip(ncomp, 1), bw_tip(ncomp, 1);
+  for (int64_t i = n - 1; i >= 0; i--) {
+    if (!fw_tip[comp[i]]) continue;
+    for (int64_t e = out_ptr[i]; e < out_ptr[i + 1]; e++) {
+      int64_t u = out_idx[e];
+      if (comp[u] == comp[i] || !fw_tip[comp[u]]) {
+        fw_tip[comp[i]] = 0;
+        break;
+      }
+    }
+  }
+  for (int64_t i = n - 1; i >= 0; i--) {
+    if (!fw_tip[comp[i]]) continue;
+    for (int64_t e = out_ptr[i]; e < out_ptr[i + 1]; e++)
+      uf.merge(i, out_idx[e]);
+  }
+  for (int64_t i = 0; i < n; i++) {
+    if (!bw_tip[comp[i]]) continue;
+    for (int64_t e = in_ptr[i]; e < in_ptr[i + 1]; e++) {
+      int64_t u = in_idx[e];
+      if (comp[u] == comp[i] || !bw_tip[comp[u]]) {
+        bw_tip[comp[i]] = 0;
+        break;
+      }
+    }
+  }
+  for (int64_t i = 0; i < n; i++) {
+    if (!bw_tip[comp[i]]) continue;
+    for (int64_t e = in_ptr[i]; e < in_ptr[i + 1]; e++)
+      uf.merge(i, in_idx[e]);
+  }
+  // tip chains keep a record of their cross-chain neighbors; a tip whose
+  // neighbors all share one chain joins it afterwards
+  std::map<int64_t, std::set<int64_t>> tip_joins;
+  for (int64_t i = 0; i < n; i++) {
+    if (fw_tip[comp[i]] || bw_tip[comp[i]]) ignorable[i] = 1;
+    if (bw_tip[comp[i]])
+      for (int64_t e = out_ptr[i]; e < out_ptr[i + 1]; e++) {
+        int64_t u = out_idx[e];
+        if (uf.parent[u] != uf.parent[i]) tip_joins[uf.parent[i]].insert(u);
+      }
+    if (fw_tip[comp[i]])
+      for (int64_t e = in_ptr[i]; e < in_ptr[i + 1]; e++) {
+        int64_t u = in_idx[e];
+        if (uf.parent[u] != uf.parent[i]) tip_joins[uf.parent[i]].insert(u);
+      }
+  }
+  // --- simple cycles: a node whose unique non-tip fw and bw neighbor
+  // coincide collapses into that neighbor's chain
+  const int64_t NONE = -1, MANY = -2;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t fw = NONE, bw = NONE;
+    for (int64_t e = out_ptr[i]; e < out_ptr[i + 1]; e++) {
+      int64_t u = out_idx[e];
+      if (ignorable[u] || u == i) continue;
+      fw = (fw == NONE) ? u : MANY;
+    }
+    for (int64_t e = in_ptr[i]; e < in_ptr[i + 1]; e++) {
+      int64_t u = in_idx[e];
+      if (ignorable[u] || u == i) continue;
+      if (bw == NONE) bw = u;
+      else if (u != bw) bw = MANY;
+    }
+    if (fw != bw || fw < 0 || bw < 0) continue;
+    ignorable[i] = 1;
+    uf.merge(i, fw);
+  }
+  // --- bubbles from each original node's last split
+  int64_t bubble_end;
+  for (int64_t d = 0; d < ndi; d++) {
+    if (di_ptr[d + 1] == di_ptr[d]) continue;
+    int64_t start = di_splits[di_ptr[d + 1] - 1];
+    if (!find_bubble(start, n, out_ptr, out_idx, in_ptr, in_idx,
+                     ignorable, &bubble_end))
+      continue;
+    // the reference's interior walk (AlignmentGraph.cpp:389-405) is dead
+    // code — `start` is pre-inserted into `visited`, so the first pop
+    // bails and only the endpoints merge.  Mirror the net behavior.
+    uf.merge(start, bubble_end);
+  }
+  for (auto& pr : tip_joins) {
+    int64_t uniq = NONE;
+    bool many = false;
+    for (int64_t v : pr.second) {
+      int64_t c = uf.parent[v];
+      if (uniq == NONE) uniq = c;
+      if (uniq != c) {
+        many = true;
+        break;
+      }
+    }
+    if (many || uniq == NONE) continue;
+    uf.merge(pr.first, *pr.second.begin());
+  }
+  for (int64_t i = 0; i < n; i++) out_chain[i] = uf.find(i);
+  // --- per-chain DFS coordinate: +len(u) forward, -len(v) backward
+  const int64_t UNSET = std::numeric_limits<int64_t>::min();
+  for (int64_t i = 0; i < n; i++) out_pos[i] = UNSET;
+  std::vector<std::pair<int64_t, int64_t>> st;
+  int64_t base = (n + 5) * split_size;
+  for (int64_t s = 0; s < n; s++) {
+    if (out_pos[s] != UNSET) continue;
+    int64_t chain = out_chain[s];
+    st.emplace_back(s, base);
+    while (!st.empty()) {
+      auto [v, dist] = st.back();
+      st.pop_back();
+      if (out_pos[v] != UNSET) continue;
+      out_pos[v] = dist;
+      for (int64_t e = out_ptr[v]; e < out_ptr[v + 1]; e++) {
+        int64_t u = out_idx[e];
+        if (out_chain[u] != chain || out_pos[u] != UNSET) continue;
+        st.emplace_back(u, dist + node_len[u]);
+      }
+      for (int64_t e = in_ptr[v]; e < in_ptr[v + 1]; e++) {
+        int64_t u = in_idx[e];
+        if (out_chain[u] != chain || out_pos[u] != UNSET) continue;
+        st.emplace_back(u, dist - node_len[v]);
+      }
+    }
+  }
 }
 
 // ---------------------------------------------------------------------------

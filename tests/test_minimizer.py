@@ -95,10 +95,14 @@ def test_cluster_seeds(rng):
              SeedHit(0, 220, 130, 15, 1.0),
              SeedHit(0, 400, 20, 15, 5.0)]
     out = cluster_seeds(g, seeds)
-    # the 3-seed diagonal cluster (45 matched bp) outranks the decoy (15)
+    # the 3-seed diagonal cluster outranks the decoy; goodness follows the
+    # reference formula cluster-matched-bp + raw rarity
+    # (src/GraphAligner.h:275-287: each seed contributes matchLen-1
+    # non-overlapping bp): 3*(15-1) + 1 = 43 vs decoy (15-1) + 5 = 19
     assert out[0].node_offset in (100, 160, 220)
     assert out[-1].node_offset == 400
-    assert out[0].goodness == 45.0
+    assert out[0].goodness == 43.0
+    assert out[-1].goodness == 19.0
 
 
 def test_minimizers_batch_matches_scalar():
