@@ -541,7 +541,8 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                   band_level: Optional[np.ndarray] = None,
                   carry_in: Optional[tuple] = None,
                   want_state: bool = False,
-                  want_xcells: bool = False) -> frag_align.FragResult:
+                  want_xcells: bool = False,
+                  want_walk: bool = False) -> frag_align.FragResult:
     """Run the fragment kernel over the whole job list, chunking the
     fragment axis so every transferred array stays under the device
     transfer cap, padding chunks to a fixed size for compile reuse.
@@ -550,8 +551,13 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
     carry_in:   (ssb, hp, hn) each (F, B) — continue a previous window's
                 DP (see frag_align.align_fragments carry_in)
     want_state: also download out_ssb/out_hp/out_hn (the carry state for
-                the NEXT window)"""
+                the NEXT window)
+    want_walk:  fuse the backwalk on device and download a per-fragment
+                visited-slot mask instead of the (B, S) best_in matrix
+                (3 result words per fragment; packed path with B <= 32
+                only — other paths fall back to best_in)"""
     from graphchainer_tpu.parallel.device import (asarray_chunked,
+                                                  device_put_chunked,
                                                   max_batch_rows,
                                                   shard_rows)
     dev_eq, dev_len = gx.device_tables()
@@ -563,15 +569,45 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
     ndev = len(_jax.devices())
     packed = (_try_pack_frag(band_nodes_cat, band_in, req, rows, max_in)
               if band_level is not None and (B * S) % 4 == 0 else None)
+    walk = want_walk and packed is not None and B <= 32 and not want_xcells
+    dedup = None
+    if walk and carry_in is None:
+        # upload each DISTINCT band once per batch (seeds repeat across
+        # nearby windows/reads); per-fragment 4-byte indices gather the
+        # rows on device
+        base, bn_d16, bi_p16, _ = packed
+        key = np.concatenate(
+            [base[:, None].view(np.uint8).reshape(F, -1),
+             np.ascontiguousarray(bn_d16).view(np.uint8).reshape(F, -1),
+             np.ascontiguousarray(bi_p16).view(np.uint8).reshape(F, -1),
+             band_level.astype(np.int8).view(np.uint8).reshape(F, -1)],
+            axis=1)
+        _, first, inv = np.unique(key, axis=0, return_index=True,
+                                  return_inverse=True)
+        U = len(first)
+        Upad = -(-max(U, 1) // 256) * 256
+        pz = (0, Upad - U)
+        u_bb = device_put_chunked(np.pad(base[first], pz))
+        u_bd = device_put_chunked(np.pad(
+            bn_d16[first], (pz, (0, 0)),
+            constant_values=frag_align.BN_PAD))
+        u_bp = device_put_chunked(np.pad(bi_p16[first], (pz, (0, 0)),
+                                         constant_values=BI_P16_PAD))
+        u_bl = device_put_chunked(np.pad(
+            band_level[first].astype(np.int8), (pz, (0, 0)),
+            constant_values=-1))
+        dedup = (u_bb, u_bd, u_bp, u_bl, inv.astype(np.int32))
     if packed is not None:
         # packed wire rows are ~4x slimmer; whole batches usually fit one
         # call (each call costs a fixed tunnel round trip).  Chunk sizes
         # bucket to multiples of 2048 to bound compile variants.
-        row_bytes = max(2 * B, 8 * S, (2 + B * S // 4 + (3 * B
-                        if want_state else 0)
-                        + (2 if want_xcells else 0)) * 4)
-        fmax = max(2048, (max_batch_rows(row_bytes) // 2048) * 2048)
-        fchunk = min(-(-F // 2048) * 2048, fmax)
+        out_words = (3 if walk else 2 + B * S // 4) \
+            + (3 * B if want_state else 0) + (2 if want_xcells else 0)
+        row_bytes = max(2 * B, 8 * S, out_words * 4)
+        # 512-row buckets: ~4x less padding waste than 2048 at a few more
+        # compile variants (persistently cached)
+        fmax = max(512, (max_batch_rows(row_bytes) // 512) * 512)
+        fchunk = min(-(-F // 512) * 512, fmax)
     else:
         row_bytes = max(B * 4, B * max_in, S * 16, B * S)
         fchunk = min(max_batch_rows(row_bytes), 2048)
@@ -602,16 +638,17 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
         if packed is not None:
             # compressed wire format (decode fused on device)
             base, bn_d16, bi_p16, req2 = packed
-            bb = shard_rows(np.pad(base[lo:hi], (0, pad)))
-            bd = shard_rows(np.pad(bn_d16[lo:hi], ((0, pad), (0, 0)),
-                                   constant_values=frag_align.BN_PAD))
-            bp = shard_rows(np.pad(bi_p16[lo:hi], ((0, pad), (0, 0)),
-                                   constant_values=BI_P16_PAD))
+            if dedup is None:
+                bb = shard_rows(np.pad(base[lo:hi], (0, pad)))
+                bd = shard_rows(np.pad(bn_d16[lo:hi], ((0, pad), (0, 0)),
+                                       constant_values=frag_align.BN_PAD))
+                bp = shard_rows(np.pad(bi_p16[lo:hi], ((0, pad), (0, 0)),
+                                       constant_values=BI_P16_PAD))
+                bl = shard_rows(bl)
             rq2 = shard_rows(np.pad(req2[lo:hi], ((0, pad), (0, 0),
                                                   (0, 0))))
             ss8 = shard_rows(ss.astype(np.int8))
             rw16 = shard_rows(rw.astype(np.int16))
-            bl = shard_rows(bl)
             if want_xcells:
                 res = frag_align.align_fragments_packed_out(
                     dev_eq, dev_len, bb, bd, bp, ss8, rq2, rw16,
@@ -620,6 +657,24 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                     seed_base=None if sb_zero else shard_rows(sb),
                     carry_in=ci, want_state=want_state,
                     want_xcells=True)
+            elif walk and dedup is not None:
+                u_bb, u_bd, u_bp, u_bl, inv = dedup
+                bidx = shard_rows(np.pad(inv[lo:hi], (0, pad)))
+                res = frag_align.align_fragments_packed_out_tl_walk(
+                    dev_eq, dev_len, u_bb, u_bd, u_bp, ss8, rq2, rw16,
+                    n_slices=S, max_in=max_in, band_level=u_bl,
+                    n_levels=n_levels,
+                    seed_base=None if sb_zero else shard_rows(sb),
+                    carry_in=ci, want_state=want_state, band_idx=bidx)
+            elif walk:
+                # lane-major core + device-fused backwalk: 3 result
+                # words per fragment instead of 2 + (B*S)/4
+                res = frag_align.align_fragments_packed_out_tl_walk(
+                    dev_eq, dev_len, bb, bd, bp, ss8, rq2, rw16,
+                    n_slices=S, max_in=max_in, band_level=bl,
+                    n_levels=n_levels,
+                    seed_base=None if sb_zero else shard_rows(sb),
+                    carry_in=ci, want_state=want_state)
             else:
                 # lane-major core: ~4x device throughput (fragments on
                 # the 128 VPU lanes)
@@ -627,8 +682,8 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                     dev_eq, dev_len, bb, bd, bp, ss8, rq2, rw16,
                     n_slices=S, max_in=max_in, band_level=bl,
                     n_levels=n_levels,
-                    seed_base=None if sb_zero else shard_rows(sb),
-                    carry_in=ci, want_state=want_state)
+                    carry_in=ci, want_state=want_state,
+                    seed_base=None if sb_zero else shard_rows(sb))
             pending.append((res, hi - lo))
             continue
         bn = np.pad(band_nodes_cat[lo:hi], ((0, pad), (0, 0)),
@@ -661,14 +716,22 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
     for res, keep in pending:
         if packed is not None:
             w = asarray_chunked(res)[:keep]         # (keep, D) int32
-            bs_words = B * S // 4
             cc = np.ascontiguousarray
-            part = [w[:, 0],
-                    w[:, 1] & 0xFF,
-                    (w[:, 1] >> 8) & 0xFF,
-                    cc(w[:, 2:2 + bs_words]).view(np.int8).reshape(
-                        keep, B, S)]
-            o = 2 + bs_words
+            if walk:
+                part = [w[:, 0],
+                        w[:, 1] & 0xFF,
+                        (w[:, 1] >> 8) & 0xFF,
+                        ((w[:, 1] >> 16) & 1).astype(bool),
+                        cc(w[:, 2]).view(np.uint32)]
+                o = 3
+            else:
+                bs_words = B * S // 4
+                part = [w[:, 0],
+                        w[:, 1] & 0xFF,
+                        (w[:, 1] >> 8) & 0xFF,
+                        cc(w[:, 2:2 + bs_words]).view(np.int8).reshape(
+                            keep, B, S)]
+                o = 2 + bs_words
             if want_state:
                 part += [cc(w[:, o:o + B]),
                          cc(w[:, o + B:o + 2 * B]).view(np.uint32),
@@ -692,15 +755,17 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                      np.asarray(res.xrow)[:keep]]
         outs.append(part)
     cat = [np.concatenate(parts, axis=0) for parts in zip(*outs)]
-    o = 4
+    o = 5 if walk else 4
     st = cat[o:o + 3] if want_state else (None, None, None)
     o += 3 if want_state else 0
     xc = cat[o:o + 3] if want_xcells else (None, None, None)
     return frag_align.FragResult(
         best_score=cat[0], best_slot=cat[1], best_col=cat[2],
-        best_in=cat[3], end_score=None, end_col=None,
+        best_in=None if walk else cat[3], end_score=None, end_col=None,
         out_ssb=st[0], out_hp=st[1], out_hn=st[2],
-        xbest=xc[0], xslot=xc[1], xrow=xc[2])
+        xbest=xc[0], xslot=xc[1], xrow=xc[2],
+        walk_ok=cat[3] if walk else None,
+        walk_mask=cat[4] if walk else None)
 
 
 def backwalk(best_in: np.ndarray, band_nodes: np.ndarray, end_slot: int,

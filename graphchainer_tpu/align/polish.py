@@ -91,6 +91,23 @@ def pack_nibbles(mm: np.ndarray) -> np.ndarray:
     return (m << shifts).sum(axis=-1, dtype=np.uint32)
 
 
+# match nibble {1,2,4,8} -> base code 0..3 (other values unmapped)
+_NIB_CODE = np.zeros(16, dtype=np.uint32)
+for _c in range(4):
+    _NIB_CODE[1 << _c] = _c
+
+
+def pack_codes2(mm: np.ndarray) -> np.ndarray:
+    """(..., L) uint8 PURE single-base match masks -> (..., L//16)
+    uint32, 16 packed 2-bit base codes per word (half the bytes of
+    pack_nibbles; padding maps to code 0, which is harmless — DP cells
+    within (read_len, path_len) never read padded chars)."""
+    lead = mm.shape[:-1]
+    m = _NIB_CODE[mm].reshape(*lead, -1, 16)
+    shifts = (np.arange(16, dtype=np.uint32) * 2)
+    return (m << shifts).sum(axis=-1, dtype=np.uint32)
+
+
 def _polish_once(reads: Sequence[str], paths: Sequence[str],
                  bw: int) -> List[PolishOutcome]:
     R = len(reads)
@@ -121,19 +138,33 @@ def _polish_once(reads: Sequence[str], paths: Sequence[str],
     for i, (rd, pt) in enumerate(zip(reads, paths)):
         read_mm[i, :len(rd)] = match_masks(rd)
         path_mm[i, :len(pt)] = match_masks(pt)
-    read_p4 = pack_nibbles(read_mm)
-    path_p4 = pack_nibbles(path_mm)
+    # pure-ACGT batches ride the 2-bit code format (half the upload);
+    # IUPAC-ambiguous chars (multi-bit masks) fall back to 4-bit nibbles
+    def _pure(mm, lens):
+        in_range = np.arange(mm.shape[1])[None, :] < lens[:R, None]
+        bad = in_range & ((mm[:R] == 0) | ((mm[:R] & (mm[:R] - 1)) != 0))
+        return not bad.any()
+    pure = _pure(read_mm, read_len) and _pure(path_mm, path_len)
+    if pure:
+        read_w = pack_codes2(read_mm)
+        path_w = pack_codes2(path_mm)
+        kernel = linear_align.polish_full_packed2
+    else:
+        read_w = pack_nibbles(read_mm)
+        path_w = pack_nibbles(path_mm)
+        kernel = linear_align.polish_full_packed
+    from graphchainer_tpu.utils import timers
+    timers.count("cells(polish)", int(path_len.sum()) * bw * W)
     read_len = np.pad(read_len, (0, Rp - R))
     path_len = np.pad(path_len, (0, Rp - R))
     if ndev > 1:
-        read_p4, path_p4, read_len, path_len = (
+        read_w, path_w, read_len, path_len = (
             shard_rows(a)
-            for a in (read_p4, path_p4, read_len, path_len))
-
+            for a in (read_w, path_w, read_len, path_len))
     # ONE device call, ONE packed download (score + n_ops + touched +
     # 2-bit ops); the DP dump never leaves HBM
-    w = asarray_chunked(linear_align.polish_full_packed(
-        read_p4, path_p4, read_len, path_len, bw,
+    w = asarray_chunked(kernel(
+        read_w, path_w, read_len, path_len, bw,
         max_steps=rmax + pmax))
     scores, n_ops, touched = w[:, 0], w[:, 1], w[:, 2] != 0
     ops2 = np.ascontiguousarray(w[:, 3:]).view(np.uint32)

@@ -310,19 +310,33 @@ class ChainerModel:
         with timers.stage("frag_kernel", len(jobs)):
             res = run_fragments(self.gx, band_nodes_cat, band_in,
                                 seed_shift, req, rows, S, cfg.max_in,
-                                band_level=band_level)
+                                band_level=band_level, want_walk=True)
+        # DP cells = band slots x read rows per fragment (reference
+        # cellsProcessed, src/Aligner.cpp:998-1002)
+        timers.count("cells(frag)", int(rows.astype(np.int64).sum())
+                     * band_nodes_cat.shape[1])
 
         # fused native backwalk + fwd/bwd join (one pass over all pairs;
         # semantics pinned against extract_anchor by
-        # tests/test_frag_align.py test_join_anchors_matches_extract)
+        # tests/test_frag_align.py test_join_anchors_matches_extract /
+        # test_walk_mask_join_matches)
         fr = np.asarray(frags, dtype=np.int64).reshape(-1, 7)
-        end_slice = (rows.astype(np.int64) - 1) // 32
-        (ok, score, fnode, foff, lnode, loff, poff, pdata) = \
-            native.join_anchors(
-                np.asarray(res.best_in), np.asarray(res.best_slot),
-                np.asarray(res.best_score), np.asarray(res.best_col),
-                end_slice, band_nodes, self.g.node_len, fr[:, 3],
-                fr[:, 4], fr[:, 5], fr[:, 6], frag_align.BIG)
+        if res.walk_mask is not None:
+            # the backwalk ran on device; only (ok, slot mask) came back
+            (ok, score, fnode, foff, lnode, loff, poff, pdata) = \
+                native.join_anchors_masked(
+                    res.walk_ok, res.walk_mask, res.best_slot,
+                    res.best_score, res.best_col, band_nodes,
+                    self.g.node_len, fr[:, 3], fr[:, 4], fr[:, 5],
+                    fr[:, 6], frag_align.BIG)
+        else:
+            end_slice = (rows.astype(np.int64) - 1) // 32
+            (ok, score, fnode, foff, lnode, loff, poff, pdata) = \
+                native.join_anchors(
+                    np.asarray(res.best_in), np.asarray(res.best_slot),
+                    np.asarray(res.best_score), np.asarray(res.best_col),
+                    end_slice, band_nodes, self.g.node_len, fr[:, 3],
+                    fr[:, 4], fr[:, 5], fr[:, 6], frag_align.BIG)
         keep = np.nonzero(
             (ok == 1)
             & (score <= cfg.max_anchor_error * (fr[:, 2] - fr[:, 1])))[0]

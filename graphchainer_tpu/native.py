@@ -492,3 +492,48 @@ def find_chains(n: int, out_ptr: np.ndarray, out_idx: np.ndarray,
                     _ptr(dp), _ptr(ds), ctypes.c_int64(split_size),
                     _ptr(chain), _ptr(pos))
     return chain, pos
+
+
+def join_anchors_masked(walk_ok: np.ndarray, walk_mask: np.ndarray,
+                        best_slot: np.ndarray, best_score: np.ndarray,
+                        best_col: np.ndarray, band_nodes: np.ndarray,
+                        node_len: np.ndarray, fi_fwd: np.ndarray,
+                        fi_bwd: np.ndarray, seed_node: np.ndarray,
+                        seed_off: np.ndarray, big: int):
+    """join_anchors over device-fused walk masks (run_fragments
+    want_walk=True): the (B, S) best_in matrix never reaches the host.
+    Same return contract as join_anchors."""
+    lib = get_lib()
+    if not hasattr(lib, "_jam_sig"):
+        lib.join_anchors_masked.restype = ctypes.c_void_p
+        lib.join_anchors_masked.argtypes = ([ctypes.c_int64] * 3
+                                            + [_I64P] * 11
+                                            + [ctypes.c_int64]
+                                            + [_I64P] * 6)
+        lib._jam_sig = True
+    F, B = band_nodes.shape
+    nfrag = len(fi_fwd)
+    arrs = [np.ascontiguousarray(a, dtype=np.int64)
+            for a in (walk_ok, walk_mask, best_slot, best_score, best_col,
+                      band_nodes, node_len, fi_fwd, fi_bwd, seed_node,
+                      seed_off)]
+    ok = np.empty(nfrag, dtype=np.int64)
+    score = np.empty(nfrag, dtype=np.int64)
+    first_node = np.empty(nfrag, dtype=np.int64)
+    first_off = np.empty(nfrag, dtype=np.int64)
+    last_node = np.empty(nfrag, dtype=np.int64)
+    last_off = np.empty(nfrag, dtype=np.int64)
+    h = lib.join_anchors_masked(
+        ctypes.c_int64(nfrag), ctypes.c_int64(F), ctypes.c_int64(B),
+        *[_ptr(a) for a in arrs], ctypes.c_int64(big), _ptr(ok),
+        _ptr(score), _ptr(first_node), _ptr(first_off), _ptr(last_node),
+        _ptr(last_off))
+    sizes = np.empty(2, dtype=np.int64)
+    lib.paths_sizes(h, _ptr(sizes))
+    nq, ndata = int(sizes[0]), int(sizes[1])
+    offsets = np.empty(nq + 1, dtype=np.int64)
+    data = np.empty(max(ndata, 1), dtype=np.int64)
+    lib.paths_copy(h, _ptr(offsets), _ptr(data))
+    lib.paths_free(h)
+    return (ok, score, first_node, first_off, last_node, last_off,
+            offsets, data)

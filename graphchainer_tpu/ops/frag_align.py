@@ -80,6 +80,10 @@ class FragResult(NamedTuple):
                                # rows, cumulative scores)
     xslot: jax.Array = None    # (F,) int32 slot of the argmax cell
     xrow: jax.Array = None     # (F,) int32 window-local row of the argmax
+    # device-fused backwalk (want_walk runs: best_in is NOT materialized
+    # on host; see _device_walk_mask)
+    walk_ok: jax.Array = None    # (F,) bool walk reached the seed
+    walk_mask: jax.Array = None  # (F,) uint32 visited band slots
 
 
 def _above_mask(r):
@@ -851,6 +855,91 @@ def align_fragments_tl(node_eq, node_len, band_nodes, band_in,
                    out_hp=jnp.transpose(out[5], (1, 0)),
                    out_hn=jnp.transpose(out[6], (1, 0)))
     return FragResult(**res)
+
+
+def _device_walk_mask(best_in, best_slot, frag_len):
+    """On-device backwalk: follow best_in pointers from the best cell to
+    the seed, returning (ok bool, visited-slot bitmask uint32) per
+    fragment.  Every in-band move goes to a strictly earlier slot, so the
+    visited SET reconstructs the walk ORDER (descending slot index) —
+    the host only downloads one mask word instead of the (B, S) pointer
+    matrix (native join_anchors_masked expands it)."""
+    F, B, S = best_in.shape
+    assert B <= 32, "walk masks are uint32 slot sets"
+    arF = jnp.arange(F)
+    s0 = jnp.maximum(frag_len.astype(jnp.int32) - 1, 0) // 32
+
+    def body(_, st):
+        slot, s, mask, ok, done = st
+        e = best_in[arF, slot, jnp.maximum(s, 0)].astype(jnp.int32)
+        is_seed = e == IN_SEED
+        is_vert = e == IN_VERT
+        fail = ((~is_seed) & (~is_vert) & (e < 0)) | (is_vert & (s <= 0))
+        ok = ok | (is_seed & ~done)
+        move = (~done) & (~is_seed) & (~is_vert) & (e >= 0)
+        slot = jnp.where(move, e, slot)
+        mask = mask | jnp.where(
+            move, jnp.uint32(1) << slot.astype(jnp.uint32), jnp.uint32(0))
+        s = jnp.where((~done) & is_vert, s - 1, s)
+        done = done | is_seed | fail
+        return slot, s, mask, ok, done
+
+    init = (best_slot.astype(jnp.int32), s0,
+            (jnp.uint32(1) << best_slot.astype(jnp.uint32)),
+            jnp.zeros(F, bool), jnp.zeros(F, bool))
+    _, _, mask, ok, _ = jax.lax.fori_loop(0, B + S + 4, body, init)
+    return ok, mask
+
+
+@partial(jax.jit,
+         static_argnames=("n_slices", "max_in", "n_levels", "want_state"))
+def align_fragments_packed_out_tl_walk(node_eq, node_len, bn_base, bn_d16,
+                                       bi_p16, seed_shift, req2, frag_len,
+                                       n_slices: int, max_in: int,
+                                       band_level, n_levels: int,
+                                       seed_base=None, carry_in=None,
+                                       want_state: bool = False,
+                                       band_idx=None) -> jax.Array:
+    """align_fragments_packed_out_tl with the backwalk fused on device:
+    the wire result per fragment is [score, slot | col<<8 | ok<<16,
+    walk mask] (3 words) instead of [score, slotcol, (B*S)/4 pointer
+    words].
+
+    band_idx: optional (F,) int32 — bn_base/bn_d16/bi_p16/band_level are
+    then DEDUPLICATED band tables gathered per fragment on device (the
+    host uploads each distinct band once per batch)."""
+    if band_idx is not None:
+        bn_base = bn_base[band_idx]
+        bn_d16 = bn_d16[band_idx]
+        bi_p16 = bi_p16[band_idx]
+        band_level = band_level[band_idx]
+    F, B = bn_d16.shape
+    band_nodes = jnp.where(bn_d16 == BN_PAD, jnp.int32(-1),
+                           bn_base[:, None] + bn_d16.astype(jnp.int32))
+    arangeB = jnp.arange(B, dtype=jnp.int32)[None, :]
+    ins = []
+    for e in range(max_in):
+        u = ((bi_p16.astype(jnp.int32) >> (4 * e)) & 0xF)
+        ins.append(jnp.where(u == arangeB, jnp.int32(-1), u))
+    band_in = jnp.stack(ins, axis=-1)
+    req = expand_req2(req2)
+    res = align_fragments_tl(node_eq, node_len, band_nodes, band_in,
+                             seed_shift.astype(jnp.int32), req,
+                             frag_len.astype(jnp.int32), n_slices,
+                             max_in, seed_base=seed_base,
+                             band_level=band_level, n_levels=n_levels,
+                             carry_in=carry_in, want_state=want_state)
+    ok, mask = _device_walk_mask(res.best_in, res.best_slot,
+                                 frag_len.astype(jnp.int32))
+    slotcol = (res.best_slot | (res.best_col << 8)
+               | (ok.astype(jnp.int32) << 16))
+    parts = [res.best_score[:, None], slotcol[:, None],
+             jax.lax.bitcast_convert_type(mask, jnp.int32)[:, None]]
+    if want_state:
+        parts += [res.out_ssb,
+                  jax.lax.bitcast_convert_type(res.out_hp, jnp.int32),
+                  jax.lax.bitcast_convert_type(res.out_hn, jnp.int32)]
+    return jnp.concatenate(parts, axis=1)
 
 
 @partial(jax.jit,

@@ -577,6 +577,42 @@ def expand_planes(p4: jax.Array) -> jax.Array:
     return jnp.stack(planes, axis=-1)        # (R, rw, 4)
 
 
+def _compact2(x: jax.Array) -> jax.Array:
+    """Gather bits at even positions {2j} of each uint32 into bits 0..15."""
+    x = x & jnp.uint32(0x55555555)
+    x = (x | (x >> 1)) & jnp.uint32(0x33333333)
+    x = (x | (x >> 2)) & jnp.uint32(0x0F0F0F0F)
+    x = (x | (x >> 4)) & jnp.uint32(0x00FF00FF)
+    return (x | (x >> 8)) & jnp.uint32(0x0000FFFF)
+
+
+def expand_planes2(c2: jax.Array) -> jax.Array:
+    """(R, rw*2) uint32 of 16 packed 2-bit base codes per word ->
+    (R, rw, 4) uint32 row planes (bit i of plane b = code 32w+i == b).
+    The pure-ACGT wire format: half the bytes of the 4-bit nibble
+    planes."""
+    R, RW2 = c2.shape
+    rw = RW2 // 2
+    lo = c2 & jnp.uint32(0x55555555)
+    hi = (c2 >> 1) & jnp.uint32(0x55555555)
+    planes = []
+    for b in range(4):
+        m = (lo if b & 1 else ~lo) & (hi if b & 2 else ~hi) \
+            & jnp.uint32(0x55555555)
+        c = _compact2(m).reshape(R, rw, 2)
+        planes.append(c[:, :, 0] | (c[:, :, 1] << 16))
+    return jnp.stack(planes, axis=-1)        # (R, rw, 4)
+
+
+def expand_codes2(c2: jax.Array) -> jax.Array:
+    """(R, PW) uint32 of 16 packed 2-bit codes -> (R, PW*16) uint8
+    match nibbles (1 << code)."""
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
+    codes = (c2[:, :, None] >> shifts) & jnp.uint32(3)
+    return (jnp.uint8(1) << codes.astype(jnp.uint8)).reshape(
+        c2.shape[0], -1)
+
+
 def pack_ops2(ops: jax.Array) -> jax.Array:
     """(R, M) uint8 edit ops -> (R, M//16) uint32, 2 bits per op.  Only
     the low 2 bits survive (OP_NONE padding beyond n_ops is discarded by
@@ -682,6 +718,48 @@ def _polish_full_packed_impl(read_p4, path_p4, read_len, path_len,
         [score[:, None], bt.n_ops[:, None],
          bt.touched.astype(jnp.int32)[:, None], ops2], axis=1)
     return out[:read_p4.shape[0]]
+
+
+@partial(jax.jit, static_argnames=("bw", "max_steps", "use_pallas"))
+def _polish_full_packed2_impl(read_c2, path_c2, read_len, path_len,
+                              bw: int, max_steps: int,
+                              use_pallas: bool) -> jax.Array:
+    """_polish_full_packed_impl on the 2-bit pure-ACGT wire format
+    (HALF the upload bytes of the 4-bit nibble format)."""
+    planes_t = jnp.transpose(expand_planes2(read_c2), (2, 1, 0))
+    path_t = jnp.transpose(expand_codes2(path_c2), (1, 0)) \
+        .astype(jnp.uint32)
+    if use_pallas:
+        from graphchainer_tpu.ops.pallas_polish2 import polish_core_pallas
+        R = planes_t.shape[2]
+        pad = (-R) % 128
+        if pad:
+            planes_t = jnp.pad(planes_t, ((0, 0), (0, 0), (0, pad)))
+            path_t = jnp.pad(path_t, ((0, 0), (0, pad)))
+            read_len = jnp.pad(read_len, (0, pad))
+            path_len = jnp.pad(path_len, (0, pad))
+        dvp, dvn, dsb, dbase = polish_core_pallas(
+            planes_t, path_t, read_len, path_len, bw)
+    else:
+        dvp, dvn, dsb, dbase = _polish_core_t(planes_t, path_t, read_len,
+                                              path_len, bw)
+    score = _score_from_dump_t(dvp, dvn, dsb, dbase, read_len, path_len,
+                               bw)
+    bt = _backtrace_t(dvp, dvn, dsb, dbase, planes_t, path_t, read_len,
+                      path_len, bw, max_steps)
+    ops2 = jax.lax.bitcast_convert_type(pack_ops2(bt.ops_rev), jnp.int32)
+    out = jnp.concatenate(
+        [score[:, None], bt.n_ops[:, None],
+         bt.touched.astype(jnp.int32)[:, None], ops2], axis=1)
+    return out[:read_c2.shape[0]]
+
+
+def polish_full_packed2(read_c2, path_c2, read_len, path_len, bw: int,
+                        max_steps: int) -> jax.Array:
+    """polish_full_packed over 2-bit base codes (pure-ACGT batches)."""
+    return _polish_full_packed2_impl(read_c2, path_c2, read_len,
+                                     path_len, bw, max_steps,
+                                     use_pallas=_pallas_core_ok())
 
 
 def polish_full_packed(read_p4, path_p4, read_len, path_len, bw: int,

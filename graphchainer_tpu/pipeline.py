@@ -350,4 +350,7 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
         from graphchainer_tpu.utils import timers
         if timers.snapshot():
             print(timers.report())
+            rc = timers.report_counters()
+            if rc:
+                print(rc)
     return stats

@@ -44,6 +44,7 @@ def snapshot() -> dict:
 def reset():
     with _lock:
         _acc.clear()
+        _counters.clear()
 
 
 def report(out=None) -> str:
@@ -55,6 +56,34 @@ def report(out=None) -> str:
         sec, cnt = snap[name]
         extra = f"  ({cnt} items, {cnt / sec:.1f}/s)" if cnt and sec else ""
         lines.append(f"  {name:<18} {sec:8.2f}s{extra}")
+    text = "\n".join(lines)
+    if out is not None:
+        print(text, file=out)
+    return text
+
+
+_counters: dict = {}
+
+
+def count(name: str, n: int):
+    """Accumulate a plain counter (e.g. DP cells processed — reference
+    src/Aligner.cpp:998-1002 cellsProcessed)."""
+    with _lock:
+        _counters[name] = _counters.get(name, 0) + int(n)
+
+
+def counters() -> dict:
+    with _lock:
+        return dict(_counters)
+
+
+def report_counters(out=None) -> str:
+    snap = counters()
+    if not snap:
+        return ""
+    lines = ["Counters:"]
+    for name in sorted(snap):
+        lines.append(f"  {name:<18} {snap[name]:>14,}")
     text = "\n".join(lines)
     if out is not None:
         print(text, file=out)

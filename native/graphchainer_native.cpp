@@ -1370,6 +1370,86 @@ void* join_anchors(int64_t nfrag, int64_t F, int64_t B, int64_t S,
   return (void*)res;
 }
 
+// join_anchors over device-fused walk masks: the kernel already walked
+// the best_in pointers on device (frag_align._device_walk_mask) and the
+// host receives only (ok, visited-slot bitmask) per fragment.  Every
+// in-band move targets a strictly earlier slot, so the visited SET in
+// descending slot order IS the walk order (end -> seed).
+void* join_anchors_masked(int64_t nfrag, int64_t F, int64_t B,
+                          const int64_t* walk_ok, const int64_t* walk_mask,
+                          const int64_t* best_slot,
+                          const int64_t* best_score,
+                          const int64_t* best_col,
+                          const int64_t* band_nodes,
+                          const int64_t* node_len, const int64_t* fi_fwd,
+                          const int64_t* fi_bwd, const int64_t* seed_node,
+                          const int64_t* seed_off, int64_t big,
+                          int64_t* out_ok, int64_t* out_score,
+                          int64_t* out_first_node, int64_t* out_first_off,
+                          int64_t* out_last_node, int64_t* out_last_off) {
+  auto* res = new PathsResult();
+  res->offsets.push_back(0);
+  std::vector<int64_t> wf, wb, path;
+  auto expand = [&](int64_t f, std::vector<int64_t>& w) {
+    // visited slots, descending == walk order (end -> seed)
+    w.clear();
+    uint64_t m = (uint64_t)(uint32_t)walk_mask[f];
+    for (int64_t slot = B - 1; slot >= 0; slot--)
+      if ((m >> slot) & 1) w.push_back(band_nodes[f * B + slot]);
+  };
+  for (int64_t q = 0; q < nfrag; q++) {
+    out_ok[q] = 0;
+    out_score[q] = 0;
+    out_first_node[q] = out_last_node[q] = -1;
+    out_first_off[q] = out_last_off[q] = 0;
+    int64_t f = fi_fwd[q], b = fi_bwd[q];
+    int64_t sc = best_score[f];
+    bool ok = sc < big && walk_ok[f];
+    if (ok) expand(f, wf);
+    if (ok && b >= 0) {
+      int64_t scb = best_score[b];
+      ok = scb < big && walk_ok[b];
+      if (ok) expand(b, wb);
+      sc += scb;
+    }
+    if (ok && (wf.empty() || wf.back() != seed_node[q])) ok = false;
+    if (ok && b >= 0 && (wb.empty() || wb.back() != seed_node[q]))
+      ok = false;
+    if (!ok) {
+      res->offsets.push_back((int64_t)res->data.size());
+      continue;
+    }
+    int64_t end_slot_f = best_slot[f];
+    out_last_node[q] = band_nodes[f * B + end_slot_f];
+    out_last_off[q] = best_col[f] + (end_slot_f == 0 ? seed_off[q] : 0);
+    if (b >= 0) {
+      int64_t end_slot_b = best_slot[b];
+      int64_t fn = band_nodes[b * B + end_slot_b];
+      out_first_node[q] = fn;
+      int64_t fo = end_slot_b == 0
+                       ? (seed_off[q] - 1) - best_col[b]
+                       : node_len[fn] - 1 - best_col[b];
+      out_first_off[q] = fo > 0 ? fo : 0;
+    } else {
+      out_first_node[q] = seed_node[q];
+      out_first_off[q] = seed_off[q];
+    }
+    out_score[q] = sc;
+    out_ok[q] = 1;
+    path.clear();
+    if (b >= 0)
+      for (size_t i = 0; i + 1 < wb.size(); i++) path.push_back(wb[i]);
+    for (size_t i = wf.size(); i-- > 0;) path.push_back(wf[i]);
+    int64_t prev = -1;
+    for (int64_t v : path) {
+      if (v != prev) res->data.push_back(v);
+      prev = v;
+    }
+    res->offsets.push_back((int64_t)res->data.size());
+  }
+  return (void*)res;
+}
+
 // ---------------------------------------------------------------------------
 // Suffix array + matching statistics for the MUM/MEM seeder (re-design of
 // the reference MummerSeeder, src/MummerSeeder.cpp, which vendors mummer4's

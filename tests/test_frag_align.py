@@ -397,3 +397,58 @@ def test_assemble_cols_matches_objects():
     for i, (x, y) in enumerate(zip(a, b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                       err_msg=f"output {i}")
+
+
+def test_walk_mask_join_matches():
+    """run_fragments(want_walk=True) + join_anchors_masked must equal the
+    best_in download + join_anchors on the same batch (every field and
+    every joined path)."""
+    from graphchainer_tpu import native
+    from graphchainer_tpu.align.anchors import run_fragments
+    from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+    from graphchainer_tpu.graph.mpc import build_mpc
+    from graphchainer_tpu.graph.simulate import generate_path, simulate_reads
+    from graphchainer_tpu.index.minimizer import build_index
+    from graphchainer_tpu.models.chainer import ChainerConfig, ChainerModel
+    from graphchainer_tpu.ops import frag_align
+    from graphchainer_tpu.utils.seq import match_masks
+    from graphchainer_tpu.align.anchors import assemble_batch_cols
+    from tests.test_mpc import random_dag_bigraph
+
+    rng = np.random.default_rng(21)
+    bg = random_dag_bigraph(rng, n_seg=30, p_edge=0.25, max_len=60)
+    g = build_alignment_graph(bg)
+    mpc = build_mpc(g)
+    idx = build_index(g, k=11, w=6)
+    model = ChainerModel(g, mpc, idx, ChainerConfig(band_slots=16))
+    path_seq, _ = generate_path(g, seed=6)
+    reads = simulate_reads(path_seq, 6, min(len(path_seq), 400), seed=9,
+                           error_rate=0.15)
+    jc, frags, _ = model._fragment_jobs_cols(reads)
+    assert len(jc)
+    read_mm_cat = match_masks("".join(s for _, s in reads))
+    read_base = np.zeros(len(reads) + 1, dtype=np.int64)
+    np.cumsum([len(s) for _, s in reads], out=read_base[1:])
+    (band_nodes, bnc, bi, ss, req, rows, S, bl) = assemble_batch_cols(
+        model.gx, jc, read_mm_cat, read_base, B=16, max_in=4, slack=8)
+    res_w = run_fragments(model.gx, bnc, bi, ss, req, rows, S, 4,
+                          band_level=bl, want_walk=True)
+    assert res_w.walk_mask is not None, "walk path not taken"
+    res_p = run_fragments(model.gx, bnc, bi, ss, req, rows, S, 4,
+                          band_level=bl)
+    fr = np.asarray(frags, dtype=np.int64).reshape(-1, 7)
+    a = native.join_anchors_masked(
+        res_w.walk_ok, res_w.walk_mask, res_w.best_slot,
+        res_w.best_score, res_w.best_col, band_nodes, g.node_len,
+        fr[:, 3], fr[:, 4], fr[:, 5], fr[:, 6], frag_align.BIG)
+    end_slice = (rows.astype(np.int64) - 1) // 32
+    b = native.join_anchors(
+        np.asarray(res_p.best_in), np.asarray(res_p.best_slot),
+        np.asarray(res_p.best_score), np.asarray(res_p.best_col),
+        end_slice, band_nodes, g.node_len, fr[:, 3], fr[:, 4], fr[:, 5],
+        fr[:, 6], frag_align.BIG)
+    names = ["ok", "score", "first_node", "first_off", "last_node",
+             "last_off", "path_off", "path_nodes"]
+    assert a[0].sum() > 0, "no successful anchors in fixture"
+    for name, x, y in zip(names, a, b):
+        np.testing.assert_array_equal(x, y, err_msg=name)

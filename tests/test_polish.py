@@ -90,3 +90,43 @@ def test_polish_long_with_indel_drift(rng):
     outs = polish_batch([read], [path], bw=8)
     want = nw_edit_distance(read, path)
     assert outs[0].score == want
+
+
+def test_packed2_wire_matches_packed4(rng):
+    """The 2-bit pure-ACGT polish wire format must reproduce the 4-bit
+    nibble path word for word (score, n_ops, touched, ops)."""
+    import numpy as np
+    from graphchainer_tpu.align.polish import pack_codes2, pack_nibbles
+    from graphchainer_tpu.ops import linear_align
+    from graphchainer_tpu.utils.seq import match_masks
+    R, rmax, pmax, bw = 5, 256, 256, 2
+    read_mm = np.zeros((R, rmax), dtype=np.uint8)
+    path_mm = np.zeros((R, pmax), dtype=np.uint8)
+    read_len = np.zeros(R, dtype=np.int32)
+    path_len = np.zeros(R, dtype=np.int32)
+    for i in range(R):
+        n = int(rng.integers(40, 200))
+        seq = "".join(rng.choice(list("ACGT"), n))
+        q = list(seq)
+        for p in rng.choice(n, max(1, n // 12), replace=False):
+            q[p] = rng.choice(list("ACGT"))
+        read_mm[i, :n] = match_masks("".join(q))
+        path_mm[i, :n] = match_masks(seq)
+        read_len[i] = path_len[i] = n
+    w4 = np.asarray(linear_align.polish_full_packed(
+        pack_nibbles(read_mm), pack_nibbles(path_mm), read_len, path_len,
+        bw, max_steps=rmax + pmax))
+    w2 = np.asarray(linear_align.polish_full_packed2(
+        pack_codes2(read_mm), pack_codes2(path_mm), read_len, path_len,
+        bw, max_steps=rmax + pmax))
+    np.testing.assert_array_equal(w2, w4)
+
+
+def test_polish_batch_iupac_falls_back(rng):
+    """A batch with an ambiguous path char still polishes correctly via
+    the 4-bit path."""
+    from graphchainer_tpu.align.polish import polish_batch
+    seq = "".join(rng.choice(list("ACGT"), 120))
+    out = polish_batch([seq, seq], [seq, seq[:60] + "N" + seq[61:]], bw=2)
+    assert out[0].score == 0
+    assert out[1].score >= 0 and out[1].ops is not None
