@@ -75,6 +75,15 @@ def build_parser() -> argparse.ArgumentParser:
                           "the reference's worker threads; device work is "
                           "batched). Default 3")
     gen.add_argument("--verbose", action="store_true")
+    gen.add_argument("--num-processes", type=int, default=1,
+                     help="multi-host execution: total process count "
+                          "(all processes run the same command; reads "
+                          "stripe by index, outputs get .partI suffixes)")
+    gen.add_argument("--process-id", type=int, default=0,
+                     help="this process's id in [0, num-processes)")
+    gen.add_argument("--coordinator", default="127.0.0.1:43231",
+                     help="jax.distributed coordinator host:port "
+                          "(process 0's address)")
     gen.add_argument("--cigar-match-mismatch", action="store_true",
                      help="use M for matches and mismatches in cigar "
                           "strings instead of = and X (reference "
@@ -274,6 +283,8 @@ def params_from_args(args) -> PipelineParams:
         seed_extend_density=args.seeds_extend_density,
         min_cluster_size=args.seeds_clustersize,
         global_alignment=args.global_alignment,
+        num_processes=args.num_processes, process_id=args.process_id,
+        coordinator=args.coordinator,
         out_corrected=args.corrected_out,
         out_corrected_clipped=args.corrected_clipped_out)
     for out in args.alignments_out:

@@ -19,7 +19,7 @@ def merge_stats(per_read: np.ndarray) -> np.ndarray:
     reduced with jax.lax.psum inside shard_map; single-device falls back
     to a host sum (not worth a dispatch)."""
     per_read = np.asarray(per_read)
-    devs = jax.devices()
+    devs = jax.local_devices()
     if len(devs) <= 1 or per_read.size == 0:
         return per_read.sum(axis=0)
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

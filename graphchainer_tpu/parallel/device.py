@@ -19,10 +19,13 @@ _mesh = None
 
 
 def data_mesh():
-    """A 1-D data-parallel mesh over all local devices (None if single
-    device — e.g. the tunneled dev TPU)."""
+    """A 1-D data-parallel mesh over all LOCAL devices (None if single
+    device — e.g. the tunneled dev TPU).  Under multi-host execution each
+    process shards its own read stripe over its local chips only; the
+    single global collective is the final stats psum
+    (parallel/multihost.merge_stats_global)."""
     global _mesh
-    devs = jax.devices()
+    devs = jax.local_devices()
     if len(devs) <= 1:
         return None
     if _mesh is None or _mesh.devices.size != len(devs):

@@ -70,6 +70,12 @@ class PipelineParams:
     seed_extend_density: float = -1.0         # --seeds-extend-density
     min_cluster_size: int = 0                 # --seeds-clustersize
     global_alignment: bool = False            # --global-alignment (GA)
+    # multi-host execution (parallel/multihost.py): all processes run the
+    # same command; reads stripe by index, outputs get .partI suffixes,
+    # stats psum over the global mesh
+    num_processes: int = 1
+    process_id: int = 0
+    coordinator: str = "127.0.0.1:43231"
 
 
 @dataclass
@@ -141,6 +147,11 @@ def corrected_read(aln: ReadAlignment, gx,
 def align_reads(params: PipelineParams) -> AlignmentStats:
     from graphchainer_tpu.utils.jaxconfig import setup as _jax_setup
     _jax_setup()
+    if params.num_processes > 1:
+        # join the global device mesh BEFORE any backend initialization
+        from graphchainer_tpu.parallel import multihost
+        multihost.initialize(params.coordinator, params.num_processes,
+                             params.process_id)
     t0 = time.time()
     try:
         g = load_graph(params.graph_file,
@@ -233,24 +244,32 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
 
     batch_q: "queue.Queue" = queue.Queue(maxsize=4)
 
+    from graphchainer_tpu.parallel import multihost
+    npx, pid = params.num_processes, params.process_id
+
     def reader():
         batch = []
+        gi = 0
         for path in params.read_files:
             for rd in fastq.stream_reads(path):
-                batch.append((rd.name, rd.seq))
-                if len(batch) >= params.batch_size:
-                    batch_q.put(batch)
-                    batch = []
+                # multi-host read striping: read i -> process i % P
+                if gi % npx == pid:
+                    batch.append((rd.name, rd.seq))
+                    if len(batch) >= params.batch_size:
+                        batch_q.put(batch)
+                        batch = []
+                gi += 1
         if batch:
             batch_q.put(batch)
         batch_q.put(None)
 
-    gam_w = gam.GamWriter(params.out_gam) if params.out_gam else None
-    gaf_f = open(params.out_gaf, "w") if params.out_gaf else None
-    json_f = open(params.out_json, "w") if params.out_json else None
-    corr_f = (open(params.out_corrected, "w")
+    _sfx = lambda p_: multihost.part_suffix(p_, pid, npx)  # noqa: E731
+    gam_w = gam.GamWriter(_sfx(params.out_gam)) if params.out_gam else None
+    gaf_f = open(_sfx(params.out_gaf), "w") if params.out_gaf else None
+    json_f = open(_sfx(params.out_json), "w") if params.out_json else None
+    corr_f = (open(_sfx(params.out_corrected), "w")
               if params.out_corrected else None)
-    clip_f = (open(params.out_corrected_clipped, "w")
+    clip_f = (open(_sfx(params.out_corrected_clipped), "w")
               if params.out_corrected_clipped else None)
 
     rt = threading.Thread(target=reader, daemon=True)
@@ -339,6 +358,15 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
         if f:
             f.close()
     stats.seconds = time.time() - t0
+    if npx > 1:
+        # global totals over all hosts (psum on the global mesh)
+        tot = multihost.merge_stats_global(np.array(
+            [stats.reads, stats.bp_in_reads, stats.seeds_found,
+             stats.reads_with_a_seed, stats.reads_with_an_alignment,
+             stats.alignments, stats.bp_in_alignments], dtype=np.int64))
+        (stats.reads, stats.bp_in_reads, stats.seeds_found,
+         stats.reads_with_a_seed, stats.reads_with_an_alignment,
+         stats.alignments, stats.bp_in_alignments) = (int(x) for x in tot)
     if params.verbose:
         print(f"Input reads: {stats.reads} ({stats.bp_in_reads}bp)")
         print(f"Seeds found: {stats.seeds_found}")
