@@ -32,6 +32,12 @@ from graphchainer_tpu.parallel.device import asarray_chunked
 from graphchainer_tpu.utils.seq import match_masks
 
 W = 32
+# int16 backtrace pointers cap the band at 32767 slots, but the practical
+# bound is the component's topo DEPTH (the level-parallel kernel steps
+# once per level, so a chain-shaped component costs depth x 32 columns
+# sequentially).  4096 keeps worst-case chains tractable; raise
+# OptimalConfig.max_component for bushy components if needed.  The
+# reference's score-ordered Dijkstra mode is likewise a small-graph tool.
 MAX_COMPONENT = 4096
 
 
