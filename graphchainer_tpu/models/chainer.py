@@ -68,6 +68,10 @@ class ChainerConfig:
     # reference --fast-mode (src/Aligner.cpp:834-843): skip the base-level
     # polish; score = positional mismatch count along the path, no CIGAR.
     fast_mode: bool = False
+    # polish-guided bubble repair (align/repair.py): swap wrong variant
+    # arms picked at word-granular walk ties for the arm matching the
+    # read (the reference's per-cell backtrace gets this for free)
+    bubble_repair: bool = True
 
 
 @dataclass
@@ -415,6 +419,32 @@ class ChainerModel:
             for ri, oc in zip(polish_refs, outcomes):
                 out[ri].score = oc.score
                 out[ri].ops = oc.ops
+            if cfg.bubble_repair:
+                # polish-guided bubble repair (align/repair.py): wrong
+                # variant arms at word-granular walk ties are swapped for
+                # the arm matching the read; repaired reads re-polish in
+                # one extra batched call
+                from graphchainer_tpu.align.repair import repair_read
+                redo_r, redo_reads, redo_paths = [], [], []
+                for ri, oc in zip(polish_refs, outcomes):
+                    if oc.score <= 0 or oc.ops is None:
+                        continue
+                    fixed = repair_read(self.g, self.gx, reads[ri][1],
+                                        out[ri].positions, oc.ops)
+                    if fixed is not None:
+                        out[ri].positions = fixed
+                        redo_r.append(ri)
+                        redo_reads.append(reads[ri][1])
+                        redo_paths.append(
+                            self.gx.positions_seq(fixed))
+                if redo_r:
+                    with timers.stage("repair", len(redo_r)):
+                        redo = polish.polish_batch(
+                            redo_reads, redo_paths,
+                            bw=cfg.polish_band_words)
+                    for ri, oc in zip(redo_r, redo):
+                        out[ri].score = oc.score
+                        out[ri].ops = oc.ops
 
         if cfg.compare_with_baseline:
             retry = list(range(len(reads)))

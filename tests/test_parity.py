@@ -109,3 +109,94 @@ def test_summary_harness_on_golden(tmp_path):
     # (verified against an exact scalar NW)
     assert int(row["ref_global_ed"]) == 21
     assert row["ref_ed_capped"] == "0"
+
+
+REF_BIN = "/tmp/refbuild/bin/GraphChainer"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BIN),
+                    reason="reference binary not built "
+                           "(scripts/refbuild/build_reference.sh)")
+def test_live_head_to_head_vs_reference_binary(tmp_path):
+    """Run the REAL reference binary and our pipeline on one simulated
+    workload and compare per-read outcomes: same aligned set, clean reads
+    perfectly aligned on both sides, and per-read edit distance within
+    noise of the reference's (the summary.py oracle metric)."""
+    import subprocess
+    import sys
+
+    from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+    from graphchainer_tpu.graph.mpc import build_mpc
+    from graphchainer_tpu.graph.simulate import generate_path, simulate_reads
+    from graphchainer_tpu.index.minimizer import build_index
+    from graphchainer_tpu.io.gam_reader import load_gam_alignments
+    from graphchainer_tpu.io.gfa import load_gfa
+    from graphchainer_tpu.models.chainer import ChainerConfig, ChainerModel
+    from tests.test_polish import nw_edit_distance
+
+    rng = np.random.default_rng(31)
+    # bench-shaped variation graph, written as GFA for both sides
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bm)
+    bg = bm.build_bench_graph(rng, 30_000)
+    gfa = tmp_path / "g.gfa"
+    with open(gfa, "w") as f:
+        f.write("H\tVN:Z:1.0\n")
+        for name, seq in zip(bg.names, bg.seqs):
+            f.write(f"S\t{name}\t{seq}\n")
+        for a, ar, b, br, ov in bg.links:
+            f.write(f"L\t{bg.names[a]}\t{'-' if ar else '+'}"
+                    f"\t{bg.names[b]}\t{'-' if br else '+'}\t{ov}M\n")
+    g = build_alignment_graph(load_gfa(str(gfa)))
+    path_seq, _ = generate_path(g, seed=3)
+    reads = simulate_reads(path_seq, 20, 1500, seed=11, error_rate=0.08,
+                           len_std=150)
+    # four error-free reads: both aligners must nail these
+    for i in range(4):
+        a = int(rng.integers(0, len(path_seq) - 1200))
+        reads.append((f"clean{i}", path_seq[a:a + 1200]))
+    fa = tmp_path / "r.fa"
+    with open(fa, "w") as f:
+        for name, seq in reads:
+            f.write(f">{name}\n{seq}\n")
+
+    ref_gam = tmp_path / "ref.gam"
+    r = subprocess.run([REF_BIN, "-g", str(gfa), "-f", str(fa), "-a",
+                        str(ref_gam), "-t", "1"], capture_output=True,
+                       text=True, timeout=560)
+    assert r.returncode == 0, r.stderr[-1500:]
+
+    mpc = build_mpc(g)
+    idx = build_index(g, k=15, w=10)
+    model = ChainerModel(g, mpc, idx, ChainerConfig())
+    ours = model.align_batch(reads)
+
+    # per-read edit distance via the same oracle (read vs path sequence)
+    ref_ed = {}
+    for a in load_gam_alignments(str(ref_gam)):
+        pathseq = []
+        name_ids = {n: i for i, n in enumerate(g.names)}
+        for m in a.mappings:
+            d = name_ids[m.node_name] * 2 + (1 if m.is_reverse else 0)
+            s = g.di_seqs[d]
+            ln = sum(e.get("from_length", 0) for e in m.edits)
+            pathseq.append(s[m.offset:m.offset + ln])
+        ref_ed[a.name] = nw_edit_distance(a.sequence, "".join(pathseq))
+    assert len(ref_ed) == len(reads), "reference dropped reads"
+
+    n_worse = 0
+    for (name, seq), aln in zip(reads, ours):
+        assert not aln.failed, f"we failed {name}"
+        our_ed = nw_edit_distance(seq, model.gx.positions_seq(
+            aln.positions))
+        if name.startswith("clean"):
+            assert our_ed == 0, f"{name}: our ed {our_ed}"
+            assert ref_ed[name] <= 2, f"{name}: ref ed {ref_ed[name]}"
+        # parity envelope: within 1% of read length of the reference
+        if our_ed > ref_ed[name] + 0.01 * len(seq):
+            n_worse += 1
+    assert n_worse <= 1, f"{n_worse} reads materially worse than reference"
