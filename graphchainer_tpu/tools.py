@@ -44,6 +44,8 @@ Commands:
                           (reference BruteForceExactPrefixSeeds.cpp)
   maf-to-alignment        MAF truth entries -> GAM + reads FASTA
                           (reference MafToAlignment.cpp)
+  fusion-finder           transcript fusion detection
+                          (reference FusionFinder.cpp)
 """
 from __future__ import annotations
 
@@ -693,6 +695,156 @@ def cmd_maf_to_alignment(args):
     print(f"{len(entries)} alignments", file=sys.stderr)
 
 
+def cmd_fusion_finder(args):
+    """Transcript fusion detection (reference FusionFinder.cpp,
+    makefile:42-43).  Re-design: instead of aligning each read to a
+    char-level "dummy-middle" fusion graph per gene pair, a fusion is
+    two CLIPPED alignments that partition the read between the two
+    genes' subgraphs — each gene's subgraph aligns once per read on the
+    batched TPU extension model, and the split point falls out of the
+    clip spans.  A read is a fusion of (A, B) when both parts are at
+    least --min-fusion-len, the combined cost stays under
+    --max-score-fraction, and it beats the best single-gene alignment
+    by more than --fusion-penalty."""
+    import re
+
+    import numpy as np
+
+    from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+    from graphchainer_tpu.index.minimizer import build_index
+    from graphchainer_tpu.io.fastq import stream_reads
+    from graphchainer_tpu.io.gam import GamWriter, alignment_message
+    from graphchainer_tpu.io.gam_reader import load_gam_alignments
+    from graphchainer_tpu.io.gfa import Bigraph
+    from graphchainer_tpu.models.aligner import (AlignerConfig,
+                                                 GraphAlignerModel)
+    from graphchainer_tpu.models.chainer import ReadAlignment
+
+    bg = _load_bigraph(args.graph)
+    name_to_id = {n: i for i, n in enumerate(bg.names)}
+
+    # putative fusion pairs: "left right support" lines
+    pairs = []
+    with open(args.putative) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            left, right, support = parts[0], parts[1], int(parts[2])
+            if left != right and support >= args.min_support:
+                pairs.append((left, right))
+
+    # gene -> graph segments touched by its transcripts' alignments
+    # (gene id parsed from the transcript name, reference
+    # geneFromTranscript's `gene:<id>` convention)
+    # gene id ends at "_" or " " like the reference's
+    # geneFromTranscript regex (FusionFinder.cpp:36-47)
+    genere = re.compile(r"gene:([^_ ]+)")
+    gene_nodes = {}
+    for a in load_gam_alignments(args.transcripts):
+        m = genere.search(a.name)
+        gene = m.group(1) if m else a.name
+        s = gene_nodes.setdefault(gene, set())
+        for mp in a.mappings:
+            if mp.node_name in name_to_id:
+                s.add(mp.node_name)
+
+    reads = [(r.name, r.seq) for r in stream_reads(args.reads)]
+
+    def gene_model(gene):
+        segs = sorted(gene_nodes[gene])
+        sub = Bigraph()
+        ids = {}
+        for nm in segs:
+            ids[nm] = sub.add_segment(nm, bg.seqs[name_to_id[nm]])
+        inset = set(segs)
+        for a, ar, b, br, ov in bg.links:
+            na, nb = bg.names[a], bg.names[b]
+            if na in inset and nb in inset:
+                sub.links.append((ids[na], ar, ids[nb], br, ov))
+        g = build_alignment_graph(sub, allow_cycles=True)
+        idx = build_index(g, k=args.seed_k, w=args.seed_w)
+        model = GraphAlignerModel(g, idx, AlignerConfig(
+            polish_band_words=4))
+        return g, idx, model
+
+    models = {}
+    # best alignment of every read against every involved gene
+    per_gene_alns = {}
+    genes = sorted({g for pr in pairs for g in pr if g in gene_nodes})
+    for gene in genes:
+        models[gene] = gene_model(gene)
+        _, _, model = models[gene]
+        per_gene_alns[gene] = model.align_batch(reads)
+
+    def clip_cost(aln, read_len):
+        # unaligned read bp charge like edits (reference aligns the whole
+        # read; clipped tails surface in its score the same way)
+        if aln.failed:
+            return read_len, 0, read_len
+        return (aln.score + (aln.seq_start)
+                + (read_len - aln.seq_end)), aln.seq_start, aln.seq_end
+
+    gam = GamWriter(args.output) if args.output else None
+    corr = open(args.corrected_out, "w") if args.corrected_out else None
+    tsv = (sys.stdout if args.fusions_out == "-"
+           else open(args.fusions_out, "w"))
+    n_found = 0
+    for ri, (name, seq) in enumerate(reads):
+        L = len(seq)
+        best = None            # (fusion_cost, left, right, split, alnL, alnR)
+        single = min((per_gene_alns[g][ri].score
+                      + per_gene_alns[g][ri].seq_start
+                      + (L - per_gene_alns[g][ri].seq_end))
+                     if not per_gene_alns[g][ri].failed else L
+                     for g in genes) if genes else L
+        for left, right in pairs:
+            if left not in per_gene_alns or right not in per_gene_alns:
+                continue
+            for ga, gb in ((left, right), (right, left)):
+                a = per_gene_alns[ga][ri]
+                b = per_gene_alns[gb][ri]
+                if a.failed or b.failed:
+                    continue
+                # a must cover a prefix part, b a suffix part
+                if a.seq_start > b.seq_start or a.seq_end > b.seq_end:
+                    continue
+                la = a.seq_end - a.seq_start
+                lb = b.seq_end - b.seq_start
+                if la < args.min_fusion_len or lb < args.min_fusion_len:
+                    continue
+                uncovered = (a.seq_start + max(b.seq_start - a.seq_end, 0)
+                             + (L - b.seq_end))
+                overlap = max(a.seq_end - b.seq_start, 0)
+                cost = a.score + b.score + uncovered + overlap
+                if cost > args.max_score_fraction * L:
+                    continue
+                if best is None or cost < best[0]:
+                    best = (cost, ga, gb, (a.seq_end + b.seq_start) // 2,
+                            a, b)
+        if best is None or best[0] + args.fusion_penalty >= single:
+            continue
+        n_found += 1
+        cost, ga, gb, split, a, b = best
+        tsv.write(f"{name}\t{ga}\t{gb}\t{split}\t{cost}\t{single}\n")
+        if corr:
+            gxA = models[ga][2].gx
+            gxB = models[gb][2].gx
+            corr.write(f">{name} {ga}|{gb}\n"
+                       f"{gxA.positions_seq(a.positions)}"
+                       f"{gxB.positions_seq(b.positions)}\n")
+        if gam:
+            gam.write(alignment_message(models[ga][0], a))
+            gam.write(alignment_message(models[gb][0], b))
+    if gam:
+        gam.close()
+    if corr:
+        corr.close()
+    if tsv is not sys.stdout:
+        tsv.close()
+    print(f"{n_found} fusion reads / {len(reads)}", file=sys.stderr)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="graphchainer-tpu-tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -819,6 +971,24 @@ def main(argv=None) -> int:
     s.add_argument("--k", type=int, required=True)
     s.add_argument("--output", "-o", required=True)
     s.set_defaults(fn=cmd_brute_force_prefix_seeds)
+
+    s = sub.add_parser("fusion-finder")
+    s.add_argument("-g", "--graph", required=True)
+    s.add_argument("--putative", required=True,
+                   help="putative fusion pairs: 'left right support' lines")
+    s.add_argument("--transcripts", required=True,
+                   help="transcript alignments GAM (gene:<id> in names)")
+    s.add_argument("-f", "--reads", required=True)
+    s.add_argument("--min-support", type=int, default=2)
+    s.add_argument("--max-score-fraction", type=float, default=0.3)
+    s.add_argument("--min-fusion-len", type=int, default=50)
+    s.add_argument("--fusion-penalty", type=int, default=20)
+    s.add_argument("--fusions-out", default="-")
+    s.add_argument("-a", "--output", default=None, help="fusion GAM")
+    s.add_argument("--corrected-out", default=None)
+    s.add_argument("--seed-k", type=int, default=15)
+    s.add_argument("--seed-w", type=int, default=10)
+    s.set_defaults(fn=cmd_fusion_finder)
 
     s = sub.add_parser("maf-to-alignment")
     s.add_argument("--graph", required=True)

@@ -258,3 +258,54 @@ def test_pipeline_loads_vg(tmp_path):
                  [(1, 2, False, False, 0)])
     g = load_graph(p)
     assert g.stats()["total_bp"] == 2 * 18
+
+
+def test_fusion_finder(tmp_path, rng):
+    """fusion-finder (reference FusionFinder.cpp): a read whose halves
+    come from two genes is called with the right pair; a single-gene
+    read is not."""
+    import subprocess
+    import sys
+
+    geneA = "".join(rng.choice(list("ACGT"), 800))
+    geneB = "".join(rng.choice(list("ACGT"), 800))
+    gfa = tmp_path / "g.gfa"
+    with open(gfa, "w") as f:
+        f.write(f"S\tga\t{geneA}\nS\tgb\t{geneB}\n")
+    reads = tmp_path / "r.fa"
+    with open(reads, "w") as f:
+        f.write(f">fused\n{geneA[100:400] + geneB[200:500]}\n")
+        f.write(f">normal\n{geneA[150:650]}\n")
+    put = tmp_path / "put.txt"
+    put.write_text("GENEA GENEB 5\n")
+    # transcript alignments: one full-node mapping per gene
+    from graphchainer_tpu.io import vg_wire as w
+    from graphchainer_tpu.io.gam import GamWriter
+    tgam = tmp_path / "t.gam"
+    gw = GamWriter(str(tgam))
+    gw.write(w.alignment(geneA, w.path([w.mapping(
+        w.position(1, 0, False, name="ga"), [w.edit(800, 800)], 1)]),
+        "tx1_gene:GENEA_x"))
+    gw.write(w.alignment(geneB, w.path([w.mapping(
+        w.position(2, 0, False, name="gb"), [w.edit(800, 800)], 1)]),
+        "tx2_gene:GENEB_x"))
+    gw.close()
+    out = tmp_path / "fusions.tsv"
+    corr = tmp_path / "corr.fa"
+    r = subprocess.run(
+        [sys.executable, "-m", "graphchainer_tpu.tools", "fusion-finder",
+         "-g", str(gfa), "--putative", str(put), "--transcripts",
+         str(tgam), "-f", str(reads), "--fusions-out", str(out),
+         "--corrected-out", str(corr), "--min-fusion-len", "100"],
+        capture_output=True, text=True, timeout=560,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "XLA_FLAGS": "",
+             "PYTHONPATH": "/root/repo"}, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln.split("\t") for ln in open(out).read().splitlines()]
+    assert len(lines) == 1, lines
+    assert lines[0][0] == "fused"
+    assert {lines[0][1], lines[0][2]} == {"GENEA", "GENEB"}
+    # corrected read concatenates both gene parts
+    rec = open(corr).read().splitlines()
+    assert rec[0].startswith(">fused")
+    assert len(rec[1]) >= 500
