@@ -530,6 +530,32 @@ def _try_pack_frag(band_nodes_cat: np.ndarray, band_in: np.ndarray,
     return base, bn_d16, bi_p16, req2
 
 
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _walk_shard_fn(S: int, max_in: int, n_levels: int, dedup: bool):
+    """Positional closure over the packed+walk fragment kernel for
+    parallel/device.shard_call (stable identity per static config; the
+    lane-major core transposes fragments onto the vector lanes, which
+    plain SPMD jit would reshard across devices at every op)."""
+    if dedup:
+        def f(eq, ln, bb, bd, bp, bl, bidx, ss8, rq2, rw16, sb):
+            return frag_align.align_fragments_packed_out_tl_walk(
+                eq, ln, bb, bd, bp, ss8, rq2, rw16, n_slices=S,
+                max_in=max_in, band_level=bl, n_levels=n_levels,
+                seed_base=sb, band_idx=bidx)
+    else:
+        def f(eq, ln, bb, bd, bp, bl, ss8, rq2, rw16, sb):
+            return frag_align.align_fragments_packed_out_tl_walk(
+                eq, ln, bb, bd, bp, ss8, rq2, rw16, n_slices=S,
+                max_in=max_in, band_level=bl, n_levels=n_levels,
+                seed_base=sb)
+    return f
+
+
 # bi_p16 value meaning "no in-edges" for padded fragments: nibble e = e
 BI_P16_PAD = np.uint16(0x3210)
 
@@ -657,6 +683,23 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                     seed_base=None if sb_zero else shard_rows(sb),
                     carry_in=ci, want_state=want_state,
                     want_xcells=True)
+            elif walk and ndev > 1 and ci is None and not want_state:
+                # >1 local device: run under shard_map so the lane-major
+                # transposes stay device-local (parallel/device.shard_call)
+                from graphchainer_tpu.parallel.device import shard_call
+                fn = _walk_shard_fn(S, max_in, n_levels,
+                                    dedup is not None)
+                if dedup is not None:
+                    u_bb, u_bd, u_bp, u_bl, inv = dedup
+                    bidx = np.pad(inv[lo:hi], (0, pad))
+                    res = shard_call(fn, (dev_eq, dev_len, u_bb, u_bd,
+                                          u_bp, u_bl, bidx, ss8, rq2,
+                                          rw16, sb),
+                                     (False,) * 6 + (True,) * 5)
+                else:
+                    res = shard_call(fn, (dev_eq, dev_len, bb, bd, bp,
+                                          bl, ss8, rq2, rw16, sb),
+                                     (False, False) + (True,) * 8)
             elif walk and dedup is not None:
                 u_bb, u_bd, u_bp, u_bl, inv = dedup
                 bidx = shard_rows(np.pad(inv[lo:hi], (0, pad)))

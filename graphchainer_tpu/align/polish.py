@@ -108,6 +108,20 @@ def pack_codes2(mm: np.ndarray) -> np.ndarray:
     return (m << shifts).sum(axis=-1, dtype=np.uint32)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _kernel_fn(kernel_name: str, bw: int, max_steps: int):
+    """Stable callable identity per (kernel, bw, max_steps) so the
+    shard_map wrapper cache hits (parallel/device.shard_call)."""
+    kern = getattr(linear_align, kernel_name)
+
+    def f(a, b, c, d):
+        return kern(a, b, c, d, bw, max_steps=max_steps)
+    return f
+
+
 def _polish_once(reads: Sequence[str], paths: Sequence[str],
                  bw: int) -> List[PolishOutcome]:
     R = len(reads)
@@ -157,15 +171,20 @@ def _polish_once(reads: Sequence[str], paths: Sequence[str],
     timers.count("cells(polish)", int(path_len.sum()) * bw * W)
     read_len = np.pad(read_len, (0, Rp - R))
     path_len = np.pad(path_len, (0, Rp - R))
-    if ndev > 1:
-        read_w, path_w, read_len, path_len = (
-            shard_rows(a)
-            for a in (read_w, path_w, read_len, path_len))
     # ONE device call, ONE packed download (score + n_ops + touched +
-    # 2-bit ops); the DP dump never leaves HBM
-    w = asarray_chunked(kernel(
-        read_w, path_w, read_len, path_len, bw,
-        max_steps=rmax + pmax))
+    # 2-bit ops); the DP dump never leaves HBM.  On >1 local device the
+    # read rows run under shard_map (parallel/device.shard_call) — the
+    # lane-major core transposes reads onto the vector lanes, which
+    # plain SPMD jit would reshard across devices at every op
+    if ndev > 1:
+        from graphchainer_tpu.parallel.device import shard_call
+        w = asarray_chunked(shard_call(
+            _kernel_fn(kernel.__name__, bw, rmax + pmax),
+            (read_w, path_w, read_len, path_len), (True,) * 4))
+    else:
+        w = asarray_chunked(kernel(
+            read_w, path_w, read_len, path_len, bw,
+            max_steps=rmax + pmax))
     scores, n_ops, touched = w[:, 0], w[:, 1], w[:, 2] != 0
     ops2 = np.ascontiguousarray(w[:, 3:]).view(np.uint32)
     # unpack 2-bit ops (values beyond n_ops are padding)

@@ -92,3 +92,48 @@ def max_batch_rows(row_bytes: int) -> int:
     """Largest axis-0 extent keeping a row_bytes-wide array uploadable in
     one piece."""
     return max(1, MAX_TRANSFER // max(row_bytes, 1))
+
+
+def _shard_wrap(fn, sharded, mesh_devs):
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    try:
+        from jax import shard_map          # jax >= 0.6
+    except ImportError:                    # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    mesh = data_mesh()
+    in_specs = tuple(P("dp") if s else P() for s in sharded)
+    # no collectives inside: disable the varying-axis analysis (it
+    # rejects lax.cond branches whose replication types differ)
+    try:
+        sm = shard_map(fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=P("dp"), check_vma=False)
+    except TypeError:                      # pragma: no cover - older jax
+        sm = shard_map(fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=P("dp"), check_rep=False)
+    return jax.jit(sm)
+
+
+_shard_cache = {}
+
+
+def shard_call(fn, args, sharded):
+    """Run `fn(*args)` with each LOCAL device computing its row-shard
+    (jax.shard_map over the 1-D data mesh; no collectives inside).
+
+    The lane-major kernels transpose the batch axis onto the vector
+    lanes; under plain SPMD jit that transpose reshards the batch across
+    devices every op.  shard_map keeps the whole kernel local per
+    device: in_specs P('dp') for `sharded` args (row counts must divide
+    the device count), P() for replicated ones, outputs row-sharded.
+
+    Single device: plain fn(*args)."""
+    mesh = data_mesh()
+    if mesh is None:
+        return fn(*args)
+    key = (fn, tuple(sharded), mesh.devices.size)
+    wrapped = _shard_cache.get(key)
+    if wrapped is None:
+        wrapped = _shard_wrap(fn, tuple(sharded), mesh.devices.size)
+        _shard_cache[key] = wrapped
+    return wrapped(*args)
