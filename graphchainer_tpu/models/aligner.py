@@ -61,6 +61,8 @@ class AlignerConfig:
     band_slots: int = 48
     max_alignments: int = 4            # emit up to N selected alignments
                                        # per read (multimapping)
+    bubble_repair: bool = True         # polish-guided wrong-arm repair
+                                       # (align/repair.py)
     max_in: int = constants.MAX_IN_DEGREE
     band_slack: int = 16
     seed_density: float = constants.DEFAULT_SEED_MINIMIZER_DENSITY
@@ -569,6 +571,30 @@ class GraphAlignerModel:
                                            bw=cfg.polish_band_words)
             for (ri, ci), oc in zip(refs, outcomes):
                 scored[(ri, ci)] = oc
+            if cfg.bubble_repair:
+                # polish-guided bubble repair (align/repair.py): the
+                # extension walk is word-granular; wrong variant arms at
+                # exact-score ties swap for the read's arm, then the
+                # repaired candidates re-polish in one batched call
+                from graphchainer_tpu.align.repair import repair_read
+                redo_keys, redo_reads, redo_paths = [], [], []
+                for (ri, ci), oc in zip(refs, outcomes):
+                    if oc.score <= 0 or oc.ops is None:
+                        continue
+                    positions, span = candidates[ri][ci]
+                    seg = reads[ri][1][span[0]:span[1]]
+                    fixed = repair_read(self.g, self.gx, seg, positions,
+                                        oc.ops)
+                    if fixed is not None:
+                        candidates[ri][ci] = (fixed, span)
+                        redo_keys.append((ri, ci))
+                        redo_reads.append(seg)
+                        redo_paths.append(self.gx.positions_seq(fixed))
+                if redo_keys:
+                    redo = polish.polish_batch(redo_reads, redo_paths,
+                                               bw=cfg.polish_band_words)
+                    for key, oc in zip(redo_keys, redo):
+                        scored[key] = oc
         from graphchainer_tpu.align.selection import (SelectionMethod,
                                                       SelectionOptions,
                                                       select_alignments)
