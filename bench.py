@@ -34,10 +34,35 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+def _tpu_responsive(timeout_s: int = 150) -> bool:
+    """Probe the (tunneled) TPU in a SUBPROCESS: a hung tunnel blocks
+    jax.devices() forever and cannot be interrupted in-process.  The
+    dev tunnel has been observed to die for hours; falling back to CPU
+    (clearly labeled) beats hanging the whole benchmark run."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "import jax.numpy as jnp; "
+             "print(float(jnp.ones((2, 2)).sum()), d[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+PLATFORM = os.environ.get("BENCH_PLATFORM")
+_fallback = False
+if not PLATFORM and not _tpu_responsive():
+    print("WARNING: TPU unresponsive (tunnel down?); benchmarking on "
+          "CPU — reads/s is NOT a TPU measurement", file=sys.stderr)
+    PLATFORM = "cpu"
+    _fallback = True
+
 from graphchainer_tpu.utils.jaxconfig import setup as _jax_setup
 _jax_setup()
 
-PLATFORM = os.environ.get("BENCH_PLATFORM")
 if PLATFORM:
     import jax
     jax.config.update("jax_platforms", PLATFORM)
@@ -163,6 +188,8 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / baseline, 3),
         "detail": {
+            "platform": ("cpu-fallback (TPU tunnel unresponsive)"
+                         if _fallback else (PLATFORM or "tpu")),
             "baseline_reads_per_s": baseline,
             "baseline_provenance": baseline_prov,
             "n_reads": n_timed,
