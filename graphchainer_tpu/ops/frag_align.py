@@ -801,6 +801,45 @@ def _frag_core_t(slot_eq_t, slot_len_t, band_in_t, band_level_t, req_t,
     return tuple(out)
 
 
+_PALLAS_FRAG_OK = None
+
+
+def _pallas_frag_ok() -> bool:
+    """Probe once whether the Pallas fragment core (pallas_frag)
+    Mosaic-compiles on the current default backend.  Disable with
+    GRAPHCHAINER_NO_PALLAS=1."""
+    global _PALLAS_FRAG_OK
+    if _PALLAS_FRAG_OK is None:
+        import os
+        if os.environ.get("GRAPHCHAINER_NO_PALLAS"):
+            _PALLAS_FRAG_OK = False
+            return False
+        try:
+            import jax as _jax
+            if _jax.default_backend() not in ("tpu",):
+                _PALLAS_FRAG_OK = False
+                return False
+            from graphchainer_tpu.ops.pallas_frag import frag_core_pallas
+            r = frag_core_pallas(
+                jnp.zeros((4, 8, 128), jnp.uint32),
+                jnp.ones((8, 128), jnp.int32),
+                jnp.full((2, 8, 128), -1, jnp.int32),
+                jnp.zeros((8, 128), jnp.int32),
+                jnp.zeros((2, 4, 128), jnp.uint32),
+                jnp.ones((1, 128), jnp.int32),
+                jnp.zeros((1, 128), jnp.int32), S=2, max_in=2,
+                n_levels=4)
+            _jax.block_until_ready(r[0])
+            _PALLAS_FRAG_OK = True
+        except Exception as e:           # pragma: no cover - backend dep
+            import sys
+            print(f"pallas fragment core unavailable "
+                  f"({type(e).__name__}); using the XLA core",
+                  file=sys.stderr)
+            _PALLAS_FRAG_OK = False
+    return _PALLAS_FRAG_OK
+
+
 @partial(jax.jit, static_argnames=("n_slices", "max_in", "n_levels",
                                    "want_state"))
 def align_fragments_tl(node_eq, node_len, band_nodes, band_in,
@@ -810,7 +849,10 @@ def align_fragments_tl(node_eq, node_len, band_nodes, band_in,
                        want_state: bool = False) -> FragResult:
     """align_fragments on the lane-major core: same (F-major) inputs and
     FragResult contract (minus end_score/end_col internals), for direct
-    comparison and as the XLA fallback of the Pallas fragment kernel."""
+    comparison and as the XLA fallback of the Pallas fragment kernel.
+    Fresh full-size windows route to the Pallas VMEM kernel
+    (ops/pallas_frag.py) when the backend's Mosaic lowering supports it
+    (probe: _pallas_frag_ok)."""
     F, B = band_nodes.shape
     N2 = node_eq.shape[0]
     ids = band_nodes.astype(jnp.int32)
@@ -833,17 +875,32 @@ def align_fragments_tl(node_eq, node_len, band_nodes, band_in,
     carry_t = None
     if carry_in is not None:
         carry_t = tuple(jnp.transpose(c, (1, 0)) for c in carry_in)
-    out = _frag_core_t(
-        jnp.transpose(slot_eq, (2, 1, 0)).astype(jnp.uint32),
-        jnp.transpose(slot_len, (1, 0)),
-        jnp.transpose(band_in.astype(jnp.int32), (2, 1, 0)),
-        jnp.transpose(band_level.astype(jnp.int32), (1, 0)),
-        jnp.transpose(req, (1, 2, 0)).astype(jnp.uint32),
-        frag_len.astype(jnp.int32)[None, :],
-        seed_base.astype(jnp.int32)[None, :],
-        S=n_slices, max_in=max_in, n_levels=n_levels,
-        carried=carry_in is not None, carry=carry_t,
-        want_state=want_state)
+    use_pallas = (carry_in is None and not want_state
+                  and F % 128 == 0 and B % 8 == 0
+                  and _pallas_frag_ok())
+    if use_pallas:
+        from graphchainer_tpu.ops.pallas_frag import frag_core_pallas
+        out = frag_core_pallas(
+            jnp.transpose(slot_eq, (2, 1, 0)).astype(jnp.uint32),
+            jnp.transpose(slot_len, (1, 0)).astype(jnp.int32),
+            jnp.transpose(band_in.astype(jnp.int32), (2, 1, 0)),
+            jnp.transpose(band_level.astype(jnp.int32), (1, 0)),
+            jnp.transpose(req, (1, 2, 0)).astype(jnp.uint32),
+            frag_len.astype(jnp.int32)[None, :],
+            seed_base.astype(jnp.int32)[None, :],
+            S=n_slices, max_in=max_in, n_levels=n_levels)
+    else:
+        out = _frag_core_t(
+            jnp.transpose(slot_eq, (2, 1, 0)).astype(jnp.uint32),
+            jnp.transpose(slot_len, (1, 0)),
+            jnp.transpose(band_in.astype(jnp.int32), (2, 1, 0)),
+            jnp.transpose(band_level.astype(jnp.int32), (1, 0)),
+            jnp.transpose(req, (1, 2, 0)).astype(jnp.uint32),
+            frag_len.astype(jnp.int32)[None, :],
+            seed_base.astype(jnp.int32)[None, :],
+            S=n_slices, max_in=max_in, n_levels=n_levels,
+            carried=carry_in is not None, carry=carry_t,
+            want_state=want_state)
     best_score, best_slot, best_col, best_in = out[:4]
     res = dict(best_score=best_score[0], best_slot=best_slot[0],
                best_col=best_col[0],
