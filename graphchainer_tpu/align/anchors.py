@@ -142,19 +142,6 @@ class FragJob:
     reverse: bool
 
 
-def build_jobs(read_mm: np.ndarray, frag_start: int, frag_end: int,
-               seed_node: int, seed_offset: int, seed_row: int,
-               g: AlignmentGraph) -> Tuple[FragJob, FragJob]:
-    """Make the (forward, backward) job pair for one fragment+seed."""
-    node_len = int(g.node_len[seed_node])
-    fwd = FragJob(rmm=read_mm[seed_row:frag_end], seed_node=seed_node,
-                  seed_trim_len=node_len - seed_offset, reverse=False)
-    bwd = FragJob(rmm=read_mm[frag_start:seed_row][::-1],
-                  seed_node=seed_node, seed_trim_len=seed_offset,
-                  reverse=True)
-    return fwd, bwd
-
-
 @dataclass
 class JobCols:
     """Columnar fragment-job batch (no per-job Python objects): the
