@@ -523,6 +523,29 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=None)
+def _tl_xcells_shard_fn(S: int, max_in: int, n_levels, want_state: bool,
+                        carried: bool, has_bl: bool):
+    """Positional closure over the lane-major kernel with cell-precise
+    X tracking (GA mode) for parallel/device.shard_call — same rationale
+    as _walk_shard_fn.  Returns a flat tuple (shard_map out_specs are
+    per-leaf; FragResult's None fields don't shard)."""
+    def f(eq, ln, bn, bi, ss, rq, rw, sb, *rest):
+        i = 0
+        bl = rest[i] if has_bl else None
+        i += int(has_bl)
+        ci = tuple(rest[i:i + 3]) if carried else None
+        r = frag_align.align_fragments_tl(
+            eq, ln, bn, bi, ss, rq, rw, n_slices=S, max_in=max_in,
+            seed_base=sb, band_level=bl, n_levels=n_levels,
+            carry_in=ci, want_state=want_state, want_xcells=True)
+        out = (r.best_score, r.best_slot, r.best_col, r.best_in)
+        if want_state:
+            out += (r.out_ssb, r.out_hp, r.out_hn)
+        return out + (r.xbest, r.xslot, r.xrow)
+    return f
+
+
+@lru_cache(maxsize=None)
 def _walk_shard_fn(S: int, max_in: int, n_levels: int, dedup: bool):
     """Positional closure over the packed+walk fragment kernel for
     parallel/device.shard_call (stable identity per static config; the
@@ -727,10 +750,25 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
         if bl is not None:
             bl = shard_rows(bl)
         if want_xcells:
-            res = frag_align.align_fragments(
-                dev_eq, dev_len, bn, bi, ss, rq, rw, n_slices=S,
-                max_in=max_in, seed_base=sb, band_level=bl,
-                n_levels=n_levels, carry_in=ci, want_xcells=True)
+            # lane-major core (fragments on the VPU lanes; ~4x the
+            # F-major device throughput) — under shard_map on >1 local
+            # device so the lane transposes stay device-local
+            from graphchainer_tpu.parallel.device import shard_call
+            fn = _tl_xcells_shard_fn(S, max_in, n_levels, want_state,
+                                     ci is not None, bl is not None)
+            extra = (bl,) if bl is not None else ()
+            if ci is not None:
+                extra += ci
+            out = shard_call(fn, (dev_eq, dev_len, bn, bi, ss, rq, rw,
+                                  sb) + extra,
+                             (False, False) + (True,) * (6 + len(extra)))
+            names = ["best_score", "best_slot", "best_col", "best_in"]
+            if want_state:
+                names += ["out_ssb", "out_hp", "out_hn"]
+            names += ["xbest", "xslot", "xrow"]
+            res = frag_align.FragResult(
+                end_score=None, end_col=None,
+                **dict(zip(names, out)))
         else:
             res = frag_align.align_fragments_tl(
                 dev_eq, dev_len, bn, bi, ss, rq, rw, n_slices=S,

@@ -595,7 +595,8 @@ class _MergeAcc:
 def _frag_core_t(slot_eq_t, slot_len_t, band_in_t, band_level_t, req_t,
                  frag_len, seed_base, *, S: int, max_in: int,
                  n_levels: int, carried: bool,
-                 carry=None, want_state: bool):
+                 carry=None, want_state: bool,
+                 want_xcells: bool = False):
     """Lane-major fragment DP.  All arrays are (…, F) with F on lanes:
 
     slot_eq_t:   (4, B, F) uint32 seed-shifted Eq bitplanes per slot
@@ -607,7 +608,10 @@ def _frag_core_t(slot_eq_t, slot_len_t, band_in_t, band_level_t, req_t,
     carry:       optional (ssb, hp, hn) each (B, F)
 
     Returns (best_score (1,F), best_slot (1,F), best_col (1,F),
-    best_in (S, B, F) int32, [ssb, hp, hn (B, F) when want_state]).
+    best_in (S, B, F) int32, [ssb, hp, hn (B, F) when want_state],
+    [xbest, xslot, xrow (1, F) when want_xcells — the same cell-precise
+    X-score tracking as align_fragments' want_xcells, bit-identical
+    including the (slice, slot, row) lexicographic tie-break]).
     """
     _, B, F = slot_eq_t.shape
     pc = jax.lax.population_count
@@ -633,6 +637,9 @@ def _frag_core_t(slot_eq_t, slot_len_t, band_in_t, band_level_t, req_t,
     end_score = jnp.full((B, F), BIG, jnp.int32)
     end_col = jnp.zeros((B, F), jnp.int32)
     best_in_slices = []
+    xbest = jnp.full((1, F), -BIG, jnp.int32)
+    xslot = jnp.zeros((1, F), jnp.int32)
+    xrow = jnp.zeros((1, F), jnp.int32)
 
     def eq_col(req_s, c):
         bits = (slot_eq_t >> jnp.uint32(c)) & jnp.uint32(1)   # (4,B,F)
@@ -785,6 +792,38 @@ def _frag_core_t(slot_eq_t, slot_len_t, band_in_t, band_level_t, req_t,
         (evp, evn, esb, ssb, hp, hn, end_score, end_col, bin_s) = cy
         best_in_slices.append(bin_s)
 
+        if want_xcells:
+            # best X-score cell over this slice's end-of-node words:
+            # X(row) = (s*W + row + 1) - 5*S(row) — same scan as the
+            # F-major core (which see); the row loop then the slot
+            # reduction preserve its (slice, slot, row) lexicographic
+            # strict-greater tie-break exactly.
+            ok0 = slot_active & (esb < BIG)       # (B,F)
+            xv = jnp.full((B, F), -BIG, jnp.int32)
+            xr = jnp.zeros((B, F), jnp.int32)
+            for r in range(W):
+                m = jnp.uint32(_ABOVE32[r])
+                srow = (esb - pc(evp & m).astype(jnp.int32)
+                        + pc(evn & m).astype(jnp.int32))
+                grow = s * W + r
+                x = jnp.where(ok0 & (grow < frag_len),
+                              jnp.int32(grow + 1) - 5 * srow,
+                              jnp.int32(-BIG))
+                hit = x > xv
+                xv = jnp.where(hit, x, xv)
+                xr = jnp.where(hit, grow, xr)
+            sv, sr_ = xv[0][None], xr[0][None]
+            sb_slot = jnp.zeros((1, F), jnp.int32)
+            for b in range(1, B):
+                hit = xv[b][None] > sv
+                sv = jnp.where(hit, xv[b][None], sv)
+                sb_slot = jnp.where(hit, b, sb_slot)
+                sr_ = jnp.where(hit, xr[b][None], sr_)
+            hit = sv > xbest
+            xbest = jnp.where(hit, sv, xbest)
+            xslot = jnp.where(hit, sb_slot, xslot)
+            xrow = jnp.where(hit, sr_, xrow)
+
     # reductions over B (sublanes)
     best_score = end_score[0][None]
     best_slot = jnp.zeros((1, F), jnp.int32)
@@ -798,6 +837,8 @@ def _frag_core_t(slot_eq_t, slot_len_t, band_in_t, band_level_t, req_t,
     out = [best_score, best_slot, best_col, best_in]
     if want_state:
         out += [ssb, hp, hn]
+    if want_xcells:
+        out += [xbest, xslot, xrow]
     return tuple(out)
 
 
@@ -841,12 +882,13 @@ def _pallas_frag_ok() -> bool:
 
 
 @partial(jax.jit, static_argnames=("n_slices", "max_in", "n_levels",
-                                   "want_state"))
+                                   "want_state", "want_xcells"))
 def align_fragments_tl(node_eq, node_len, band_nodes, band_in,
                        seed_shift, req, frag_len, n_slices: int,
                        max_in: int, seed_base=None, band_level=None,
                        n_levels: int = None, carry_in=None,
-                       want_state: bool = False) -> FragResult:
+                       want_state: bool = False,
+                       want_xcells: bool = False) -> FragResult:
     """align_fragments on the lane-major core: same (F-major) inputs and
     FragResult contract (minus end_score/end_col internals), for direct
     comparison and as the XLA fallback of the Pallas fragment kernel.
@@ -876,6 +918,7 @@ def align_fragments_tl(node_eq, node_len, band_nodes, band_in,
     if carry_in is not None:
         carry_t = tuple(jnp.transpose(c, (1, 0)) for c in carry_in)
     use_pallas = (carry_in is None and not want_state
+                  and not want_xcells
                   and F % 128 == 0 and B % 8 == 0
                   and _pallas_frag_ok())
     if use_pallas:
@@ -900,17 +943,22 @@ def align_fragments_tl(node_eq, node_len, band_nodes, band_in,
             seed_base.astype(jnp.int32)[None, :],
             S=n_slices, max_in=max_in, n_levels=n_levels,
             carried=carry_in is not None, carry=carry_t,
-            want_state=want_state)
+            want_state=want_state, want_xcells=want_xcells)
     best_score, best_slot, best_col, best_in = out[:4]
     res = dict(best_score=best_score[0], best_slot=best_slot[0],
                best_col=best_col[0],
                best_in=jnp.transpose(best_in, (2, 1, 0)).astype(
                    jnp.int8 if B <= 127 else jnp.int16),
                end_score=None, end_col=None)
+    k = 4
     if want_state:
-        res.update(out_ssb=jnp.transpose(out[4], (1, 0)),
-                   out_hp=jnp.transpose(out[5], (1, 0)),
-                   out_hn=jnp.transpose(out[6], (1, 0)))
+        res.update(out_ssb=jnp.transpose(out[k], (1, 0)),
+                   out_hp=jnp.transpose(out[k + 1], (1, 0)),
+                   out_hn=jnp.transpose(out[k + 2], (1, 0)))
+        k += 3
+    if want_xcells:
+        res.update(xbest=out[k][0], xslot=out[k + 1][0],
+                   xrow=out[k + 2][0])
     return FragResult(**res)
 
 
@@ -1000,13 +1048,15 @@ def align_fragments_packed_out_tl_walk(node_eq, node_len, bn_base, bn_d16,
 
 
 @partial(jax.jit,
-         static_argnames=("n_slices", "max_in", "n_levels", "want_state"))
+         static_argnames=("n_slices", "max_in", "n_levels", "want_state",
+                          "want_xcells"))
 def align_fragments_packed_out_tl(node_eq, node_len, bn_base, bn_d16,
                                   bi_p16, seed_shift, req2, frag_len,
                                   n_slices: int, max_in: int,
                                   band_level, n_levels: int,
                                   seed_base=None, carry_in=None,
-                                  want_state: bool = False) -> jax.Array:
+                                  want_state: bool = False,
+                                  want_xcells: bool = False) -> jax.Array:
     """align_fragments_packed_out on the lane-major core (same wire
     formats in and out; ~4x the device throughput of the F-major
     kernel)."""
@@ -1025,7 +1075,8 @@ def align_fragments_packed_out_tl(node_eq, node_len, bn_base, bn_d16,
                              frag_len.astype(jnp.int32), n_slices,
                              max_in, seed_base=seed_base,
                              band_level=band_level, n_levels=n_levels,
-                             carry_in=carry_in, want_state=want_state)
+                             carry_in=carry_in, want_state=want_state,
+                             want_xcells=want_xcells)
     S = n_slices
     assert (B * S) % 4 == 0
     slotcol = res.best_slot | (res.best_col << 8)
@@ -1036,4 +1087,7 @@ def align_fragments_packed_out_tl(node_eq, node_len, bn_base, bn_d16,
         parts += [res.out_ssb,
                   jax.lax.bitcast_convert_type(res.out_hp, jnp.int32),
                   jax.lax.bitcast_convert_type(res.out_hn, jnp.int32)]
+    if want_xcells:
+        parts += [res.xbest[:, None],
+                  (res.xslot | (res.xrow << 8))[:, None]]
     return jnp.concatenate(parts, axis=1)

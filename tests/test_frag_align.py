@@ -301,6 +301,56 @@ def test_lane_major_core_matches_reference_kernel(seed):
     assert np.array_equal(np.asarray(a2.best_in), np.asarray(b2.best_in))
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_lane_major_xcells_matches_reference_kernel(seed):
+    """want_xcells on the lane-major core is bit-identical to the F-major
+    core's cell-precise X tracking, including the (slice, slot, row)
+    lexicographic tie-break (GA mode's clip endpoints depend on it)."""
+    rng = np.random.default_rng(900 + seed)
+    bg = random_dag_bigraph(rng, n_seg=12, p_edge=0.3, max_len=14)
+    g = build_alignment_graph(bg)
+    gx = GraphTensors.build(g)
+    jobs = []
+    for _ in range(6):
+        v = int(rng.integers(0, g.n_nodes))
+        read = "".join(rng.choice(list("ACGT"), int(rng.integers(30, 90))))
+        jobs.append(FragJob(rmm=match_masks(read), seed_node=v,
+                            seed_trim_len=int(g.node_len[v]),
+                            reverse=False))
+    (band_nodes, bnc, band_in, seed_shift, req, rows, S, bl) = \
+        assemble_batch(gx, jobs, B=16, max_in=4, slack=8)
+    dev_eq, dev_len = gx.device_tables()
+    from graphchainer_tpu.align.anchors import level_bucket
+    nl = level_bucket(bl, band_nodes.shape[1])
+    kw = dict(n_slices=S, max_in=4, band_level=bl, n_levels=nl)
+    a = frag_align.align_fragments(dev_eq, dev_len, bnc, band_in,
+                                   seed_shift, req, rows,
+                                   want_xcells=True, **kw)
+    b = frag_align.align_fragments_tl(dev_eq, dev_len, bnc, band_in,
+                                      seed_shift, req, rows,
+                                      want_state=True, want_xcells=True,
+                                      **kw)
+    for f in ("best_score", "best_slot", "best_col", "best_in",
+              "xbest", "xslot", "xrow"):
+        assert np.array_equal(np.asarray(getattr(a, f)),
+                              np.asarray(getattr(b, f))), f
+    # carried windows too (GA windows past the first)
+    carry = (np.asarray(a.out_ssb) if a.out_ssb is not None
+             else np.asarray(b.out_ssb),
+             np.asarray(b.out_hp), np.asarray(b.out_hn))
+    a2 = frag_align.align_fragments(dev_eq, dev_len, bnc, band_in,
+                                    seed_shift, req, rows,
+                                    carry_in=carry, want_xcells=True,
+                                    **kw)
+    b2 = frag_align.align_fragments_tl(dev_eq, dev_len, bnc, band_in,
+                                       seed_shift, req, rows,
+                                       carry_in=carry, want_xcells=True,
+                                       **kw)
+    for f in ("best_score", "xbest", "xslot", "xrow"):
+        assert np.array_equal(np.asarray(getattr(a2, f)),
+                              np.asarray(getattr(b2, f))), f
+
+
 def test_join_anchors_matches_extract():
     """native.join_anchors (fused backwalk + fwd/bwd join) must agree with
     the per-fragment extract_anchor Python on every field, including

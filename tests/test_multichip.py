@@ -127,3 +127,62 @@ print("RESULT " + json.dumps(rows))
     one = run(1)
     eight = run(8)
     assert one == eight
+
+
+def test_ga_batch_1dev_equals_8dev(tmp_path):
+    """GA-mode align_batch (windowed extension: want_xcells + carry
+    kernels under shard_map) must also be identical on 1 device and on
+    the 8-virtual-device mesh."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    CHILD = r'''
+import os, sys, json, hashlib
+sys.path.insert(0, "/root/repo")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=%d"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import importlib.util
+spec = importlib.util.spec_from_file_location("benchmod",
+                                              "/root/repo/bench.py")
+bm = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bm)
+from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+from graphchainer_tpu.graph.simulate import generate_path, simulate_reads
+from graphchainer_tpu.index.minimizer import build_index
+from graphchainer_tpu.models.aligner import AlignerConfig, GraphAlignerModel
+rng = np.random.default_rng(7)
+g = build_alignment_graph(bm.build_bench_graph(rng, 12_000))
+idx = build_index(g, k=15, w=10)
+model = GraphAlignerModel(g, idx, AlignerConfig())
+path_seq, _ = generate_path(g, seed=3)
+reads = simulate_reads(path_seq, 8, 900, seed=11, error_rate=0.10,
+                       len_std=150)
+out = model.align_batch(reads)
+rows = [[a.name, int(a.score),
+         hashlib.sha1(np.ascontiguousarray(
+             a.positions).tobytes()).hexdigest() if len(a.positions)
+         else ""] for a in out]
+print("RESULT " + json.dumps(rows))
+'''
+    env = {k: v for k, v in os.environ.items()}
+    env["PYTHONPATH"] = "/root/repo"
+
+    def run(ndev):
+        child = tmp_path / f"ga_child{ndev}.py"
+        child.write_text(CHILD % ndev)
+        r = subprocess.run([sys.executable, str(child)], env=env,
+                           capture_output=True, text=True, timeout=560,
+                           cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        line = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("RESULT ")][-1]
+        return json.loads(line[len("RESULT "):])
+
+    one = run(1)
+    eight = run(8)
+    assert one == eight
