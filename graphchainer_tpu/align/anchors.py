@@ -546,6 +546,27 @@ def _tl_xcells_shard_fn(S: int, max_in: int, n_levels, want_state: bool,
 
 
 @lru_cache(maxsize=None)
+def _packed_tl_shard_fn(S: int, max_in: int, n_levels, carried: bool,
+                        want_state: bool, want_xcells: bool,
+                        has_sb: bool):
+    """Positional closure over the packed lane-major kernel (GA mode's
+    want_xcells/carry/want_state variants) for parallel/device.shard_call
+    — same rationale as _walk_shard_fn: plain SPMD jit reshards the lane
+    transposes across devices at every op."""
+    def f(eq, ln, bb, bd, bp, bl, ss8, rq2, rw16, *rest):
+        i = 0
+        sb = rest[i] if has_sb else None
+        i += int(has_sb)
+        ci = tuple(rest[i:i + 3]) if carried else None
+        return frag_align.align_fragments_packed_out_tl(
+            eq, ln, bb, bd, bp, ss8, rq2, rw16, n_slices=S,
+            max_in=max_in, band_level=bl, n_levels=n_levels,
+            seed_base=sb, carry_in=ci, want_state=want_state,
+            want_xcells=want_xcells)
+    return f
+
+
+@lru_cache(maxsize=None)
 def _walk_shard_fn(S: int, max_in: int, n_levels: int, dedup: bool):
     """Positional closure over the packed+walk fragment kernel for
     parallel/device.shard_call (stable identity per static config; the
@@ -685,7 +706,21 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                                                   (0, 0))))
             ss8 = shard_rows(ss.astype(np.int8))
             rw16 = shard_rows(rw.astype(np.int16))
-            if want_xcells:
+            if want_xcells and ndev > 1:
+                # GA mode (xcells/carry/state) on >1 local device: the
+                # lane-major core under shard_map (same wire format)
+                from graphchainer_tpu.parallel.device import shard_call
+                fn = _packed_tl_shard_fn(S, max_in, n_levels,
+                                         ci is not None, want_state,
+                                         True, not sb_zero)
+                extra = () if sb_zero else (shard_rows(sb),)
+                if ci is not None:
+                    extra += ci
+                res = shard_call(
+                    fn, (dev_eq, dev_len, bb, bd, bp, bl, ss8, rq2,
+                         rw16) + extra,
+                    (False, False) + (True,) * (7 + len(extra)))
+            elif want_xcells:
                 res = frag_align.align_fragments_packed_out(
                     dev_eq, dev_len, bb, bd, bp, ss8, rq2, rw16,
                     n_slices=S, max_in=max_in, band_level=bl,
@@ -728,6 +763,20 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                     n_levels=n_levels,
                     seed_base=None if sb_zero else shard_rows(sb),
                     carry_in=ci, want_state=want_state)
+            elif ndev > 1:
+                # lane-major core with carry/state on >1 local device:
+                # shard_map keeps the lane transposes device-local
+                from graphchainer_tpu.parallel.device import shard_call
+                fn = _packed_tl_shard_fn(S, max_in, n_levels,
+                                         ci is not None, want_state,
+                                         False, not sb_zero)
+                extra = () if sb_zero else (shard_rows(sb),)
+                if ci is not None:
+                    extra += ci
+                res = shard_call(
+                    fn, (dev_eq, dev_len, bb, bd, bp, bl, ss8, rq2,
+                         rw16) + extra,
+                    (False, False) + (True,) * (7 + len(extra)))
             else:
                 # lane-major core: ~4x device throughput (fragments on
                 # the 128 VPU lanes)

@@ -420,23 +420,28 @@ class ChainerModel:
                 out[ri].score = oc.score
                 out[ri].ops = oc.ops
             if cfg.bubble_repair:
-                # polish-guided bubble repair (align/repair.py): wrong
-                # variant arms at word-granular walk ties are swapped for
-                # the arm matching the read; repaired reads re-polish in
+                # polish-guided bubble repair: wrong variant arms at
+                # word-granular walk ties are swapped for the arm matching
+                # the read (one whole-batch native pass — the Python
+                # oracle is align/repair.py); repaired reads re-polish in
                 # one extra batched call
-                from graphchainer_tpu.align.repair import repair_read
+                cand = [(ri, oc) for ri, oc in zip(polish_refs, outcomes)
+                        if oc.score > 0 and oc.ops is not None]
                 redo_r, redo_reads, redo_paths = [], [], []
-                for ri, oc in zip(polish_refs, outcomes):
-                    if oc.score <= 0 or oc.ops is None:
-                        continue
-                    fixed = repair_read(self.g, self.gx, reads[ri][1],
-                                        out[ri].positions, oc.ops)
-                    if fixed is not None:
-                        out[ri].positions = fixed
-                        redo_r.append(ri)
-                        redo_reads.append(reads[ri][1])
-                        redo_paths.append(
-                            self.gx.positions_seq(fixed))
+                if cand:
+                    with timers.stage("repair_scan", len(cand)):
+                        fixed_l = native.repair_batch(
+                            self.gx,
+                            [out[ri].positions for ri, _ in cand],
+                            [oc.ops for _, oc in cand],
+                            [reads[ri][1] for ri, _ in cand])
+                    for (ri, _), fixed in zip(cand, fixed_l):
+                        if fixed is not None:
+                            out[ri].positions = fixed
+                            redo_r.append(ri)
+                            redo_reads.append(reads[ri][1])
+                            redo_paths.append(
+                                self.gx.positions_seq(fixed))
                 if redo_r:
                     with timers.stage("repair", len(redo_r)):
                         redo = polish.polish_batch(

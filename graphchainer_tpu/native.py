@@ -537,3 +537,71 @@ def join_anchors_masked(walk_ok: np.ndarray, walk_mask: np.ndarray,
     lib.paths_free(h)
     return (ok, score, first_node, first_off, last_node, last_off,
             offsets, data)
+
+
+def repair_batch(gx, positions_list, ops_list, reads, max_arm_len: int = 32):
+    """Whole-batch polish-guided bubble repair (align/repair.py ported to
+    the C++ runtime; semantics pinned by
+    tests/test_repair.py::test_native_repair_matches_python).
+
+    positions_list: per read, (P, 2) int64 positions (or None/empty);
+    ops_list: per read, polish CIGAR op codes (or None); reads: read
+    strings.  Returns a list of repaired (n, 2) arrays (None = no change).
+    """
+    lib = get_lib()
+    if not hasattr(lib, "_repair_sig"):
+        _U8P = ctypes.POINTER(ctypes.c_uint8)
+        lib.repair_batch.restype = ctypes.c_void_p
+        lib.repair_batch.argtypes = (
+            [ctypes.c_int64] + [_I64P] * 5 + [_U8P] + [_I64P] * 3
+            + [ctypes.c_int64] + [_I64P] * 4 + [_U8P, _U8P, _I64P]
+            + [ctypes.c_int64, _I64P])
+        lib._repair_sig = True
+    g = gx.g
+    nr = len(reads)
+    pos_off = np.zeros(nr + 1, dtype=np.int64)
+    ops_off = np.zeros(nr + 1, dtype=np.int64)
+    read_off = np.zeros(nr + 1, dtype=np.int64)
+    pos_parts, ops_parts = [], []
+    for i in range(nr):
+        p = positions_list[i]
+        o = ops_list[i]
+        if p is None or o is None or len(p) == 0:
+            p = np.zeros((0, 2), dtype=np.int64)
+            o = np.zeros(0, dtype=np.uint8)
+        pos_parts.append(np.ascontiguousarray(p, dtype=np.int64))
+        ops_parts.append(np.ascontiguousarray(o, dtype=np.uint8))
+        pos_off[i + 1] = pos_off[i] + len(pos_parts[-1])
+        ops_off[i + 1] = ops_off[i] + len(ops_parts[-1])
+        read_off[i + 1] = read_off[i] + len(reads[i])
+    pos_cat = (np.concatenate(pos_parts, axis=0) if pos_off[-1]
+               else np.zeros((1, 2), dtype=np.int64))
+    pos_nodes = np.ascontiguousarray(pos_cat[:, 0])
+    pos_offs = np.ascontiguousarray(pos_cat[:, 1])
+    ops_cat = (np.concatenate(ops_parts) if ops_off[-1]
+               else np.zeros(1, dtype=np.uint8))
+    read_bytes = np.frombuffer("".join(reads).encode("ascii") or b"\0",
+                               dtype=np.uint8)
+    i64 = lambda a: np.ascontiguousarray(a, dtype=np.int64)
+    di_base = i64(gx.di_base)
+    orig_node = i64(g.orig_node)
+    orig_offset = i64(g.orig_offset)
+    changed = np.zeros(nr, dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    h = lib.repair_batch(
+        ctypes.c_int64(g.n_nodes), _ptr(gx.out_ptr), _ptr(gx.out_idx),
+        _ptr(gx.in_ptr), _ptr(gx.in_idx), _ptr(gx.node_len64),
+        gx.seq_bytes.ctypes.data_as(u8p), _ptr(di_base), _ptr(orig_node),
+        _ptr(orig_offset), ctypes.c_int64(nr), _ptr(pos_off),
+        _ptr(pos_nodes), _ptr(pos_offs), _ptr(ops_off),
+        ops_cat.ctypes.data_as(u8p), read_bytes.ctypes.data_as(u8p),
+        _ptr(read_off), ctypes.c_int64(max_arm_len), _ptr(changed))
+    sizes = np.empty(2, dtype=np.int64)
+    lib.paths_sizes(h, _ptr(sizes))
+    nq, ndata = int(sizes[0]), int(sizes[1])
+    offsets = np.empty(nq + 1, dtype=np.int64)
+    data = np.empty(max(ndata, 1), dtype=np.int64)
+    lib.paths_copy(h, _ptr(offsets), _ptr(data))
+    lib.paths_free(h)
+    return [data[offsets[i]:offsets[i + 1]].reshape(-1, 2).copy()
+            if changed[i] else None for i in range(nr)]

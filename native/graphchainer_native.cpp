@@ -1545,6 +1545,236 @@ void matching_stats(const uint8_t* text, int64_t n, const int64_t* sa,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Polish-guided bubble repair, whole batch in one native pass (semantics
+// pinned against the Python oracle align/repair.py by
+// tests/test_repair.py::test_native_repair_matches_python; see that module's
+// docstring for the algorithm and the reference-divergence rationale).
+// Returns a PathsResult of repaired (node, off) pairs per read; changed[r]=0
+// rows are empty (caller keeps the original positions).
+
+void* repair_batch(
+    int64_t n_nodes, const int64_t* out_ptr, const int64_t* out_idx,
+    const int64_t* in_ptr, const int64_t* in_idx, const int64_t* node_len,
+    const uint8_t* seq_bytes, const int64_t* di_base,
+    const int64_t* orig_node, const int64_t* orig_offset, int64_t nr,
+    const int64_t* pos_off, const int64_t* pos_nodes, const int64_t* pos_offs,
+    const int64_t* ops_off, const uint8_t* ops_all,
+    const uint8_t* read_bytes, const int64_t* read_off,
+    int64_t max_arm_len, int64_t* changed) {
+  (void)n_nodes;
+  auto* res = new PathsResult();
+  res->offsets.push_back(0);
+  const int64_t BIGR = (int64_t)1 << 60;
+  const uint8_t OPM = 0, OPD = 1, OPI = 2;  // match / del / ins (3=mismatch)
+  vector<int64_t> nw_prev, nw_cur;
+  auto nw_small = [&](const uint8_t* a, int64_t la, const uint8_t* b,
+                      int64_t lb) -> int64_t {
+    nw_prev.resize(lb + 1);
+    nw_cur.resize(lb + 1);
+    for (int64_t j = 0; j <= lb; j++) nw_prev[j] = j;
+    for (int64_t i = 0; i < la; i++) {
+      nw_cur[0] = i + 1;
+      for (int64_t j = 1; j <= lb; j++) {
+        int64_t c = std::min(nw_prev[j - 1] + (b[j - 1] != a[i] ? 1 : 0),
+                             nw_prev[j] + 1);
+        nw_cur[j] = std::min(c, nw_cur[j - 1] + 1);
+      }
+      std::swap(nw_prev, nw_cur);
+    }
+    return nw_prev[lb];
+  };
+  auto seq_at = [&](int64_t v) -> const uint8_t* {
+    return seq_bytes + di_base[orig_node[v]] + orig_offset[v];
+  };
+  // sorted-unique {w : u -> w and w -> x}, minus `exclude`
+  auto arm_set = [&](int64_t u, int64_t x, int64_t exclude,
+                     vector<int64_t>& arms) {
+    arms.clear();
+    for (int64_t e = out_ptr[u]; e < out_ptr[u + 1]; e++) {
+      int64_t w = out_idx[e];
+      if (w == exclude) continue;
+      for (int64_t f = in_ptr[x]; f < in_ptr[x + 1]; f++)
+        if (in_idx[f] == w) {
+          arms.push_back(w);
+          break;
+        }
+    }
+    std::sort(arms.begin(), arms.end());
+    arms.erase(std::unique(arms.begin(), arms.end()), arms.end());
+  };
+  struct Splice {
+    int64_t p0, p1;
+    vector<int64_t> cand;
+  };
+  vector<int64_t> pi, ri, r_min, r_max, run_id, run_start, rc, arms, arms2;
+  vector<uint8_t> run_dirty, run_spliced, catbuf;
+  vector<Splice> splices;
+  vector<vector<int64_t>> cands;
+  for (int64_t r = 0; r < nr; r++) {
+    changed[r] = 0;
+    int64_t P = pos_off[r + 1] - pos_off[r];
+    int64_t nops = ops_off[r + 1] - ops_off[r];
+    const int64_t* nodes = pos_nodes + pos_off[r];
+    const int64_t* offs = pos_offs + pos_off[r];
+    const uint8_t* ops = ops_all + ops_off[r];
+    const uint8_t* read = read_bytes + read_off[r];
+    int64_t rlen = read_off[r + 1] - read_off[r];
+    bool any_edit = false;
+    for (int64_t k = 0; k < nops; k++) any_edit |= ops[k] != OPM;
+    if (P == 0 || !any_edit) {
+      res->offsets.push_back((int64_t)res->data.size());
+      continue;
+    }
+    // per-op path/read indices (exclusive prefix sums), per-path-index
+    // read spans, dirty runs
+    pi.resize(nops);
+    ri.resize(nops);
+    r_min.assign(P, BIGR);
+    r_max.assign(P, -1);
+    run_id.resize(P);
+    run_start.clear();
+    for (int64_t i = 0; i < P; i++) {
+      if (i == 0 || nodes[i] != nodes[i - 1]) run_start.push_back(i);
+      run_id[i] = (int64_t)run_start.size() - 1;
+    }
+    int64_t nruns = (int64_t)run_start.size();
+    run_dirty.assign(nruns, 0);
+    run_spliced.assign(nruns, 0);
+    int64_t pacc = 0, racc = 0;
+    for (int64_t k = 0; k < nops; k++) {
+      int64_t pstep = ops[k] != OPI ? 1 : 0;
+      int64_t rstep = ops[k] != OPD ? 1 : 0;
+      int64_t p = std::min(pacc, P - 1);
+      pi[k] = p;
+      ri[k] = racc;
+      pacc += pstep;
+      racc += rstep;
+      r_min[p] = std::min(r_min[p], ri[k]);
+      r_max[p] = std::max(r_max[p], ri[k] + rstep);
+      if (ops[k] != OPM) run_dirty[run_id[p]] = 1;
+    }
+    splices.clear();
+    for (int64_t rid = 0; rid < nruns; rid++) {
+      if (!run_dirty[rid]) continue;
+      int64_t p0 = run_start[rid];
+      int64_t p1 = rid + 1 < nruns ? run_start[rid + 1] : P;
+      if (p0 == 0 || p1 >= P) continue;  // path ends: tails, skip
+      int64_t v = nodes[p0], lv = node_len[v];
+      if (lv > max_arm_len || p1 - p0 != lv) continue;
+      if (offs[p0] != 0 || offs[p1 - 1] != lv - 1) continue;
+      int64_t u = nodes[p0 - 1], x = nodes[p1];
+      if (u == v || x == v) continue;
+      // candidate replacements, in the oracle's order: [w] sibling arm,
+      // [] pure deletion (edge u->x), [v,w] missing arm after v,
+      // [w,v] missing arm before v
+      cands.clear();
+      arm_set(u, x, v, arms);
+      for (int64_t w : arms)
+        if (node_len[w] <= max_arm_len) cands.push_back({w});
+      bool ux_edge = false;
+      for (int64_t e = out_ptr[u]; e < out_ptr[u + 1] && !ux_edge; e++)
+        ux_edge = out_idx[e] == x;
+      if (ux_edge) cands.push_back({});
+      arm_set(v, x, -1, arms);
+      for (int64_t w : arms)
+        if (node_len[w] <= max_arm_len) cands.push_back({v, w});
+      arm_set(u, v, -1, arms);
+      for (int64_t w : arms)
+        if (node_len[w] <= max_arm_len) cands.push_back({w, v});
+      if (cands.empty()) continue;
+      int64_t r_lo = BIGR, r_hi = -1;
+      for (int64_t p = p0; p < p1; p++) {
+        r_lo = std::min(r_lo, r_min[p]);
+        r_hi = std::max(r_hi, r_max[p]);
+      }
+      if (r_lo >= BIGR) r_lo = r_hi = 0;
+      int64_t s0 = std::min(r_lo, rlen);
+      int64_t s1 = std::min(std::max(r_hi, r_lo), rlen);
+      if (s1 < s0) s1 = s0;
+      const uint8_t* seg = read + s0;
+      int64_t slen = s1 - s0;
+      int64_t best_cost = nw_small(seg, slen, seq_at(v), lv);
+      int64_t best = -1;
+      for (size_t ci = 0; ci < cands.size(); ci++) {
+        catbuf.clear();
+        for (int64_t w : cands[ci])
+          catbuf.insert(catbuf.end(), seq_at(w), seq_at(w) + node_len[w]);
+        int64_t c = nw_small(seg, slen, catbuf.data(),
+                             (int64_t)catbuf.size());
+        if (c < best_cost) {
+          best_cost = c;
+          best = (int64_t)ci;
+        }
+      }
+      if (best >= 0) {
+        splices.push_back({p0, p1, cands[best]});
+        run_spliced[rid] = 1;
+      }
+    }
+    // missing-arm insertions between two path nodes u|x
+    rc.assign(P, -1);
+    for (int64_t k = 0; k < nops; k++)
+      if (ops[k] == OPM || ops[k] == 3) rc[pi[k]] = ri[k];
+    for (int64_t rid = 0; rid < nruns; rid++) {
+      if (!run_dirty[rid]) continue;
+      int64_t p = run_start[rid];
+      if (p == 0 || run_spliced[rid] ||
+          (rid > 0 && run_spliced[rid - 1]))
+        continue;
+      if (rc[p] < 0 || rc[p - 1] < 0) continue;
+      int64_t gap = rc[p] - rc[p - 1] - 1;
+      if (gap < 1) continue;
+      int64_t u = nodes[p - 1], x = nodes[p];
+      arm_set(u, x, -1, arms2);
+      if (arms2.empty()) continue;
+      int64_t s0 = rc[p - 1] + 1, s1 = rc[p];
+      const uint8_t* seg = read + s0;
+      int64_t slen = s1 - s0;
+      int64_t best_cost = slen;  // current: all insertions
+      int64_t best = -1;
+      for (int64_t w : arms2) {
+        if (node_len[w] > max_arm_len) continue;
+        int64_t c = nw_small(seg, slen, seq_at(w), node_len[w]);
+        if (c < best_cost) {
+          best_cost = c;
+          best = w;
+        }
+      }
+      if (best >= 0) splices.push_back({p, p, {best}});
+    }
+    if (splices.empty()) {
+      res->offsets.push_back((int64_t)res->data.size());
+      continue;
+    }
+    std::stable_sort(splices.begin(), splices.end(),
+                     [](const Splice& a, const Splice& b) {
+                       return a.p0 != b.p0 ? a.p0 < b.p0 : a.p1 < b.p1;
+                     });
+    changed[r] = 1;
+    int64_t last = 0;
+    for (const Splice& sp : splices) {
+      if (sp.p0 < last) continue;  // overlapping repair: keep first
+      for (int64_t i = last; i < sp.p0; i++) {
+        res->data.push_back(nodes[i]);
+        res->data.push_back(offs[i]);
+      }
+      for (int64_t w : sp.cand)
+        for (int64_t o = 0; o < node_len[w]; o++) {
+          res->data.push_back(w);
+          res->data.push_back(o);
+        }
+      last = sp.p1;
+    }
+    for (int64_t i = last; i < P; i++) {
+      res->data.push_back(nodes[i]);
+      res->data.push_back(offs[i]);
+    }
+    res->offsets.push_back((int64_t)res->data.size());
+  }
+  return (void*)res;
+}
+
 void paths_sizes(void* h, int64_t* sizes) {
   auto* r = (PathsResult*)h;
   sizes[0] = (int64_t)r->offsets.size() - 1;

@@ -96,3 +96,67 @@ def test_real_error_not_repaired(rng):
     ops = np.zeros(len(read), dtype=np.uint8)
     ops[40] = OP_MISMATCH
     assert repair_read(g, None, "".join(read), positions, ops) is None
+
+
+def test_native_repair_matches_python(rng):
+    """The C++ whole-batch repair (native.repair_batch) is splice-for-
+    splice identical to the Python oracle on pipeline-produced
+    positions+ops over a bubbly graph."""
+    from bench import build_bench_graph
+    from graphchainer_tpu import native
+    from graphchainer_tpu.align import polish
+    from graphchainer_tpu.align.anchors import GraphTensors
+    from graphchainer_tpu.graph.mpc import build_mpc
+    from graphchainer_tpu.graph.simulate import generate_path, \
+        simulate_reads
+    from graphchainer_tpu.index.minimizer import build_index
+    from graphchainer_tpu.models.chainer import ChainerConfig, ChainerModel
+
+    g = build_alignment_graph(build_bench_graph(rng, 4000))
+    mpc = build_mpc(g)
+    idx = build_index(g, k=11, w=6)
+    # bubble_repair off: align_batch yields the pre-repair positions+ops
+    model = ChainerModel(g, mpc, idx, ChainerConfig(bubble_repair=False,
+                                                    rescue_threshold=0))
+    path_seq, _ = generate_path(g, seed=5)
+    reads = simulate_reads(path_seq, 24, min(len(path_seq), 600), seed=9,
+                           error_rate=0.12)
+    out = model.align_batch(reads)
+    cases = [(reads[i][1], out[i].positions, out[i].ops)
+             for i in range(len(reads))
+             if out[i].ops is not None and len(out[i].positions)]
+    assert len(cases) >= 8          # the workload actually exercises it
+    got = native.repair_batch(model.gx, [p for _, p, _ in cases],
+                              [o for _, _, o in cases],
+                              [r for r, _, _ in cases])
+    n_changed = 0
+    for (read, positions, ops), fixed_n in zip(cases, got):
+        fixed_py = repair_read(g, None, read, positions, ops)
+        if fixed_py is None:
+            assert fixed_n is None
+        else:
+            n_changed += 1
+            assert fixed_n is not None
+            np.testing.assert_array_equal(fixed_n, fixed_py)
+    assert n_changed >= 1           # at least one repair actually fired
+
+
+def test_native_repair_synthetic_cases(rng):
+    """Native repair reproduces the oracle on the handcrafted cases
+    above (arm swap / deletion arm / insertion arm)."""
+    from graphchainer_tpu import native
+    from graphchainer_tpu.align.anchors import GraphTensors
+    g, bg = snp_graph(rng)
+    gx = GraphTensors.build(g)
+    read = bg.seqs[0] + "G" + bg.seqs[3]
+    positions = path_positions(g, ["h", "a", "t"], bg)
+    ops = np.zeros(len(read), dtype=np.uint8)
+    ops[20] = OP_MISMATCH
+    fixed_py = repair_read(g, None, read, positions, ops)
+    [fixed_n] = native.repair_batch(gx, [positions], [ops], [read])
+    np.testing.assert_array_equal(fixed_n, fixed_py)
+    # no-edit read: both sides decline
+    ops0 = np.zeros(len(read), dtype=np.uint8)
+    assert repair_read(g, None, read, positions, ops0) is None
+    [none_n] = native.repair_batch(gx, [positions], [ops0], [read])
+    assert none_n is None
