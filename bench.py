@@ -54,18 +54,22 @@ def _tpu_responsive(timeout_s: int = 150) -> bool:
 
 PLATFORM = os.environ.get("BENCH_PLATFORM")
 _fallback = False
-if not PLATFORM and not _tpu_responsive():
-    print("WARNING: TPU unresponsive (tunnel down?); benchmarking on "
-          "CPU — reads/s is NOT a TPU measurement", file=sys.stderr)
-    PLATFORM = "cpu"
-    _fallback = True
 
-from graphchainer_tpu.utils.jaxconfig import setup as _jax_setup
-_jax_setup()
 
-if PLATFORM:
-    import jax
-    jax.config.update("jax_platforms", PLATFORM)
+def _init_platform():
+    """Pick the benchmark platform (import-time side effects kept out of
+    module import so scripts can reuse the graph builder)."""
+    global PLATFORM, _fallback
+    if not PLATFORM and not _tpu_responsive():
+        print("WARNING: TPU unresponsive (tunnel down?); benchmarking on "
+              "CPU — reads/s is NOT a TPU measurement", file=sys.stderr)
+        PLATFORM = "cpu"
+        _fallback = True
+    from graphchainer_tpu.utils.jaxconfig import setup as _jax_setup
+    _jax_setup()
+    if PLATFORM:
+        import jax
+        jax.config.update("jax_platforms", PLATFORM)
 
 def load_baseline():
     """(reads_per_s, provenance): measured reference-binary number when
@@ -124,6 +128,7 @@ def build_bench_graph(rng, total_bp: int):
 
 
 def main():
+    _init_platform()
     n_reads = int(os.environ.get("BENCH_READS", 960))
     read_len = int(os.environ.get("BENCH_READ_LEN", 3000))
     graph_bp = int(os.environ.get("BENCH_GRAPH_BP", 60_000))
@@ -149,7 +154,11 @@ def main():
                            error_rate=0.10, len_std=read_len // 10)
 
     # warmup / compile on the first batch
+    from graphchainer_tpu.utils import timers
+    tw = time.time()
     model.align_batch(reads[:batch])
+    warmup_s = time.time() - tw
+    timers.reset()   # per-stage report covers the timed region only
 
     t1 = time.time()
     aligned = 0
@@ -177,9 +186,17 @@ def main():
     baseline, baseline_prov = load_baseline()
 
     if os.environ.get("BENCH_VERBOSE"):
-        from graphchainer_tpu.utils import timers
         timers.report(out=sys.stderr)
+        timers.report_counters(out=sys.stderr)
 
+    # per-stage wall (thread-summed) + DP-cell counters for the JSON
+    stages = {k: round(v[0], 3) for k, v in timers.snapshot().items()}
+    cells = timers.counters()
+    total_cells = sum(v for k, v in cells.items() if k.startswith("cells"))
+    # device-side blocking time (dispatch->download of kernel results,
+    # i.e. device compute + tunnel RTT; the rest of wall is host work)
+    dev_s = sum(v for k, v in stages.items() if k.endswith("_device"))
+    from graphchainer_tpu.ops.frag_align import pallas_frag_active
     result = {
         "metric": f"reads/s/chip ({read_len}bp 10%-err reads vs "
                   f"{graph_bp}bp synthetic variation graph, default CLC "
@@ -199,6 +216,14 @@ def main():
             "wall_s": round(dt, 3),
             "bp_per_s": round(total_bp / dt, 1),
             "index_build_s": round(t_index, 2),
+            "warmup_compile_s": round(warmup_s, 2),
+            "batch": batch,
+            "workers": workers,
+            "stage_s_threadsum": stages,
+            "dp_cells": cells,
+            "dp_cells_per_s": round(total_cells / dt, 1),
+            "device_blocked_s_threadsum": round(dev_s, 3),
+            "pallas_frag_active": pallas_frag_active(),
             "graph": g.stats(),
         },
     }

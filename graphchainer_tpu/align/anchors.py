@@ -642,7 +642,14 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
         _, first, inv = np.unique(key, axis=0, return_index=True,
                                   return_inverse=True)
         U = len(first)
-        Upad = -(-max(U, 1) // 256) * 256
+        # pow2 bucket (min 1024): a fine-grained pad (e.g. 256 steps)
+        # makes nearly every batch a fresh executable — tens of seconds
+        # of Mosaic/XLA compile each on the dev TPU, which dominated the
+        # r2 bench wall.  The u_ tables are tiny (~100B/row), so coarse
+        # padding costs only negligible upload bytes.
+        Upad = 1024
+        while Upad < U:
+            Upad *= 2
         pz = (0, Upad - U)
         u_bb = device_put_chunked(np.pad(base[first], pz))
         u_bd = device_put_chunked(np.pad(
@@ -661,10 +668,15 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
         out_words = (3 if walk else 2 + B * S // 4) \
             + (3 * B if want_state else 0) + (2 if want_xcells else 0)
         row_bytes = max(2 * B, 8 * S, out_words * 4)
-        # 512-row buckets: ~4x less padding waste than 2048 at a few more
-        # compile variants (persistently cached)
+        # pow2 buckets capped at the transfer limit: a fine 512-step
+        # bucket made nearly every batch (varying F) a fresh executable
+        # — tens of seconds of compile each on the dev TPU dominated the
+        # r2 bench wall.  pow2 keeps the variant count logarithmic.
         fmax = max(512, (max_batch_rows(row_bytes) // 512) * 512)
-        fchunk = min(-(-F // 512) * 512, fmax)
+        fchunk = 512
+        while fchunk < F and fchunk < fmax:
+            fchunk *= 2
+        fchunk = min(fchunk, fmax)
     else:
         row_bytes = max(B * 4, B * max_in, S * 16, B * S)
         fchunk = min(max_batch_rows(row_bytes), 2048)

@@ -272,6 +272,12 @@ def batch_arrays_cols(g: AlignmentGraph, mpc: MPCIndex,
                                                      per_read_ne)
 
     E = E or _bucket(int(per_read_ne.max(initial=1)), 512)
+    # pad the read axis to a pow2 bucket: R is the number of LIVE reads,
+    # which varies batch to batch — unpadded it makes nearly every batch
+    # a fresh kernel executable (tens of seconds of compile each on the
+    # dev TPU).  Padded rows have zero valid anchors; callers index
+    # results by live row, so the tail is simply ignored.
+    R = _bucket(R, 16)
     x = np.zeros((R, A), dtype=np.int32)
     y = np.zeros((R, A), dtype=np.int32)
     valid = np.zeros((R, A), dtype=bool)

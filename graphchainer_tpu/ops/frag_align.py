@@ -38,7 +38,7 @@ TPU re-design of the reference's GraphAlignerBitvectorBanded
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -843,6 +843,12 @@ def _frag_core_t(slot_eq_t, slot_len_t, band_in_t, band_level_t, req_t,
 
 
 _PALLAS_FRAG_OK = None
+
+
+def pallas_frag_active() -> Optional[bool]:
+    """Whether the Pallas fragment core Mosaic-compiled on this backend
+    (None: probe never ran — no kernel call reached the gate)."""
+    return _PALLAS_FRAG_OK
 
 
 def _pallas_frag_ok() -> bool:
