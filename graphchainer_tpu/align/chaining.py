@@ -191,9 +191,16 @@ def batch_arrays(g: AlignmentGraph, mpc: MPCIndex,
 def batch_arrays_cols(g: AlignmentGraph, mpc: MPCIndex,
                       counts: np.ndarray, s: np.ndarray, e: np.ndarray,
                       ax: np.ndarray, ay: np.ndarray,
-                      A: Optional[int] = None, E: Optional[int] = None):
+                      A: Optional[int] = None, E: Optional[int] = None,
+                      anchor_kmask: bool = False):
     """Columnar batch_arrays: per-read anchor counts plus flat
-    (start node, end node, x, y) arrays grouped by read."""
+    (start node, end node, x, y) arrays grouped by read.
+
+    anchor_kmask: emit the INSERT path bitmask per ANCHOR ("a_kmask",
+    (R, A, KW)) instead of per event ("ev_kmask", (R, E, KW)) — the mask
+    depends only on the anchor's end node, and the per-anchor form is
+    E/A-fold smaller on the wire (ops/chain_scan.py gathers per event on
+    device; results bit-identical)."""
     def _bucket(x, m):
         out = m
         while out < x:
@@ -206,14 +213,19 @@ def batch_arrays_cols(g: AlignmentGraph, mpc: MPCIndex,
     Atot = int(counts.sum())
     A = A or _bucket(int(counts.max(initial=1)), 64)
     if Atot == 0:
-        return dict(x=np.zeros((R, A), np.int32),
-                    y=np.zeros((R, A), np.int32),
-                    valid=np.zeros((R, A), bool),
-                    ev_type=np.full((R, E or 512), -1, np.int16),
-                    ev_anchor=np.zeros((R, E or 512), np.int16),
-                    ev_k=np.full((R, E or 512), -1, np.int16),
-                    ev_kmask=np.zeros((R, E or 512, kw), np.uint32),
-                    ev_group=np.full((R, E or 512), -1, np.int16))
+        Rp = _bucket(R, 16)
+        out = dict(x=np.zeros((Rp, A), np.int32),
+                   y=np.zeros((Rp, A), np.int32),
+                   valid=np.zeros((Rp, A), bool),
+                   ev_type=np.full((Rp, E or 512), -1, np.int16),
+                   ev_anchor=np.zeros((Rp, E or 512), np.int16),
+                   ev_k=np.full((Rp, E or 512), -1, np.int16),
+                   ev_group=np.full((Rp, E or 512), -1, np.int16))
+        if anchor_kmask:
+            out["a_kmask"] = np.zeros((Rp, A, kw), np.uint32)
+        else:
+            out["ev_kmask"] = np.zeros((Rp, E or 512, kw), np.uint32)
+        return out
 
     rid = np.repeat(np.arange(R, dtype=np.int64), counts)
     jloc = (np.arange(Atot, dtype=np.int64)
@@ -288,7 +300,6 @@ def batch_arrays_cols(g: AlignmentGraph, mpc: MPCIndex,
     ev_type = np.full((R, E), -1, dtype=np.int16)
     ev_anchor = np.zeros((R, E), dtype=np.int16)
     ev_k = np.full((R, E), -1, dtype=np.int16)
-    ev_kmask = np.zeros((R, E, kw), dtype=np.uint32)
     ev_group = np.full((R, E), -1, dtype=np.int16)
     keep = epos < E
     rr, pp = ev_r[keep], epos[keep]
@@ -296,8 +307,27 @@ def batch_arrays_cols(g: AlignmentGraph, mpc: MPCIndex,
     ev_anchor[rr, pp] = ev_j[keep]
     ev_k[rr, pp] = ev_kq[keep]
     ev_group[rr, pp] = grp[keep]
+    out = dict(x=x, y=y, valid=valid, ev_type=ev_type,
+               ev_anchor=ev_anchor, ev_k=ev_k, ev_group=ev_group)
 
     # INSERT kmask: OR the global-path bits of each end node's path set
+    if anchor_kmask:
+        # per ANCHOR (every anchor has exactly one INSERT event, and the
+        # mask depends only on its end node)
+        a_kmask = np.zeros((R, A, kw), dtype=np.uint32)
+        npk0 = mpc.nodepath_offsets[e]
+        npn = (mpc.nodepath_offsets[e + 1] - npk0).astype(np.int64)
+        NP = int(npn.sum())
+        prep = np.repeat(np.arange(Atot, dtype=np.int64), npn)
+        pflat = (np.arange(NP, dtype=np.int64)
+                 - np.repeat(np.cumsum(npn) - npn, npn) + npk0[prep])
+        gk = gbase[prep] + mpc.nodepath_k[pflat]
+        flat = (rid[prep] * A + jloc[prep]) * kw + gk // 32
+        np.bitwise_or.at(a_kmask.reshape(-1), flat,
+                         (np.uint32(1) << (gk % 32).astype(np.uint32)))
+        out["a_kmask"] = a_kmask
+        return out
+    ev_kmask = np.zeros((R, E, kw), dtype=np.uint32)
     ins = keep & (ev_t == EV_INSERT)
     if ins.any():
         ie = e[ev_aid[ins]]
@@ -311,8 +341,8 @@ def batch_arrays_cols(g: AlignmentGraph, mpc: MPCIndex,
         flat = ((ev_r[ins][prep] * E + epos[ins][prep]) * kw + gk // 32)
         np.bitwise_or.at(ev_kmask.reshape(-1), flat,
                          (np.uint32(1) << (gk % 32).astype(np.uint32)))
-    return dict(x=x, y=y, valid=valid, ev_type=ev_type, ev_anchor=ev_anchor,
-                ev_k=ev_k, ev_kmask=ev_kmask, ev_group=ev_group)
+    out["ev_kmask"] = ev_kmask
+    return out
 
 
 def best_chain(g: AlignmentGraph, anchors: Sequence[Anchor],

@@ -112,14 +112,25 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=None)
-def _kernel_fn(kernel_name: str, bw: int, max_steps: int):
-    """Stable callable identity per (kernel, bw, max_steps) so the
-    shard_map wrapper cache hits (parallel/device.shard_call)."""
+def _kernel_fn(kernel_name: str, bw: int, max_steps: int, ops_cap: int):
+    """Stable callable identity per (kernel, bw, max_steps, ops_cap) so
+    the shard_map wrapper cache hits (parallel/device.shard_call)."""
     kern = getattr(linear_align, kernel_name)
 
     def f(a, b, c, d):
-        return kern(a, b, c, d, bw, max_steps=max_steps)
+        return kern(a, b, c, d, bw, max_steps=max_steps, ops_cap=ops_cap)
     return f
+
+
+def _ops_cap(rmax: int, pmax: int, bw: int) -> int:
+    """Static size of the downloaded ops buffer: a backtrace walk takes
+    ~max(read, path) + O(band) steps in practice, far below the
+    read+path worst case that used to size the download (the dominant
+    wire bytes on the bandwidth-bound tunnel).  Overflow fails the read
+    (n_ops == -1), which the polish_batch band ramp retries wider — and
+    the cap grows with bw until it reaches the lossless read+path
+    bound."""
+    return min(rmax + pmax, -(-(max(rmax, pmax) + 4 * bw * W) // 16) * 16)
 
 
 def _polish_once(reads: Sequence[str], paths: Sequence[str],
@@ -176,15 +187,16 @@ def _polish_once(reads: Sequence[str], paths: Sequence[str],
     # read rows run under shard_map (parallel/device.shard_call) — the
     # lane-major core transposes reads onto the vector lanes, which
     # plain SPMD jit would reshard across devices at every op
+    cap = _ops_cap(rmax, pmax, bw)
     if ndev > 1:
         from graphchainer_tpu.parallel.device import shard_call
         w = asarray_chunked(shard_call(
-            _kernel_fn(kernel.__name__, bw, rmax + pmax),
+            _kernel_fn(kernel.__name__, bw, rmax + pmax, cap),
             (read_w, path_w, read_len, path_len), (True,) * 4))
     else:
         w = asarray_chunked(kernel(
             read_w, path_w, read_len, path_len, bw,
-            max_steps=rmax + pmax))
+            max_steps=rmax + pmax, ops_cap=cap))
     scores, n_ops, touched = w[:, 0], w[:, 1], w[:, 2] != 0
     ops2 = np.ascontiguousarray(w[:, 3:]).view(np.uint32)
     # unpack 2-bit ops (values beyond n_ops are padding)

@@ -359,10 +359,11 @@ class ChainerModel:
         with timers.stage("chain_scan", len(live)):
             arrs = batch_arrays_cols(
                 self.g, self.mpc, counts[live],
-                pdata[poff[keep]], pdata[poff[keep + 1] - 1], a_x, a_y)
+                pdata[poff[keep]], pdata[poff[keep + 1] - 1], a_x, a_y,
+                anchor_kmask=True)
             sres = chain_scan(**{k: arrs[k] for k in
                                  ("x", "y", "valid", "ev_type", "ev_anchor",
-                                  "ev_k", "ev_kmask", "ev_group")})
+                                  "ev_k", "a_kmask", "ev_group")})
             c_val = np.asarray(sres.c_val)
             c_pred = np.asarray(sres.c_pred)
 

@@ -36,7 +36,8 @@ class ChainScanResult(NamedTuple):
     c_pred: jax.Array   # (R, A) int32
 
 
-def chain_scan(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask, ev_group):
+def chain_scan(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask=None,
+               ev_group=None, a_kmask=None):
     """Run the chaining DP for a batch of reads.
 
     x, y:      (R, A) int32 anchor read intervals
@@ -46,6 +47,13 @@ def chain_scan(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask, ev_group):
     ev_k:      (R, E) int32 global path id for EV_QUERY
     ev_kmask:  (R, E, KW) uint32 path bitmask for EV_INSERT
     ev_group:  (R, E) int32 topo group id (tags the same-node scratch)
+    a_kmask:   (R, A, KW) uint32 PER-ANCHOR path bitmask — the INSERT
+               event's mask is a function of its anchor's end node, so
+               shipping it per anchor instead of per event cuts the
+               upload E/A-fold (the tunneled TPU is bandwidth-bound);
+               the device gathers the per-event row by ev_anchor.
+               Results are bit-identical (tests/test_chaining.py).
+               Exactly one of ev_kmask / a_kmask must be given.
     """
     # runtime guard for the int32 (value, pred) packing below: the max
     # chain value is bounded by the max read coverage, i.e. max(y) + 1
@@ -62,6 +70,9 @@ def chain_scan(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask, ev_group):
     if not isinstance(x, np.ndarray):
         # device/traced arrays (e.g. the driver's dryrun jit): no host
         # packing possible
+        if a_kmask is not None:
+            return _chain_scan_a(x, y, valid, ev_type, ev_anchor, ev_k,
+                                 a_kmask, ev_group)
         return _chain_scan(x, y, valid, ev_type, ev_anchor, ev_k,
                            ev_kmask, ev_group)
 
@@ -82,19 +93,21 @@ def chain_scan(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask, ev_group):
         ev_ta = None
     xn, yn = _narrow(x), _narrow(y)
     kn, gn = _narrow(ev_k), _narrow(ev_group)
-    if ev_kmask.size and int(ev_kmask.max()) < 256:
-        km = ev_kmask.astype(np.uint8)
-    elif ev_kmask.size and int(ev_kmask.max()) < 65536:
-        km = ev_kmask.astype(np.uint16)
+    kmask = ev_kmask if a_kmask is None else a_kmask
+    if kmask.size and int(kmask.max()) < 256:
+        km = kmask.astype(np.uint8)
+    elif kmask.size and int(kmask.max()) < 65536:
+        km = kmask.astype(np.uint16)
     else:
-        km = ev_kmask
+        km = kmask
 
     if ev_ta is not None:
         args = (xn, yn, valid, ev_ta, kn, km, gn)
-        fn = _chain_scan_packed
+        fn = (_chain_scan_packed if a_kmask is None
+              else _chain_scan_packed_a)
     else:
         args = (xn, yn, valid, ev_type, ev_anchor, kn, km, gn)
-        fn = _chain_scan_wide
+        fn = _chain_scan_wide if a_kmask is None else _chain_scan_wide_a
 
     # shard the read axis over the data mesh (reads are embarrassingly
     # parallel here; no-op on a single device)
@@ -135,6 +148,17 @@ def _chain_scan_packed(x, y, valid, ev_ta, ev_k, ev_kmask, ev_group):
 
 
 @jax.jit
+def _chain_scan_packed_a(x, y, valid, ev_ta, ev_k, a_kmask, ev_group):
+    ta = ev_ta.astype(jnp.int32)
+    res = _chain_scan_a(x.astype(jnp.int32), y.astype(jnp.int32), valid,
+                        (ta >> 13) - 1, ta & 0x1FFF,
+                        ev_k.astype(jnp.int32),
+                        a_kmask.astype(jnp.uint32),
+                        ev_group.astype(jnp.int32))
+    return jnp.concatenate([res.c_val, res.c_pred], axis=1)
+
+
+@jax.jit
 def _chain_scan_wide(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask,
                      ev_group):
     res = _chain_scan(x.astype(jnp.int32), y.astype(jnp.int32), valid,
@@ -144,6 +168,30 @@ def _chain_scan_wide(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask,
                       ev_kmask.astype(jnp.uint32),
                       ev_group.astype(jnp.int32))
     return jnp.concatenate([res.c_val, res.c_pred], axis=1)
+
+
+@jax.jit
+def _chain_scan_wide_a(x, y, valid, ev_type, ev_anchor, ev_k, a_kmask,
+                       ev_group):
+    res = _chain_scan_a(x.astype(jnp.int32), y.astype(jnp.int32), valid,
+                        ev_type.astype(jnp.int32),
+                        ev_anchor.astype(jnp.int32),
+                        ev_k.astype(jnp.int32),
+                        a_kmask.astype(jnp.uint32),
+                        ev_group.astype(jnp.int32))
+    return jnp.concatenate([res.c_val, res.c_pred], axis=1)
+
+
+@partial(jax.jit, static_argnames=())
+def _chain_scan_a(x, y, valid, ev_type, ev_anchor, ev_k, a_kmask,
+                  ev_group):
+    """_chain_scan with the INSERT kmask gathered per step from the
+    per-anchor table (bit-identical results; E/A-fold smaller upload)."""
+    kmask_ev = jnp.take_along_axis(
+        a_kmask, jnp.clip(ev_anchor.astype(jnp.int32), 0,
+                          x.shape[1] - 1)[..., None], 1)
+    return _chain_scan(x, y, valid, ev_type, ev_anchor, ev_k,
+                       kmask_ev, ev_group)
 
 
 @partial(jax.jit, static_argnames=())

@@ -434,19 +434,30 @@ def backtrace_device(dump_vp, dump_vn, dump_sb, dump_base, read_planes,
     return BacktraceResult(ops_rev=ops, n_ops=n, touched=touch)
 
 
-@partial(jax.jit, static_argnames=("bw", "max_steps"))
+@partial(jax.jit, static_argnames=("bw", "max_steps", "ops_cap"))
 def _backtrace_t(dump_vp, dump_vn, dump_sb, dump_base, planes_t, path_t,
-                 read_len, path_len, bw: int, max_steps: int):
+                 read_len, path_len, bw: int, max_steps: int,
+                 ops_cap: int = 0):
     """Banded-DP backtrace on the transposed dump.  Same walk semantics as
     backtrace_device, but every cell score is O(1): the dump carries the
     full per-word bottom scores, so no per-step word accumulation loop,
     and the running cell score is carried between steps instead of being
-    recomputed."""
+    recomputed.
+
+    ops_cap (0 = max_steps) bounds the EMITTED ops buffer: realistic
+    walks are ~max(read, path) + O(band) steps, far below the
+    read+path worst case, and the ops array dominates the download
+    bytes on the bandwidth-bound tunnel.  A walk longer than ops_cap
+    fails (n_ops == -1), which callers already treat as a band escape
+    and retry wider (align/polish.py doubles bw; the widest retry
+    passes a full-size cap, so the ramp stays lossless)."""
     P, _, R = dump_vp.shape
     RW = planes_t.shape[1]
     pc = jax.lax.population_count
     BIG = jnp.int32(1 << 26)
     rw_cap = (read_len + W - 1) // W
+    if not ops_cap or ops_cap > max_steps:
+        ops_cap = max_steps
 
     vp_flat = dump_vp.reshape(P * bw, R)
     vn_flat = dump_vn.reshape(P * bw, R)
@@ -501,6 +512,9 @@ def _backtrace_t(dump_vp, dump_vn, dump_sb, dump_base, planes_t, path_t,
                                  jnp.where(can_up, OP_INS, OP_NONE)))
         stuck = ~done & (op == OP_NONE)
         fail = fail | stuck
+        # ops-buffer overflow: still walking at the emit cap -> band
+        # escape (the wider retry raises the cap)
+        fail = fail | (~done & (i >= ops_cap))
         emit = ~done & ~fail
         cq = jnp.clip(c, 0, P - 1)
         base_c = gat(dump_base, cq)
@@ -516,8 +530,13 @@ def _backtrace_t(dump_vp, dump_vn, dump_sb, dump_base, planes_t, path_t,
         s_new = jnp.where(emit, jnp.where(go_diag, d,
                                           jnp.where(go_left, l, u)), s)
         done_new = done | ((r_new < 0) & (c_new < 0)) | fail
-        out_op = jnp.where(emit, op, jnp.uint8(OP_NONE)).astype(jnp.uint8)
-        buf = jax.lax.dynamic_update_index_in_dim(buf, out_op, i, 0)
+        # clamped write: once i >= ops_cap every lane is done or failed
+        # (emit False), so merging with the old row preserves the last
+        # real op of lanes that finished exactly at the cap
+        iw = jnp.minimum(i, ops_cap - 1)
+        old_row = jax.lax.dynamic_index_in_dim(buf, iw, 0, keepdims=False)
+        out_op = jnp.where(emit, op, old_row).astype(jnp.uint8)
+        buf = jax.lax.dynamic_update_index_in_dim(buf, out_op, iw, 0)
         return (i + 1, r_new, c_new, s_new, fail, done_new, touch, buf)
 
     def cond(carry):
@@ -532,10 +551,10 @@ def _backtrace_t(dump_vp, dump_vn, dump_sb, dump_base, planes_t, path_t,
     fail0 = (read_len <= 0) | (path_len <= 0)
     done0 = fail0
     touch0 = jnp.zeros((R,), bool)
-    buf0 = jnp.full((max_steps, R), jnp.uint8(OP_NONE))
+    buf0 = jnp.full((ops_cap, R), jnp.uint8(OP_NONE))
     (_, rf, cf, _, fail, done, touch, buf) = jax.lax.while_loop(
         cond, body, (jnp.int32(0), r0, c0, s0, fail0, done0, touch0, buf0))
-    ops = jnp.moveaxis(buf, 0, 1)            # (R, max_steps)
+    ops = jnp.moveaxis(buf, 0, 1)            # (R, ops_cap)
     complete = done & ~fail & (rf < 0) & (cf < 0)
     n = jnp.sum((ops != OP_NONE).astype(jnp.int32), axis=1)
     n = jnp.where(complete, n, -1)
@@ -688,10 +707,12 @@ def _pallas_core_ok() -> bool:
     return _PALLAS_OK
 
 
-@partial(jax.jit, static_argnames=("bw", "max_steps", "use_pallas"))
+@partial(jax.jit, static_argnames=("bw", "max_steps", "use_pallas",
+                                   "ops_cap"))
 def _polish_full_packed_impl(read_p4, path_p4, read_len, path_len,
                              bw: int, max_steps: int,
-                             use_pallas: bool) -> jax.Array:
+                             use_pallas: bool,
+                             ops_cap: int = 0) -> jax.Array:
     planes_t = jnp.transpose(expand_planes(read_p4), (2, 1, 0))
     path_t = jnp.transpose(expand_nibbles(path_p4), (1, 0)) \
         .astype(jnp.uint32)
@@ -712,7 +733,7 @@ def _polish_full_packed_impl(read_p4, path_p4, read_len, path_len,
     score = _score_from_dump_t(dvp, dvn, dsb, dbase, read_len, path_len,
                                bw)
     bt = _backtrace_t(dvp, dvn, dsb, dbase, planes_t, path_t, read_len,
-                      path_len, bw, max_steps)
+                      path_len, bw, max_steps, ops_cap)
     ops2 = jax.lax.bitcast_convert_type(pack_ops2(bt.ops_rev), jnp.int32)
     out = jnp.concatenate(
         [score[:, None], bt.n_ops[:, None],
@@ -720,10 +741,12 @@ def _polish_full_packed_impl(read_p4, path_p4, read_len, path_len,
     return out[:read_p4.shape[0]]
 
 
-@partial(jax.jit, static_argnames=("bw", "max_steps", "use_pallas"))
+@partial(jax.jit, static_argnames=("bw", "max_steps", "use_pallas",
+                                   "ops_cap"))
 def _polish_full_packed2_impl(read_c2, path_c2, read_len, path_len,
                               bw: int, max_steps: int,
-                              use_pallas: bool) -> jax.Array:
+                              use_pallas: bool,
+                              ops_cap: int = 0) -> jax.Array:
     """_polish_full_packed_impl on the 2-bit pure-ACGT wire format
     (HALF the upload bytes of the 4-bit nibble format)."""
     planes_t = jnp.transpose(expand_planes2(read_c2), (2, 1, 0))
@@ -746,7 +769,7 @@ def _polish_full_packed2_impl(read_c2, path_c2, read_len, path_len,
     score = _score_from_dump_t(dvp, dvn, dsb, dbase, read_len, path_len,
                                bw)
     bt = _backtrace_t(dvp, dvn, dsb, dbase, planes_t, path_t, read_len,
-                      path_len, bw, max_steps)
+                      path_len, bw, max_steps, ops_cap)
     ops2 = jax.lax.bitcast_convert_type(pack_ops2(bt.ops_rev), jnp.int32)
     out = jnp.concatenate(
         [score[:, None], bt.n_ops[:, None],
@@ -755,15 +778,16 @@ def _polish_full_packed2_impl(read_c2, path_c2, read_len, path_len,
 
 
 def polish_full_packed2(read_c2, path_c2, read_len, path_len, bw: int,
-                        max_steps: int) -> jax.Array:
+                        max_steps: int, ops_cap: int = 0) -> jax.Array:
     """polish_full_packed over 2-bit base codes (pure-ACGT batches)."""
     return _polish_full_packed2_impl(read_c2, path_c2, read_len,
                                      path_len, bw, max_steps,
-                                     use_pallas=_pallas_core_ok())
+                                     use_pallas=_pallas_core_ok(),
+                                     ops_cap=ops_cap)
 
 
 def polish_full_packed(read_p4, path_p4, read_len, path_len, bw: int,
-                       max_steps: int) -> jax.Array:
+                       max_steps: int, ops_cap: int = 0) -> jax.Array:
     """Score + backtrace in ONE device call with ONE packed result array
     (the tunnel charges a fixed round trip per call/download): per read
       word 0: score, word 1: n_ops, word 2: touched,
@@ -773,4 +797,5 @@ def polish_full_packed(read_p4, path_p4, read_len, path_len, bw: int,
     when the backend's Mosaic lowering supports it."""
     return _polish_full_packed_impl(read_p4, path_p4, read_len, path_len,
                                     bw, max_steps,
-                                    use_pallas=_pallas_core_ok())
+                                    use_pallas=_pallas_core_ok(),
+                                    ops_cap=ops_cap)

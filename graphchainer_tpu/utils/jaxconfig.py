@@ -2,12 +2,45 @@
 
 The engine's kernels are compiled per padded-shape bucket; the persistent
 cache makes repeat processes (CLI runs, benchmarks, tests) skip
-compilation entirely."""
+compilation entirely.
+
+The cache directory is suffixed with a machine fingerprint (CPU feature
+flags): XLA:CPU serializes AOT executables specialized to the compiling
+host's vector extensions, and loading them on a different host SIGILLs /
+segfaults inside jaxlib's cache deserialize (observed as the r2 test-gate
+crash: `Loading XLA:CPU AOT result ... could lead to execution errors
+such as SIGILL`).  A per-machine directory makes cross-host reuse
+impossible by construction."""
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
 _done = False
+
+
+def machine_tag() -> str:
+    """Short fingerprint of the CPU the process runs on (feature flags
+    change the validity of XLA:CPU AOT executables)."""
+    txt = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    txt += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(txt.encode()).hexdigest()[:10]
+
+
+def cache_dir() -> str:
+    base = os.environ.get("GRAPHCHAINER_JAX_CACHE",
+                          os.path.expanduser("~/.cache/jax"))
+    if not base:
+        return base
+    return os.path.join(base, machine_tag())
 
 
 def setup():
@@ -23,8 +56,7 @@ def setup():
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
-    cache = os.environ.get("GRAPHCHAINER_JAX_CACHE",
-                           os.path.expanduser("~/.cache/jax"))
+    cache = cache_dir()
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

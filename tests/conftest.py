@@ -22,10 +22,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: the fragment/chain/polish kernels are expensive
-# to compile on the CPU backend; cache them across test runs
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# to compile on the CPU backend; cache them across test runs.  The cache
+# dir is machine-fingerprinted (utils/jaxconfig.cache_dir): XLA:CPU AOT
+# executables are host-CPU-specific, and loading another host's entries
+# segfaults inside jaxlib deserialize (the r2 test-gate crash).
+from graphchainer_tpu.utils.jaxconfig import cache_dir  # noqa: E402
+
+_cache = cache_dir()
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 @pytest.fixture

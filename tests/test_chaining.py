@@ -170,3 +170,34 @@ def test_batch_arrays_matches_build_events(seed):
             arrs["y"][r, :n], [a.y for a in anchors])
         assert arrs["valid"][r, :n].all()
         assert not arrs["valid"][r, n:].any()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_anchor_kmask_scan_matches_event_kmask(seed):
+    """chain_scan over the per-ANCHOR kmask table (a_kmask, the slim
+    wire form) is bit-identical to the per-event kmask path."""
+    from graphchainer_tpu.align.chaining import batch_arrays_cols
+    from graphchainer_tpu.ops.chain_scan import chain_scan
+    rng = np.random.default_rng(700 + seed)
+    bg = random_dag_bigraph(rng, n_seg=10, p_edge=0.3, max_len=5)
+    g = build_alignment_graph(bg)
+    mpc = build_mpc(g)
+    per_read = [random_anchors(rng, g, int(rng.integers(1, 18)))
+                for _ in range(5)]
+    counts = np.array([len(a) for a in per_read], dtype=np.int64)
+    s = np.array([a.path[0] for anc in per_read for a in anc])
+    e = np.array([a.path[-1] for anc in per_read for a in anc])
+    ax = np.array([a.x for anc in per_read for a in anc])
+    ay = np.array([a.y for anc in per_read for a in anc])
+    ev = batch_arrays_cols(g, mpc, counts, s, e, ax, ay)
+    an = batch_arrays_cols(g, mpc, counts, s, e, ax, ay,
+                           anchor_kmask=True)
+    keys = ("x", "y", "valid", "ev_type", "ev_anchor", "ev_k", "ev_group")
+    for k in keys:
+        np.testing.assert_array_equal(ev[k], an[k])
+    r_ev = chain_scan(**{k: ev[k] for k in keys}, ev_kmask=ev["ev_kmask"])
+    r_an = chain_scan(**{k: an[k] for k in keys}, a_kmask=an["a_kmask"])
+    np.testing.assert_array_equal(np.asarray(r_ev.c_val),
+                                  np.asarray(r_an.c_val))
+    np.testing.assert_array_equal(np.asarray(r_ev.c_pred),
+                                  np.asarray(r_an.c_pred))
