@@ -591,6 +591,126 @@ def _walk_shard_fn(S: int, max_in: int, n_levels: int, dedup: bool):
 BI_P16_PAD = np.uint16(0x3210)
 
 
+class BandCache:
+    """Process-lifetime device-resident table of DISTINCT packed bands.
+
+    Seeds are graph positions, so the same band rows recur across
+    batches (and across reads within a batch); on the bandwidth-bound
+    tunneled TPU re-uploading them every batch dominated the fragment
+    stage's wire bytes.  The cache keeps the packed band tables
+    (base/bn_d16/bi_p16/band_level) on device and appends only rows
+    never seen before, in fixed 256-row chunks through ONE jit call
+    (shapes stay stable; the table capacity grows in pow2 steps, each a
+    one-time recompile).  Fragments reference rows by stable int32 ids.
+
+    Thread-safe (align_batch runs from concurrent pipeline workers)."""
+
+    GROW_MIN = 1024
+    CHUNK = 256
+    MAX_ROWS = 1 << 17       # ~5.7MB at B=8; beyond this, reset
+
+    def __init__(self, B: int):
+        import threading
+        self.B = B
+        self.lock = threading.Lock()
+        self.map: dict = {}
+        self.n = 0
+        self.cap = 0
+        self.h_bb = np.zeros(0, np.int32)
+        self.h_bd = np.zeros((0, B), np.int16)
+        self.h_bp = np.zeros((0, B), np.uint16)
+        self.h_bl = np.zeros((0, B), np.int8)
+        self.d = None            # (u_bb, u_bd, u_bp, u_bl) device tables
+
+    @staticmethod
+    @lru_cache(maxsize=None)
+    def _append_fn():
+        import jax
+
+        @jax.jit
+        def _append(bb, bd, bp, bl, nb, nd, np_, nl, off):
+            return (jax.lax.dynamic_update_slice(bb, nb, (off,)),
+                    jax.lax.dynamic_update_slice(bd, nd, (off, 0)),
+                    jax.lax.dynamic_update_slice(bp, np_, (off, 0)),
+                    jax.lax.dynamic_update_slice(bl, nl, (off, 0)))
+        return _append
+
+    def _ensure_cap(self, need: int) -> bool:
+        """Grow the HOST arrays to a pow2 capacity >= need.  Returns True
+        when capacity changed (the device tables need a full re-upload
+        after the caller fills the fresh rows)."""
+        cap = max(self.cap, self.GROW_MIN)
+        while cap < need:
+            cap *= 2
+        if cap == self.cap and self.d is not None:
+            return False
+        self.cap = cap
+        pad = cap - len(self.h_bb)
+        self.h_bb = np.pad(self.h_bb, (0, pad))
+        self.h_bd = np.pad(self.h_bd, ((0, pad), (0, 0)),
+                           constant_values=frag_align.BN_PAD)
+        self.h_bp = np.pad(self.h_bp, ((0, pad), (0, 0)),
+                           constant_values=BI_P16_PAD)
+        self.h_bl = np.pad(self.h_bl, ((0, pad), (0, 0)),
+                           constant_values=-1)
+        return True
+
+    def _upload_full(self):
+        from graphchainer_tpu.parallel.device import device_put_chunked
+        self.d = tuple(device_put_chunked(a) for a in
+                       (self.h_bb, self.h_bd, self.h_bp, self.h_bl))
+
+    def lookup_add(self, base, bn_d16, bi_p16, blev):
+        """ids (F,) int32 + device tables for a batch of packed bands."""
+        F = len(base)
+        bl8 = np.ascontiguousarray(blev.astype(np.int8))
+        key = np.concatenate(
+            [base[:, None].view(np.uint8).reshape(F, -1),
+             np.ascontiguousarray(bn_d16).view(np.uint8).reshape(F, -1),
+             np.ascontiguousarray(bi_p16).view(np.uint8).reshape(F, -1),
+             bl8.view(np.uint8).reshape(F, -1)], axis=1)
+        _, first, inv = np.unique(key, axis=0, return_index=True,
+                                  return_inverse=True)
+        with self.lock:
+            if self.n + len(first) > self.MAX_ROWS:
+                self.map.clear()
+                self.n = 0
+            uid = np.empty(len(first), np.int32)
+            fresh = []
+            for u, f in enumerate(first):
+                got = self.map.get(key[f].tobytes())
+                if got is None:
+                    got = self.n
+                    self.map[key[f].tobytes()] = got
+                    self.n += 1
+                    fresh.append((u, f))
+                uid[u] = got
+            if fresh:
+                ff = np.array([f for _, f in fresh])
+                lo = self.n - len(fresh)   # fresh ids are contiguous
+                grew = self._ensure_cap(self.n)
+                self.h_bb[lo:self.n] = base[ff]
+                self.h_bd[lo:self.n] = bn_d16[ff]
+                self.h_bp[lo:self.n] = bi_p16[ff]
+                self.h_bl[lo:self.n] = bl8[ff]
+                if grew:
+                    self._upload_full()
+                else:
+                    # append only the fresh rows, in CHUNK-aligned
+                    # blocks (cap is a multiple of CHUNK, so aligned
+                    # writes never clamp; re-writing the block's
+                    # existing prefix rows is a no-op)
+                    app = self._append_fn()
+                    for c0 in range(lo - lo % self.CHUNK, self.n,
+                                    self.CHUNK):
+                        sl = slice(c0, c0 + self.CHUNK)
+                        self.d = app(*self.d, self.h_bb[sl],
+                                     self.h_bd[sl], self.h_bp[sl],
+                                     self.h_bl[sl], np.int32(c0))
+            d = self.d
+        return uid[inv].astype(np.int32), d
+
+
 def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                   band_in: np.ndarray, seed_shift: np.ndarray,
                   req: np.ndarray, rows: np.ndarray, S: int, max_in: int,
@@ -629,38 +749,22 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
     walk = want_walk and packed is not None and B <= 32 and not want_xcells
     dedup = None
     if walk and carry_in is None:
-        # upload each DISTINCT band once per batch (seeds repeat across
-        # nearby windows/reads); per-fragment 4-byte indices gather the
-        # rows on device
+        # upload each DISTINCT band once per PROCESS (seeds are graph
+        # positions, so bands repeat across batches as well as across
+        # nearby windows/reads): the process-lifetime BandCache keeps
+        # the tables device-resident and appends only never-seen rows;
+        # per-fragment 4-byte indices gather the rows on device
         base, bn_d16, bi_p16, _ = packed
-        key = np.concatenate(
-            [base[:, None].view(np.uint8).reshape(F, -1),
-             np.ascontiguousarray(bn_d16).view(np.uint8).reshape(F, -1),
-             np.ascontiguousarray(bi_p16).view(np.uint8).reshape(F, -1),
-             band_level.astype(np.int8).view(np.uint8).reshape(F, -1)],
-            axis=1)
-        _, first, inv = np.unique(key, axis=0, return_index=True,
-                                  return_inverse=True)
-        U = len(first)
-        # pow2 bucket (min 1024): a fine-grained pad (e.g. 256 steps)
-        # makes nearly every batch a fresh executable — tens of seconds
-        # of Mosaic/XLA compile each on the dev TPU, which dominated the
-        # r2 bench wall.  The u_ tables are tiny (~100B/row), so coarse
-        # padding costs only negligible upload bytes.
-        Upad = 1024
-        while Upad < U:
-            Upad *= 2
-        pz = (0, Upad - U)
-        u_bb = device_put_chunked(np.pad(base[first], pz))
-        u_bd = device_put_chunked(np.pad(
-            bn_d16[first], (pz, (0, 0)),
-            constant_values=frag_align.BN_PAD))
-        u_bp = device_put_chunked(np.pad(bi_p16[first], (pz, (0, 0)),
-                                         constant_values=BI_P16_PAD))
-        u_bl = device_put_chunked(np.pad(
-            band_level[first].astype(np.int8), (pz, (0, 0)),
-            constant_values=-1))
-        dedup = (u_bb, u_bd, u_bp, u_bl, inv.astype(np.int32))
+        caches = getattr(gx, "_band_caches", None)
+        if caches is None:
+            caches = {}
+            gx._band_caches = caches
+        cache = caches.get(B)
+        if cache is None:
+            cache = caches[B] = BandCache(B)
+        ids, (u_bb, u_bd, u_bp, u_bl) = cache.lookup_add(
+            base, bn_d16, bi_p16, band_level)
+        dedup = (u_bb, u_bd, u_bp, u_bl, ids)
     if packed is not None:
         # packed wire rows are ~4x slimmer; whole batches usually fit one
         # call (each call costs a fixed tunnel round trip).  Chunk sizes

@@ -22,13 +22,25 @@ _done = False
 
 def machine_tag() -> str:
     """Short fingerprint of the CPU the process runs on (feature flags
-    change the validity of XLA:CPU AOT executables)."""
+    change the validity of XLA:CPU AOT executables).
+
+    Includes the model identity lines, not just the flags line: LLVM
+    derives tuning features (e.g. +prefer-no-gather) from the CPU
+    *model*, so two hosts with identical cpuinfo flags can still produce
+    mutually unloadable AOT executables (observed live: `Target machine
+    feature +prefer-no-gather is not supported on the host machine`)."""
     txt = platform.machine()
+    want = ("flags", "Features", "model name", "model", "cpu family",
+            "stepping", "vendor_id", "CPU implementer", "CPU part")
     try:
         with open("/proc/cpuinfo") as f:
+            seen = set()
             for line in f:
-                if line.startswith(("flags", "Features")):
+                key = line.split(":")[0].strip()
+                if key in want and key not in seen:
+                    seen.add(key)
                     txt += line
+                if len(seen) == len(want):
                     break
     except OSError:
         pass
