@@ -567,21 +567,28 @@ def _packed_tl_shard_fn(S: int, max_in: int, n_levels, carried: bool,
 
 
 @lru_cache(maxsize=None)
-def _walk_shard_fn(S: int, max_in: int, n_levels: int, dedup: bool):
+def _walk_shard_fn(S: int, max_in: int, n_levels: int, dedup: bool,
+                   rt: bool = False):
     """Positional closure over the packed+walk fragment kernel for
     parallel/device.shard_call (stable identity per static config; the
     lane-major core transposes fragments onto the vector lanes, which
-    plain SPMD jit would reshard across devices at every op)."""
+    plain SPMD jit would reshard across devices at every op).
+
+    rt: the rq2 slot carries packed read coords (rdc) instead, and a
+    trailing REPLICATED read-code table arg supplies the read content
+    (frag_align.req2_from_table builds the wire words on device)."""
     if dedup:
-        def f(eq, ln, bb, bd, bp, bl, bidx, ss8, rq2, rw16, sb):
+        def f(eq, ln, bb, bd, bp, bl, bidx, ss8, rq2, rw16, sb, *tbl):
             return frag_align.align_fragments_packed_out_tl_walk(
-                eq, ln, bb, bd, bp, ss8, rq2, rw16, n_slices=S,
+                eq, ln, bb, bd, bp, ss8,
+                (tbl[0], rq2) if rt else rq2, rw16, n_slices=S,
                 max_in=max_in, band_level=bl, n_levels=n_levels,
                 seed_base=sb, band_idx=bidx)
     else:
-        def f(eq, ln, bb, bd, bp, bl, ss8, rq2, rw16, sb):
+        def f(eq, ln, bb, bd, bp, bl, ss8, rq2, rw16, sb, *tbl):
             return frag_align.align_fragments_packed_out_tl_walk(
-                eq, ln, bb, bd, bp, ss8, rq2, rw16, n_slices=S,
+                eq, ln, bb, bd, bp, ss8,
+                (tbl[0], rq2) if rt else rq2, rw16, n_slices=S,
                 max_in=max_in, band_level=bl, n_levels=n_levels,
                 seed_base=sb)
     return f
@@ -719,7 +726,9 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                   carry_in: Optional[tuple] = None,
                   want_state: bool = False,
                   want_xcells: bool = False,
-                  want_walk: bool = False) -> frag_align.FragResult:
+                  want_walk: bool = False,
+                  read_src: Optional[tuple] = None
+                  ) -> frag_align.FragResult:
     """Run the fragment kernel over the whole job list, chunking the
     fragment axis so every transferred array stays under the device
     transfer cap, padding chunks to a fixed size for compile reuse.
@@ -732,7 +741,12 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
     want_walk:  fuse the backwalk on device and download a per-fragment
                 visited-slot mask instead of the (B, S) best_in matrix
                 (3 result words per fragment; packed path with B <= 32
-                only — other paths fall back to best_in)"""
+                only — other paths fall back to best_in)
+    read_src:   (dev_tbl, rid, start, rev) — per-BATCH device-resident
+                read-code table (R, W16) uint32 plus per-fragment read
+                coords; the walk path then uploads 4 bytes of coords per
+                fragment instead of the 8*S-byte req2 wire words, which
+                are rebuilt on device (frag_align.req2_from_table)"""
     from graphchainer_tpu.parallel.device import (asarray_chunked,
                                                   device_put_chunked,
                                                   max_batch_rows,
@@ -765,6 +779,17 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
         ids, (u_bb, u_bd, u_bp, u_bl) = cache.lookup_add(
             base, bn_d16, bi_p16, band_level)
         dedup = (u_bb, u_bd, u_bp, u_bl, ids)
+    # per-fragment packed read coords (replaces the req2 upload): only
+    # the walk path consumes them, and the packing needs rid < 4096,
+    # start < 2^17
+    rdc = tbl_dev = None
+    if walk and read_src is not None and F:
+        tbl_dev, rr, st, rv = read_src
+        if (len(rr) == F and int(rr.max(initial=0)) < 4096
+                and int(st.max(initial=0)) < (1 << 17)
+                and int(st.min(initial=0)) >= 0):
+            rdc = ((rr.astype(np.int64) << 18) | (st.astype(np.int64) << 1)
+                   | rv.astype(np.int64)).astype(np.int32)
     if packed is not None:
         # packed wire rows are ~4x slimmer; whole batches usually fit one
         # call (each call costs a fixed tunnel round trip).  Chunk sizes
@@ -818,8 +843,13 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                 bp = shard_rows(np.pad(bi_p16[lo:hi], ((0, pad), (0, 0)),
                                        constant_values=BI_P16_PAD))
                 bl = shard_rows(bl)
-            rq2 = shard_rows(np.pad(req2[lo:hi], ((0, pad), (0, 0),
-                                                  (0, 0))))
+            if rdc is not None:
+                # 4-byte read coords; wire words rebuilt on device from
+                # the batch read table
+                rq2 = shard_rows(np.pad(rdc[lo:hi], (0, pad)))
+            else:
+                rq2 = shard_rows(np.pad(req2[lo:hi], ((0, pad), (0, 0),
+                                                      (0, 0))))
             ss8 = shard_rows(ss.astype(np.int8))
             rw16 = shard_rows(rw.astype(np.int16))
             if want_xcells and ndev > 1:
@@ -849,23 +879,29 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                 # transposes stay device-local (parallel/device.shard_call)
                 from graphchainer_tpu.parallel.device import shard_call
                 fn = _walk_shard_fn(S, max_in, n_levels,
-                                    dedup is not None)
+                                    dedup is not None, rdc is not None)
+                tbl_extra = (tbl_dev,) if rdc is not None else ()
+                tbl_flags = (False,) * len(tbl_extra)
                 if dedup is not None:
                     u_bb, u_bd, u_bp, u_bl, inv = dedup
                     bidx = np.pad(inv[lo:hi], (0, pad))
                     res = shard_call(fn, (dev_eq, dev_len, u_bb, u_bd,
                                           u_bp, u_bl, bidx, ss8, rq2,
-                                          rw16, sb),
-                                     (False,) * 6 + (True,) * 5)
+                                          rw16, sb) + tbl_extra,
+                                     (False,) * 6 + (True,) * 5
+                                     + tbl_flags)
                 else:
                     res = shard_call(fn, (dev_eq, dev_len, bb, bd, bp,
-                                          bl, ss8, rq2, rw16, sb),
-                                     (False, False) + (True,) * 8)
+                                          bl, ss8, rq2, rw16, sb)
+                                     + tbl_extra,
+                                     (False, False) + (True,) * 8
+                                     + tbl_flags)
             elif walk and dedup is not None:
                 u_bb, u_bd, u_bp, u_bl, inv = dedup
                 bidx = shard_rows(np.pad(inv[lo:hi], (0, pad)))
                 res = frag_align.align_fragments_packed_out_tl_walk(
-                    dev_eq, dev_len, u_bb, u_bd, u_bp, ss8, rq2, rw16,
+                    dev_eq, dev_len, u_bb, u_bd, u_bp, ss8,
+                    (tbl_dev, rq2) if rdc is not None else rq2, rw16,
                     n_slices=S, max_in=max_in, band_level=u_bl,
                     n_levels=n_levels,
                     seed_base=None if sb_zero else shard_rows(sb),
@@ -874,7 +910,8 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
                 # lane-major core + device-fused backwalk: 3 result
                 # words per fragment instead of 2 + (B*S)/4
                 res = frag_align.align_fragments_packed_out_tl_walk(
-                    dev_eq, dev_len, bb, bd, bp, ss8, rq2, rw16,
+                    dev_eq, dev_len, bb, bd, bp, ss8,
+                    (tbl_dev, rq2) if rdc is not None else rq2, rw16,
                     n_slices=S, max_in=max_in, band_level=bl,
                     n_levels=n_levels,
                     seed_base=None if sb_zero else shard_rows(sb),

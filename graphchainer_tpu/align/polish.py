@@ -56,7 +56,7 @@ MAX_BAND_WORDS = 32      # widest retry band: 32 words = 1024 rows
 
 
 def polish_batch(reads: Sequence[str], paths: Sequence[str],
-                 bw: int = 8) -> List[PolishOutcome]:
+                 bw: int = 8, table=None) -> List[PolishOutcome]:
     """Global NW of each read vs its path sequence; batched on device.
 
     Reads whose optimal path escapes the bw-word band (backtrace returns
@@ -66,8 +66,15 @@ def polish_batch(reads: Sequence[str], paths: Sequence[str],
     MAX_BAND_WORDS — the TPU analogue of the reference's ramp-bandwidth
     retry (src/GraphAlignerBitvectorBanded.h:572-644 applies the same
     idea to the extension band; edlib, which the reference calls for this
-    exact step, doubles k the same way)."""
-    out = _polish_once(reads, paths, bw)
+    exact step, doubles k the same way).
+
+    table: optional (dev_tbl, row_idx) — a per-batch DEVICE-RESIDENT
+    read-code table ((R, W16) uint32, polish.pack_codes2 layout) plus
+    the table row of each read.  The kernel then gathers the read words
+    on device instead of re-uploading them (the reads themselves are
+    only used for their lengths).  Caller guarantees rows row_idx[i]
+    hold exactly reads[i]'s codes (pure ACGT)."""
+    out = _polish_once(reads, paths, bw, table)
     while bw < MAX_BAND_WORDS:
         bad = [i for i, oc in enumerate(out)
                if (oc.ops is None or oc.touched)
@@ -76,7 +83,9 @@ def polish_batch(reads: Sequence[str], paths: Sequence[str],
             break
         bw *= 2
         redo = _polish_once([reads[i] for i in bad],
-                            [paths[i] for i in bad], bw)
+                            [paths[i] for i in bad], bw,
+                            (table[0], table[1][bad])
+                            if table is not None else None)
         for i, oc in zip(bad, redo):
             out[i] = oc
     return out
@@ -111,6 +120,30 @@ def pack_codes2(mm: np.ndarray) -> np.ndarray:
 from functools import lru_cache
 
 
+def build_read_table(seqs: Sequence[str]):
+    """Per-batch DEVICE-RESIDENT read-code table: (Rp, rmax/16) uint32,
+    16 2-bit base codes per word LSB-first (pack_codes2 layout == the
+    fragment kernel's req2 word layout, ops/frag_align.py
+    req2_from_table).  Uploaded ONCE per batch and shared by the
+    fragment kernel, the polish pass and the repair re-polish — each
+    then wires only indices.  Returns None when any read has an
+    IUPAC-ambiguous base (the consumers fall back to their self-
+    contained wire formats).  Row/width buckets are pow2 so repeat
+    batches reuse compiled executables."""
+    R = len(seqs)
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    rmax = _round_up(int(lens.max()) if R else 1, 1024)
+    Rp = _round_up(R, 16)
+    mm = np.zeros((Rp, rmax), dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        mm[i, :len(s)] = match_masks(s)
+    in_range = np.arange(rmax)[None, :] < lens[:, None]
+    if (in_range & ((mm[:R] == 0) | ((mm[:R] & (mm[:R] - 1)) != 0))).any():
+        return None
+    from graphchainer_tpu.parallel.device import device_put_chunked
+    return device_put_chunked(pack_codes2(mm))
+
+
 @lru_cache(maxsize=None)
 def _kernel_fn(kernel_name: str, bw: int, max_steps: int, ops_cap: int):
     """Stable callable identity per (kernel, bw, max_steps, ops_cap) so
@@ -119,6 +152,34 @@ def _kernel_fn(kernel_name: str, bw: int, max_steps: int, ops_cap: int):
 
     def f(a, b, c, d):
         return kern(a, b, c, d, bw, max_steps=max_steps, ops_cap=ops_cap)
+    return f
+
+
+@lru_cache(maxsize=None)
+def _gathered_kernel(kernel_name: str, bw: int, max_steps: int,
+                     ops_cap: int):
+    """Kernel front-end gathering the read rows from a device-resident
+    per-batch code table (upload: row indices only)."""
+    import jax
+    kern = getattr(linear_align, kernel_name)
+
+    @jax.jit
+    def f(tbl, ridx, path_w, read_len, path_len):
+        return kern(tbl[ridx], path_w, read_len, path_len, bw,
+                    max_steps=max_steps, ops_cap=ops_cap)
+    return f
+
+
+@lru_cache(maxsize=None)
+def _kernel_fn_tbl(kernel_name: str, bw: int, max_steps: int,
+                   ops_cap: int):
+    """_gathered_kernel arranged for parallel/device.shard_call (the
+    table rides replicated as the TRAILING arg; row indices sharded)."""
+    kern = getattr(linear_align, kernel_name)
+
+    def f(ridx, path_w, read_len, path_len, tbl):
+        return kern(tbl[ridx], path_w, read_len, path_len, bw,
+                    max_steps=max_steps, ops_cap=ops_cap)
     return f
 
 
@@ -134,7 +195,7 @@ def _ops_cap(rmax: int, pmax: int, bw: int) -> int:
 
 
 def _polish_once(reads: Sequence[str], paths: Sequence[str],
-                 bw: int) -> List[PolishOutcome]:
+                 bw: int, table=None) -> List[PolishOutcome]:
     R = len(reads)
     assert R == len(paths)
     read_len = np.array([len(r) for r in reads], dtype=np.int32)
@@ -142,6 +203,9 @@ def _polish_once(reads: Sequence[str], paths: Sequence[str],
     # coarse padding buckets so repeated batches reuse compiled shapes
     rmax = _round_up(int(read_len.max()) if R else 1, 1024)
     pmax = _round_up(int(path_len.max()) if R else 1, 1024)
+    if table is not None and table[0].shape[1] * 16 < rmax:
+        table = None     # read longer than the table rows (shouldn't
+        #                  happen: the table is bucketed per batch)
 
     # the read axis rides the data mesh when >1 device is present
     import jax as _jax
@@ -158,26 +222,39 @@ def _polish_once(reads: Sequence[str], paths: Sequence[str],
 
     # 4-bit packed wire arrays (the tunnel is bandwidth-bound; decode is
     # fused on device — ops/linear_align.py packed front-ends)
-    read_mm = np.zeros((Rp, rmax), dtype=np.uint8)
     path_mm = np.zeros((Rp, pmax), dtype=np.uint8)
-    for i, (rd, pt) in enumerate(zip(reads, paths)):
-        read_mm[i, :len(rd)] = match_masks(rd)
+    for i, pt in enumerate(paths):
         path_mm[i, :len(pt)] = match_masks(pt)
-    # pure-ACGT batches ride the 2-bit code format (half the upload);
-    # IUPAC-ambiguous chars (multi-bit masks) fall back to 4-bit nibbles
     def _pure(mm, lens):
         in_range = np.arange(mm.shape[1])[None, :] < lens[:R, None]
         bad = in_range & ((mm[:R] == 0) | ((mm[:R] & (mm[:R] - 1)) != 0))
         return not bad.any()
-    pure = _pure(read_mm, read_len) and _pure(path_mm, path_len)
-    if pure:
-        read_w = pack_codes2(read_mm)
+    path_pure = _pure(path_mm, path_len)
+    read_w = None
+    if table is not None and path_pure:
+        # device-resident read rows: upload only the table row indices
+        dev_tbl, row_idx = table
+        read_w = np.pad(np.asarray(row_idx, np.int32), (0, Rp - R))
         path_w = pack_codes2(path_mm)
         kernel = linear_align.polish_full_packed2
+        rmax = dev_tbl.shape[1] * 16
     else:
-        read_w = pack_nibbles(read_mm)
-        path_w = pack_nibbles(path_mm)
-        kernel = linear_align.polish_full_packed
+        read_mm = np.zeros((Rp, rmax), dtype=np.uint8)
+        for i, rd in enumerate(reads):
+            read_mm[i, :len(rd)] = match_masks(rd)
+        # pure-ACGT batches ride the 2-bit code format (half the
+        # upload); IUPAC-ambiguous chars (multi-bit masks) fall back to
+        # 4-bit nibbles
+        pure = path_pure and _pure(read_mm, read_len)
+        if pure:
+            read_w = pack_codes2(read_mm)
+            path_w = pack_codes2(path_mm)
+            kernel = linear_align.polish_full_packed2
+        else:
+            read_w = pack_nibbles(read_mm)
+            path_w = pack_nibbles(path_mm)
+            kernel = linear_align.polish_full_packed
+        table = None
     from graphchainer_tpu.utils import timers
     timers.count("cells(polish)", int(path_len.sum()) * bw * W)
     read_len = np.pad(read_len, (0, Rp - R))
@@ -188,7 +265,18 @@ def _polish_once(reads: Sequence[str], paths: Sequence[str],
     # lane-major core transposes reads onto the vector lanes, which
     # plain SPMD jit would reshard across devices at every op
     cap = _ops_cap(rmax, pmax, bw)
-    if ndev > 1:
+    if table is not None:
+        if ndev > 1:
+            from graphchainer_tpu.parallel.device import shard_call
+            w = asarray_chunked(shard_call(
+                _kernel_fn_tbl(kernel.__name__, bw, rmax + pmax, cap),
+                (read_w, path_w, read_len, path_len, dev_tbl),
+                (True,) * 4 + (False,)))
+        else:
+            w = asarray_chunked(_gathered_kernel(
+                kernel.__name__, bw, rmax + pmax, cap)(
+                dev_tbl, read_w, path_w, read_len, path_len))
+    elif ndev > 1:
         from graphchainer_tpu.parallel.device import shard_call
         w = asarray_chunked(shard_call(
             _kernel_fn(kernel.__name__, bw, rmax + pmax, cap),

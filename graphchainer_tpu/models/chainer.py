@@ -311,10 +311,24 @@ class ChainerModel:
                                                read_base, B=cfg.band_slots,
                                                max_in=cfg.max_in,
                                                slack=cfg.band_slack)
+        # ONE per-batch 2-bit read-code table shared by the fragment
+        # kernel, the polish pass and the repair re-polish: each stage
+        # wires only indices into it (None when a read has IUPAC bases —
+        # all consumers fall back to self-contained wire formats)
+        dev_tbl = polish.build_read_table([s for _, s in reads])
+        read_src = None
+        if dev_tbl is not None:
+            # (empty rev jobs clamp to row 0: rows=1 don't-care garbage,
+            # same as the host packer's clipped gather)
+            read_src = (dev_tbl, jobs.read_idx,
+                        np.where(jobs.rev, np.maximum(jobs.hi - 1, 0),
+                                 jobs.lo),
+                        jobs.rev)
         with timers.stage("frag_kernel", len(jobs)):
             res = run_fragments(self.gx, band_nodes_cat, band_in,
                                 seed_shift, req, rows, S, cfg.max_in,
-                                band_level=band_level, want_walk=True)
+                                band_level=band_level, want_walk=True,
+                                read_src=read_src)
         # DP cells = band slots x read rows per fragment (reference
         # cellsProcessed, src/Aligner.cpp:998-1002)
         timers.count("cells(frag)", int(rows.astype(np.int64).sum())
@@ -415,8 +429,10 @@ class ChainerModel:
                    len(live))
         if polish_reads:
             with timers.stage("polish", len(polish_reads)):
-                outcomes = polish.polish_batch(polish_reads, polish_paths,
-                                               bw=cfg.polish_band_words)
+                outcomes = polish.polish_batch(
+                    polish_reads, polish_paths, bw=cfg.polish_band_words,
+                    table=(None if dev_tbl is None else
+                           (dev_tbl, np.asarray(polish_refs, np.int32))))
             for ri, oc in zip(polish_refs, outcomes):
                 out[ri].score = oc.score
                 out[ri].ops = oc.ops
@@ -447,7 +463,10 @@ class ChainerModel:
                     with timers.stage("repair", len(redo_r)):
                         redo = polish.polish_batch(
                             redo_reads, redo_paths,
-                            bw=cfg.polish_band_words)
+                            bw=cfg.polish_band_words,
+                            table=(None if dev_tbl is None else
+                                   (dev_tbl,
+                                    np.asarray(redo_r, np.int32))))
                     for ri, oc in zip(redo_r, redo):
                         out[ri].score = oc.score
                         out[ri].ops = oc.ops

@@ -81,6 +81,8 @@ def get_lib() -> ctypes.CDLL:
         lib.paths_sizes.argtypes = [ctypes.c_void_p, _I64P]
         lib.paths_copy.argtypes = [ctypes.c_void_p, _I64P, _I64P]
         lib.paths_free.argtypes = [ctypes.c_void_p]
+        lib.cpu_signature.argtypes = [_I64P]
+        lib.cpu_signature.restype = None
         _lib = lib
         return _lib
 
@@ -605,3 +607,15 @@ def repair_batch(gx, positions_list, ops_list, reads, max_arm_len: int = 32):
     lib.paths_free(h)
     return [data[offsets[i]:offsets[i + 1]].reshape(-1, 2).copy()
             if changed[i] else None for i in range(nr)]
+
+
+def cpu_signature() -> bytes:
+    """Runtime cpuid identity (family/model/stepping + brand + feature
+    leaves) as raw bytes.  Unlike /proc/cpuinfo — populated at BOOT and
+    stale after VM live-migration — this reflects the CPU the process
+    runs on right now; utils/jaxconfig.py hashes it into the persistent
+    compile-cache directory name (cross-host XLA:CPU AOT loads SIGILL)."""
+    lib = get_lib()
+    out = np.zeros(16, dtype=np.int64)
+    lib.cpu_signature(_ptr(out))
+    return out.tobytes()

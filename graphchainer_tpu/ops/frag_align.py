@@ -1002,6 +1002,59 @@ def _device_walk_mask(best_in, best_slot, frag_len):
     return ok, mask
 
 
+def _rev2(x):
+    """Reverse a uint32 word at 2-bit granularity (16 codes)."""
+    x = (x >> 16) | (x << 16)
+    x = ((x & jnp.uint32(0xFF00FF00)) >> 8) | ((x & jnp.uint32(0x00FF00FF)) << 8)
+    x = ((x & jnp.uint32(0xF0F0F0F0)) >> 4) | ((x & jnp.uint32(0x0F0F0F0F)) << 4)
+    return ((x & jnp.uint32(0xCCCCCCCC)) >> 2) | ((x & jnp.uint32(0x33333333)) << 2)
+
+
+def req2_from_table(read_tbl: jax.Array, rdc: jax.Array,
+                    frag_len: jax.Array, n_slices: int) -> jax.Array:
+    """Build the (F, S, 2) uint32 req2 wire words ON DEVICE from a
+    per-batch read-code table instead of uploading them per fragment.
+
+    read_tbl: (R, W16) uint32 — 16 2-bit base codes per word, LSB-first
+              (polish.pack_codes2 layout == the req2 word layout)
+    rdc:      (F,) int32 packed read coords: rid << 18 | start << 1 | rev
+              (row r of fragment f reads read[rid][start ± r])
+    frag_len: (F,) int32 — codes at rows >= frag_len are zeroed (matching
+              the host packer's don't-care padding)
+
+    Each 16-code output word is a funnel shift of two adjacent table
+    words; backward fragments additionally reverse the word at 2-bit
+    granularity.  Saves 8*S bytes/fragment of upload on the
+    bandwidth-bound host<->device link (the host packer _try_pack_frag
+    computes the identical words: align/anchors.py)."""
+    rdc = rdc.astype(jnp.int32)
+    rid = rdc >> 18
+    start = (rdc >> 1) & 0x1FFFF
+    rev = (rdc & 1) == 1
+    F = rdc.shape[0]
+    W16 = read_tbl.shape[1]
+    g = jnp.arange(2 * n_slices, dtype=jnp.int32)[None, :]   # (1, 2S)
+    # forward-space position of the LOWEST-address code in group g
+    # (fwd: rows 16g..16g+15 at start+16g..; bwd: at start-16g..-16g-15)
+    p0 = jnp.where(rev[:, None], start[:, None] - 16 * g - 15,
+                   start[:, None] + 16 * g)                   # (F, 2S)
+    wi = p0 >> 4                      # arithmetic shift floors negatives
+    sh = ((p0 & 15) << 1).astype(jnp.uint32)
+    flat = read_tbl.reshape(-1)
+    base_i = rid[:, None] * W16
+    lo_w = jnp.take(flat, base_i + jnp.clip(wi, 0, W16 - 1), axis=0)
+    hi_w = jnp.take(flat, base_i + jnp.clip(wi + 1, 0, W16 - 1), axis=0)
+    val = (lo_w >> sh) | jnp.where(sh == 0, jnp.uint32(0),
+                                   hi_w << (jnp.uint32(32) - sh))
+    val = jnp.where(rev[:, None], _rev2(val), val)
+    # zero codes at rows >= frag_len (bit-identical to the host packer)
+    nv = jnp.clip(frag_len.astype(jnp.int32)[:, None] - 16 * g, 0, 16)
+    mask = jnp.where(nv >= 16, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << (2 * nv).astype(jnp.uint32))
+                     - jnp.uint32(1))
+    return (val & mask).reshape(F, n_slices, 2)
+
+
 @partial(jax.jit,
          static_argnames=("n_slices", "max_in", "n_levels", "want_state"))
 def align_fragments_packed_out_tl_walk(node_eq, node_len, bn_base, bn_d16,
@@ -1018,12 +1071,18 @@ def align_fragments_packed_out_tl_walk(node_eq, node_len, bn_base, bn_d16,
 
     band_idx: optional (F,) int32 — bn_base/bn_d16/bi_p16/band_level are
     then DEDUPLICATED band tables gathered per fragment on device (the
-    host uploads each distinct band once per batch)."""
+    host uploads each distinct band once per batch).
+
+    req2 may be a (read_tbl, rdc) tuple: the wire words are then built
+    on device from the per-batch read-code table (req2_from_table)."""
     if band_idx is not None:
         bn_base = bn_base[band_idx]
         bn_d16 = bn_d16[band_idx]
         bi_p16 = bi_p16[band_idx]
         band_level = band_level[band_idx]
+    if isinstance(req2, tuple):
+        read_tbl, rdc = req2
+        req2 = req2_from_table(read_tbl, rdc, frag_len, n_slices)
     F, B = bn_d16.shape
     band_nodes = jnp.where(bn_d16 == BN_PAD, jnp.int32(-1),
                            bn_base[:, None] + bn_d16.astype(jnp.int32))

@@ -24,27 +24,33 @@ def machine_tag() -> str:
     """Short fingerprint of the CPU the process runs on (feature flags
     change the validity of XLA:CPU AOT executables).
 
-    Includes the model identity lines, not just the flags line: LLVM
-    derives tuning features (e.g. +prefer-no-gather) from the CPU
-    *model*, so two hosts with identical cpuinfo flags can still produce
-    mutually unloadable AOT executables (observed live: `Target machine
-    feature +prefer-no-gather is not supported on the host machine`)."""
-    txt = platform.machine()
-    want = ("flags", "Features", "model name", "model", "cpu family",
-            "stepping", "vendor_id", "CPU implementer", "CPU part")
+    Uses RUNTIME cpuid (family/model/stepping + brand + feature leaves,
+    via the native helper) when available: this environment's VM
+    live-migrates between physical hosts, so boot-time /proc/cpuinfo
+    goes stale while the cpuid-derived LLVM target features (e.g.
+    +prefer-no-gather, a model-derived tuning flag invisible in cpuinfo)
+    change — and loading another host's XLA:CPU AOT executables SIGILLs
+    (the r2 test-gate crash).  Falls back to cpuinfo identity lines."""
+    txt = platform.machine().encode()
     try:
-        with open("/proc/cpuinfo") as f:
-            seen = set()
-            for line in f:
-                key = line.split(":")[0].strip()
-                if key in want and key not in seen:
-                    seen.add(key)
-                    txt += line
-                if len(seen) == len(want):
-                    break
-    except OSError:
-        pass
-    return hashlib.sha1(txt.encode()).hexdigest()[:10]
+        from graphchainer_tpu.native import cpu_signature
+        txt += cpu_signature()
+    except Exception:
+        want = ("flags", "Features", "model name", "model", "cpu family",
+                "stepping", "vendor_id", "CPU implementer", "CPU part")
+        try:
+            with open("/proc/cpuinfo") as f:
+                seen = set()
+                for line in f:
+                    key = line.split(":")[0].strip()
+                    if key in want and key not in seen:
+                        seen.add(key)
+                        txt += line.encode()
+                    if len(seen) == len(want):
+                        break
+        except OSError:
+            pass
+    return hashlib.sha1(txt).hexdigest()[:10]
 
 
 def cache_dir() -> str:

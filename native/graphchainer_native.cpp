@@ -1789,4 +1789,38 @@ void paths_copy(void* h, int64_t* offsets, int64_t* data) {
 
 void paths_free(void* h) { delete (PathsResult*)h; }
 
+// ---------------------------------------------------------------------
+// cpu_signature: RUNTIME cpuid identity (family/model/stepping, brand
+// string, feature leaves).  Used to fingerprint the persistent JAX
+// compile cache directory: this environment's VM live-migrates between
+// physical hosts, so boot-time /proc/cpuinfo goes stale while the
+// cpuid-derived LLVM target features (e.g. +prefer-no-gather) change —
+// loading another host's XLA:CPU AOT executables SIGILLs (the r2
+// test-gate crash).  out: int64[16].
+#if defined(__x86_64__) || defined(__i386__)
+#include <cpuid.h>
+#endif
+
+void cpu_signature(int64_t* out) {
+  for (int i = 0; i < 16; i++) out[i] = 0;
+#if defined(__x86_64__) || defined(__i386__)
+  unsigned a, b, c, d;
+  if (__get_cpuid(1, &a, &b, &c, &d)) {         // family/model/stepping
+    out[0] = a; out[1] = c; out[2] = d;
+  }
+  if (__get_cpuid_count(7, 0, &a, &b, &c, &d)) {  // extended features
+    out[3] = b; out[4] = c; out[5] = d;
+  }
+  unsigned br[12] = {0};
+  for (unsigned leaf = 0; leaf < 3; leaf++) {   // brand string
+    if (__get_cpuid(0x80000002u + leaf, &a, &b, &c, &d)) {
+      br[4 * leaf] = a; br[4 * leaf + 1] = b;
+      br[4 * leaf + 2] = c; br[4 * leaf + 3] = d;
+    }
+  }
+  for (int i = 0; i < 6; i++)
+    out[6 + i] = ((int64_t)br[2 * i + 1] << 32) | br[2 * i];
+#endif
+}
+
 }  // extern "C"

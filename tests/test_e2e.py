@@ -296,3 +296,37 @@ def test_native_stitch_matches_python(rng):
                                       err_msg=f"read {ri}")
         n_checked += 1
     assert n_checked > 0
+
+
+def test_read_table_path_matches_selfcontained(monkeypatch):
+    """The per-batch device read-code table (frag coords wire + polish
+    row gather) must give IDENTICAL alignments to the self-contained
+    wire formats it replaces (req2 upload + per-call read upload)."""
+    from graphchainer_tpu.align import polish as polish_mod
+
+    rng = np.random.default_rng(77)
+    bg = bubble_graph(rng, n_bubbles=16)
+    g = build_alignment_graph(bg)
+    reads = []
+    for i in range(9):          # odd count: exercises row-bucket padding
+        read, _ = simulate(rng, g, err=0.08, min_len=300)
+        reads.append((f"r{i}", read))
+
+    model = make_model(g, k=13, w=10)
+    with_table = model.align_batch(reads)
+    assert any(not a.failed for a in with_table)
+
+    # disable the table: every stage falls back to self-contained wire
+    model2 = make_model(g, k=13, w=10)
+    monkeypatch.setattr(polish_mod, "build_read_table", lambda seqs: None)
+    without = model2.align_batch(reads)
+
+    for a, b in zip(with_table, without):
+        assert a.failed == b.failed
+        assert a.score == b.score
+        np.testing.assert_array_equal(
+            np.asarray(a.positions), np.asarray(b.positions))
+        if a.ops is None:
+            assert b.ops is None
+        else:
+            np.testing.assert_array_equal(a.ops, b.ops)

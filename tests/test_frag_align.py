@@ -502,3 +502,48 @@ def test_walk_mask_join_matches():
     assert a[0].sum() > 0, "no successful anchors in fixture"
     for name, x, y in zip(names, a, b):
         np.testing.assert_array_equal(x, y, err_msg=name)
+
+
+def test_req2_from_table_matches_host_packing():
+    """Device-side wire-word construction from the batch read table is
+    bit-identical to the host packer's req2 (incl. backward fragments,
+    unaligned starts and frag_len masking)."""
+    import jax.numpy as jnp
+
+    from graphchainer_tpu.ops.frag_align import req2_from_table
+
+    rng = np.random.default_rng(0)
+    R, rmax = 7, 512
+    lens = rng.integers(100, rmax + 1, R)
+    codes = [rng.integers(0, 4, l).astype(np.uint32) for l in lens]
+    sh16 = 2 * np.arange(16, dtype=np.uint32)
+    tbl = np.zeros((R, rmax // 16), np.uint32)
+    for i, c in enumerate(codes):
+        cp = np.zeros(rmax, np.uint32)
+        cp[:len(c)] = c
+        tbl[i] = (cp.reshape(-1, 16) << sh16).sum(1, dtype=np.uint32)
+
+    S, F = 3, 200
+    rid = rng.integers(0, R, F)
+    rev = rng.integers(0, 2, F).astype(bool)
+    flen = rng.integers(1, S * 32 + 1, F)
+    start = np.empty(F, np.int64)
+    for f in range(F):
+        L = lens[rid[f]]
+        flen[f] = fl = min(flen[f], L)
+        start[f] = (rng.integers(fl - 1, L) if rev[f]
+                    else rng.integers(0, L - fl + 1))
+    rdc = (rid.astype(np.int64) << 18) | (start << 1) | rev
+
+    ref = np.zeros((F, S, 2), np.uint32)
+    for f in range(F):
+        c = np.zeros(S * 32, np.uint32)
+        for r in range(flen[f]):
+            c[r] = codes[rid[f]][start[f] - r if rev[f] else start[f] + r]
+        ref[f] = (c.reshape(-1, 16) << sh16).sum(
+            1, dtype=np.uint32).reshape(S, 2)
+
+    got = np.asarray(req2_from_table(
+        jnp.asarray(tbl), jnp.asarray(rdc.astype(np.int32)),
+        jnp.asarray(flen.astype(np.int32)), S))
+    np.testing.assert_array_equal(got, ref)
