@@ -188,6 +188,38 @@ def batch_arrays(g: AlignmentGraph, mpc: MPCIndex,
     return batch_arrays_cols(g, mpc, counts, s, e, ax, ay, A=A, E=E)
 
 
+def anchor_kmask_cols(g: AlignmentGraph, mpc: MPCIndex,
+                      counts: np.ndarray, e: np.ndarray,
+                      R: int, A: int) -> np.ndarray:
+    """(R, A, KW) uint32 per-anchor INSERT path bitmask (the OR of the
+    global-path bits through each anchor's END node) — the same table
+    batch_arrays_cols(anchor_kmask=True) emits, built standalone for the
+    on-device event builder (ops/chain_scan.chain_scan_anchors)."""
+    base, n_paths = global_path_ids(mpc)
+    kw = 1
+    while kw < -(-n_paths // 32):
+        kw *= 2
+    a_kmask = np.zeros((R, A, kw), dtype=np.uint32)
+    Atot = len(e)
+    if Atot == 0:
+        return a_kmask
+    rid = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    jloc = (np.arange(Atot, dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts))
+    gbase = base[g.comp[e]]
+    npk0 = mpc.nodepath_offsets[e]
+    npn = (mpc.nodepath_offsets[e + 1] - npk0).astype(np.int64)
+    NP = int(npn.sum())
+    prep = np.repeat(np.arange(Atot, dtype=np.int64), npn)
+    pflat = (np.arange(NP, dtype=np.int64)
+             - np.repeat(np.cumsum(npn) - npn, npn) + npk0[prep])
+    gk = gbase[prep] + mpc.nodepath_k[pflat]
+    flat = (rid[prep] * A + jloc[prep]) * kw + gk // 32
+    np.bitwise_or.at(a_kmask.reshape(-1), flat,
+                     (np.uint32(1) << (gk % 32).astype(np.uint32)))
+    return a_kmask
+
+
 def batch_arrays_cols(g: AlignmentGraph, mpc: MPCIndex,
                       counts: np.ndarray, s: np.ndarray, e: np.ndarray,
                       ax: np.ndarray, ay: np.ndarray,

@@ -35,7 +35,7 @@ from graphchainer_tpu.graph.alignment_graph import AlignmentGraph
 from graphchainer_tpu.graph.mpc import MPCIndex
 from graphchainer_tpu.index.minimizer import MinimizerIndex, get_seeds
 from graphchainer_tpu.ops import frag_align
-from graphchainer_tpu.ops.chain_scan import chain_scan
+from graphchainer_tpu.ops.chain_scan import chain_scan, chain_scan_anchors
 from graphchainer_tpu.utils import timers
 from graphchainer_tpu.utils.seq import match_masks
 
@@ -371,13 +371,21 @@ class ChainerModel:
         a_y = fr[keep, 2] - 1
 
         with timers.stage("chain_scan", len(live)):
-            arrs = batch_arrays_cols(
+            # fused on-device event build + scan (wire: ~10B/anchor vs
+            # ~8 int16 words/event); falls back to the host packer when
+            # the batch exceeds the device builder's envelope
+            sres = chain_scan_anchors(
                 self.g, self.mpc, counts[live],
-                pdata[poff[keep]], pdata[poff[keep + 1] - 1], a_x, a_y,
-                anchor_kmask=True)
-            sres = chain_scan(**{k: arrs[k] for k in
-                                 ("x", "y", "valid", "ev_type", "ev_anchor",
-                                  "ev_k", "a_kmask", "ev_group")})
+                pdata[poff[keep]], pdata[poff[keep + 1] - 1], a_x, a_y)
+            if sres is None:
+                arrs = batch_arrays_cols(
+                    self.g, self.mpc, counts[live],
+                    pdata[poff[keep]], pdata[poff[keep + 1] - 1], a_x,
+                    a_y, anchor_kmask=True)
+                sres = chain_scan(**{k: arrs[k] for k in
+                                     ("x", "y", "valid", "ev_type",
+                                      "ev_anchor", "ev_k", "a_kmask",
+                                      "ev_group")})
             c_val = np.asarray(sres.c_val)
             c_pred = np.asarray(sres.c_pred)
 

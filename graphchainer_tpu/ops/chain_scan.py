@@ -194,6 +194,192 @@ def _chain_scan_a(x, y, valid, ev_type, ev_anchor, ev_k, a_kmask,
                        kmask_ev, ev_group)
 
 
+@partial(jax.jit, static_argnames=("NBmax",))
+def _chain_scan_anchors(x, y, counts, s, e, a_kmask, bo, bn, bk, comp,
+                        pbase, NBmax: int):
+    """Chain scan with the EVENT LIST built on device from per-anchor
+    data + device-resident MPC tables (host wire: ~10 bytes/anchor
+    instead of ~8 int16 event words/event — the tunneled TPU is
+    bandwidth-bound).
+
+    Per anchor j with path endpoints (s, e) the host packer emits
+    SAME_START(s), SAME_END(e), INSERT(e) and one QUERY per last2reach
+    back-pointer of s (align/chaining.py batch_arrays_cols); this builds
+    the same raw tuples as (R, A*(3+NBmax)) slots, sorts them with the
+    host's (node, sec, y, x, j, sub) order via a 4-key int32 lax.sort,
+    and derives the group ids from node transitions.  Results are
+    bit-identical to the host packer + chain_scan
+    (tests/test_chaining.py test_chain_scan_anchors_matches_host).
+
+    bo/bn/bk: mpc.back_offsets/back_node/back_k; comp: node component;
+    pbase: global path-id base per component (device-resident, uploaded
+    once per process).  NBmax: max back-pointers per node (static)."""
+    R, A = s.shape
+    x = x.astype(jnp.int32)
+    y = y.astype(jnp.int32)
+    s = jnp.clip(s.astype(jnp.int32), 0, bo.shape[0] - 2)
+    e = e.astype(jnp.int32)
+    counts = counts.astype(jnp.int32)
+    arangeA = jnp.arange(A, dtype=jnp.int32)
+    valid = arangeA[None, :] < counts[:, None]
+    NE = 3 + NBmax
+
+    nb = bo[s + 1] - bo[s]                          # (R, A)
+    gb = pbase[comp[s]]                             # (R, A)
+    qi = jnp.arange(NBmax, dtype=jnp.int32)
+    qvalid = qi[None, None, :] < nb[..., None]      # (R, A, NBmax)
+    qflat = jnp.clip(bo[s][..., None] + qi, 0, max(bn.shape[0] - 1, 0))
+    qnode = bn[qflat]
+    qk = gb[..., None] + bk[qflat]
+
+    # slot layout per anchor: [SAME_START, SAME_END, INSERT, QUERY*NBmax]
+    sec_c = np.array([0, 0, 1] + [2] * NBmax, np.int32)
+    sub_c = np.array([0, 1, 0] + [0] * NBmax, np.int32)
+    typ_c = np.array([EV_SAME_START, EV_SAME_END, EV_INSERT]
+                     + [EV_QUERY] * NBmax, np.int32)
+    q_c = np.array([0, 0, 0] + list(range(1, NBmax + 1)), np.int32)
+
+    node = jnp.concatenate([s[..., None], e[..., None], e[..., None],
+                            qnode], axis=-1)         # (R, A, NE)
+    ok = valid[..., None] & jnp.concatenate(
+        [jnp.ones((R, A, 3), bool), qvalid], axis=-1)
+    k_ev = jnp.concatenate([jnp.full((R, A, 3), -1, jnp.int32), qk],
+                           axis=-1)
+
+    BIGK = jnp.int32(0x7FFFFFFF)
+    key1 = jnp.where(ok, node, BIGK)
+    key2 = jnp.where(ok, (sec_c << 29) | y[..., None], BIGK)
+    key3 = jnp.where(ok, x[..., None], BIGK)
+    key4 = jnp.where(ok, (arangeA[None, :, None] << 5) | (q_c << 1)
+                     | sub_c, BIGK)      # q_c <= 8 needs bits 1..4
+    # payload: host wire ev_ta convention ((type+1)<<13 | anchor; 0
+    # decodes to EV_NONE for padded slots)
+    p1 = jnp.where(ok, ((typ_c + 1) << 13) | arangeA[None, :, None],
+                   jnp.int32(0))
+    flat = lambda a: a.reshape(R, A * NE)
+    key1, key2, key3, key4, p1, p2 = jax.lax.sort(
+        [flat(key1), flat(key2), flat(key3), flat(key4), flat(p1),
+         flat(k_ev)], dimension=1, num_keys=4)
+    # group id = per-read rank of the node transition (host semantics)
+    new_grp = jnp.concatenate(
+        [jnp.ones((R, 1), bool), key1[:, 1:] != key1[:, :-1]], axis=1)
+    grp = jnp.cumsum(new_grp.astype(jnp.int32), axis=1) - 1
+    return _chain_scan_a(x, y, valid, (p1 >> 13) - 1, p1 & 0x1FFF, p2,
+                         a_kmask.astype(jnp.uint32), grp)
+
+
+@partial(jax.jit, static_argnames=("NBmax",))
+def _chain_scan_anchors_out(x, y, counts, s, e, a_kmask, bo, bn, bk,
+                            comp, pbase, NBmax: int):
+    res = _chain_scan_anchors(x, y, counts, s, e, a_kmask, bo, bn, bk,
+                              comp, pbase, NBmax)
+    return jnp.concatenate([res.c_val, res.c_pred], axis=1)
+
+
+def chain_scan_anchors(g, mpc, counts, s, e, ax, ay, A: int = None):
+    """Host wrapper: pad/bucket the per-anchor arrays, fetch the cached
+    device MPC tables and run the fused on-device event-build + scan.
+    Returns ChainScanResult, or None when the batch does not fit the
+    device builder (caller falls back to the host packer + chain_scan).
+
+    counts: (R,) anchors per read; s/e/ax/ay: flat anchor arrays grouped
+    by read (same contract as align/chaining.batch_arrays_cols)."""
+    R = len(counts)
+    Amax = int(counts.max(initial=1))
+    A = A or _bucket_pow2(Amax, 64)
+    if Amax > A or A > 1024:
+        return None
+    max_y = int(ay.max(initial=0))
+    if max_y >= (1 << 29) or (max_y + 1) * (A + 2) >= (1 << 31):
+        return None
+    tabs = _mpc_dev_tables(g, mpc)
+    if tabs is None or tabs[0] > 8:      # NBmax beyond the slot layout
+        return None
+    NBmax, bo, bn, bk, comp, pbase = tabs
+
+    rid = np.repeat(np.arange(R, dtype=np.int64), counts)
+    jloc = (np.arange(len(s), dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts))
+    Rb = _bucket_pow2(R, 16)
+    import jax as _jax
+    ndev = len(_jax.devices())
+    if ndev > 1:
+        Rb += (-Rb) % ndev
+    sA = np.zeros((Rb, A), np.int32)
+    eA = np.zeros((Rb, A), np.int32)
+    xA = np.zeros((Rb, A), np.int32)
+    yA = np.zeros((Rb, A), np.int32)
+    cnt = np.zeros(Rb, np.int32)
+    cnt[:R] = counts
+    sA[rid, jloc] = s
+    eA[rid, jloc] = e
+    xA[rid, jloc] = ax
+    yA[rid, jloc] = ay
+    from graphchainer_tpu.align.chaining import anchor_kmask_cols
+    km = anchor_kmask_cols(g, mpc, counts, e, Rb, A)
+    # narrow the wire (decode widens on device)
+    x16 = xA.astype(np.int16) if max_y < 32768 else xA
+    y16 = yA.astype(np.int16) if max_y < 32768 else yA
+    if km.size and int(km.max()) < 256:
+        km = km.astype(np.uint8)
+    from graphchainer_tpu.parallel.device import shard_rows
+    args = (x16, y16, cnt, sA, eA, km)
+    if ndev > 1:
+        from graphchainer_tpu.parallel.device import shard_call
+        w = np.asarray(shard_call(
+            _anchors_shard_fn(NBmax),
+            tuple(shard_rows(a) for a in args) + (bo, bn, bk, comp,
+                                                  pbase),
+            (True,) * 6 + (False,) * 5))
+    else:
+        w = np.asarray(_chain_scan_anchors_out(
+            *args, bo, bn, bk, comp, pbase, NBmax=NBmax))
+    from graphchainer_tpu.utils import timers
+    # each event step is a vectorized candidate max over the A anchor
+    # slots (the reference's per-event Treap queries, BASELINE.md's
+    # "chaining DP cells")
+    timers.count("cells(chain)", int(counts.sum()) * (3 + NBmax) * A)
+    return ChainScanResult(c_val=w[:R, :A], c_pred=w[:R, A:])
+
+
+def _bucket_pow2(x: int, m: int) -> int:
+    out = m
+    while out < x:
+        out *= 2
+    return out
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _anchors_shard_fn(NBmax: int):
+    def f(x, y, counts, s, e, km, bo, bn, bk, comp, pbase):
+        return _chain_scan_anchors_out(x, y, counts, s, e, km, bo, bn,
+                                       bk, comp, pbase, NBmax=NBmax)
+    return f
+
+
+def _mpc_dev_tables(g, mpc):
+    """Device-resident last2reach tables for the on-device event builder
+    (uploaded once per process per graph; ~16B/node)."""
+    tabs = getattr(mpc, "_chain_dev_tables", None)
+    if tabs is None:
+        nb = np.diff(mpc.back_offsets)
+        NBmax = int(nb.max(initial=0))
+        from graphchainer_tpu.align.chaining import global_path_ids
+        from graphchainer_tpu.parallel.device import device_put_chunked
+        pbase, n_paths = global_path_ids(mpc)
+        tabs = (NBmax,
+                device_put_chunked(mpc.back_offsets.astype(np.int32)),
+                device_put_chunked(mpc.back_node.astype(np.int32)),
+                device_put_chunked(mpc.back_k.astype(np.int32)),
+                device_put_chunked(g.comp.astype(np.int32)),
+                device_put_chunked(pbase.astype(np.int32)))
+        mpc._chain_dev_tables = tabs
+    return tabs
+
+
 @partial(jax.jit, static_argnames=())
 def _chain_scan(x, y, valid, ev_type, ev_anchor, ev_k, ev_kmask, ev_group):
     R, A = x.shape

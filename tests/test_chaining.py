@@ -201,3 +201,38 @@ def test_anchor_kmask_scan_matches_event_kmask(seed):
                                   np.asarray(r_an.c_val))
     np.testing.assert_array_equal(np.asarray(r_ev.c_pred),
                                   np.asarray(r_an.c_pred))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_chain_scan_anchors_matches_host_packer(seed):
+    """The fused on-device event builder (anchors + resident last2reach
+    tables -> sort -> scan, ops/chain_scan.chain_scan_anchors) is
+    bit-identical to the host event packer + chain_scan."""
+    from graphchainer_tpu.align.chaining import batch_arrays_cols
+    from graphchainer_tpu.ops.chain_scan import (chain_scan,
+                                                 chain_scan_anchors)
+    rng = np.random.default_rng(4200 + seed)
+    bg = random_dag_bigraph(rng, n_seg=11, p_edge=0.3, max_len=5)
+    g = build_alignment_graph(bg)
+    mpc = build_mpc(g)
+    per_read = [random_anchors(rng, g, int(rng.integers(1, 20)))
+                for _ in range(6)]
+    counts = np.array([len(a) for a in per_read], dtype=np.int64)
+    s = np.array([a.path[0] for anc in per_read for a in anc])
+    e = np.array([a.path[-1] for anc in per_read for a in anc])
+    ax = np.array([a.x for anc in per_read for a in anc])
+    ay = np.array([a.y for anc in per_read for a in anc])
+
+    arrs = batch_arrays_cols(g, mpc, counts, s, e, ax, ay,
+                             anchor_kmask=True)
+    ref = chain_scan(**{k: arrs[k] for k in
+                        ("x", "y", "valid", "ev_type", "ev_anchor",
+                         "ev_k", "a_kmask", "ev_group")})
+    got = chain_scan_anchors(g, mpc, counts, s, e, ax, ay)
+    assert got is not None
+    R = len(counts)
+    A = min(np.asarray(ref.c_val).shape[1], np.asarray(got.c_val).shape[1])
+    np.testing.assert_array_equal(np.asarray(got.c_val)[:R, :A],
+                                  np.asarray(ref.c_val)[:R, :A])
+    np.testing.assert_array_equal(np.asarray(got.c_pred)[:R, :A],
+                                  np.asarray(ref.c_pred)[:R, :A])
