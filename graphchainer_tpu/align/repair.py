@@ -196,3 +196,41 @@ def repair_read(g, gx, read: str, positions: np.ndarray,
         last = p1
     parts.append(positions[last:])
     return np.concatenate(parts, axis=0)
+
+
+def rewrite_ops(gx, read: str, score: int, ops: np.ndarray,
+                old_pos: np.ndarray, new_pos: np.ndarray):
+    """Exact post-repair (score, ops) WITHOUT a re-polish, when the arm
+    swap is a same-length substitution whose every changed path position
+    the old CIGAR aligned as a mismatch (the SNP-bubble case — the
+    repair scan selects arms at X ops by construction).
+
+    Exactness: any alignment's cost changes by at most 1 per changed
+    path character, so new_optimum >= old_optimum - n_changed; the X->=
+    rewrite achieves exactly that bound.  (A changed position under a D
+    op, or a new char that doesn't match the read, breaks the bound —
+    return None and let the caller re-polish.)
+
+    Returns (score, ops) or None."""
+    old_pos = np.asarray(old_pos)
+    new_pos = np.asarray(new_pos)
+    if old_pos.shape != new_pos.shape:
+        return None
+    diff = np.nonzero((old_pos != new_pos).any(axis=1))[0]
+    if len(diff) == 0:
+        return score, ops
+    op_rows = np.nonzero(ops != OP_INS)[0]     # ops consuming the path
+    if len(op_rows) != len(new_pos):
+        return None
+    o = op_rows[diff]
+    if not (ops[o] == OP_MISMATCH).all():
+        return None
+    ridx = np.cumsum(ops != OP_DEL) - 1        # read index per op
+    newchars = np.frombuffer(
+        gx.positions_seq(new_pos[diff]).encode(), np.uint8)
+    rchars = np.frombuffer(read.encode(), np.uint8)[ridx[o]]
+    if not (newchars == rchars).all():
+        return None
+    new_ops = ops.copy()
+    new_ops[o] = OP_MATCH
+    return score - len(o), new_ops

@@ -460,9 +460,20 @@ class ChainerModel:
                             [out[ri].positions for ri, _ in cand],
                             [oc.ops for _, oc in cand],
                             [reads[ri][1] for ri, _ in cand])
-                    for (ri, _), fixed in zip(cand, fixed_l):
-                        if fixed is not None:
-                            out[ri].positions = fixed
+                    from graphchainer_tpu.align.repair import rewrite_ops
+                    for (ri, oc), fixed in zip(cand, fixed_l):
+                        if fixed is None:
+                            continue
+                        # same-length X->= swaps rewrite (score, ops)
+                        # exactly on host (align/repair.rewrite_ops);
+                        # only the rest pay the re-polish round trip
+                        rw = rewrite_ops(self.gx, reads[ri][1], oc.score,
+                                         oc.ops, out[ri].positions,
+                                         fixed)
+                        out[ri].positions = fixed
+                        if rw is not None:
+                            out[ri].score, out[ri].ops = rw
+                        else:
                             redo_r.append(ri)
                             redo_reads.append(reads[ri][1])
                             redo_paths.append(

@@ -160,3 +160,54 @@ def test_native_repair_synthetic_cases(rng):
     assert repair_read(g, None, read, positions, ops0) is None
     [none_n] = native.repair_batch(gx, [positions], [ops0], [read])
     assert none_n is None
+
+
+def test_rewrite_ops_matches_repolish(rng):
+    """The host X->= ops rewrite after a same-length arm swap equals a
+    full re-polish in score, and the rewritten CIGAR stays a valid
+    read-vs-new-path alignment (cost == score, exact consumption)."""
+    from bench import build_bench_graph
+    from graphchainer_tpu import native
+    from graphchainer_tpu.align import polish
+    from graphchainer_tpu.align.repair import (OP_DEL, OP_INS,
+                                               OP_MISMATCH, rewrite_ops)
+    from graphchainer_tpu.graph.mpc import build_mpc
+    from graphchainer_tpu.graph.simulate import generate_path, \
+        simulate_reads
+    from graphchainer_tpu.index.minimizer import build_index
+    from graphchainer_tpu.models.chainer import ChainerConfig, ChainerModel
+
+    g = build_alignment_graph(build_bench_graph(rng, 4000))
+    mpc = build_mpc(g)
+    idx = build_index(g, k=11, w=6)
+    model = ChainerModel(g, mpc, idx, ChainerConfig(bubble_repair=False,
+                                                    rescue_threshold=0))
+    path_seq, _ = generate_path(g, seed=5)
+    reads = simulate_reads(path_seq, 24, min(len(path_seq), 600), seed=9,
+                           error_rate=0.12)
+    out = model.align_batch(reads)
+    cases = [(reads[i][1], out[i].positions, out[i].ops, out[i].score)
+             for i in range(len(reads))
+             if out[i].ops is not None and len(out[i].positions)]
+    fixed_l = native.repair_batch(model.gx, [p for _, p, _, _ in cases],
+                                  [o for _, _, o, _ in cases],
+                                  [r for r, _, _, _ in cases])
+    n_rewritten = 0
+    for (read, positions, ops, score), fixed in zip(cases, fixed_l):
+        if fixed is None:
+            continue
+        rw = rewrite_ops(model.gx, read, score, ops, positions, fixed)
+        if rw is None:
+            continue
+        n_rewritten += 1
+        new_score, new_ops = rw
+        # exactness: equals the full re-polish score
+        oc = polish.polish_batch([read], [model.gx.positions_seq(fixed)],
+                                 bw=8)[0]
+        assert new_score == oc.score, (new_score, oc.score)
+        # validity: consumption + cost == score
+        assert (new_ops != OP_INS).sum() == len(fixed)
+        assert (new_ops != OP_DEL).sum() == len(read)
+        assert (new_ops == OP_MISMATCH).sum() + (new_ops == OP_DEL).sum() \
+            + (new_ops == OP_INS).sum() == new_score
+    assert n_rewritten >= 1
