@@ -58,3 +58,21 @@ def toy_gfa(tmp_path_factory):
 
 TOY_READ = ("TCATCCACGTCGTAACGTAGTCGTCACAGTCAGTCGTAGCTAAGTACGTCAAGTCAGACAGT"
             "CGTAGCGTA")
+
+
+# ---------------------------------------------------------------------
+# fast tier: `pytest -m fast` gives a contributor a <5-minute signal
+# (kernel oracles, host-algorithm units, light e2e).  Heavy files (full
+# pipelines, multi-process, scale) stay in the default tier only.
+_FAST_FILES = {
+    "test_chaining.py", "test_polish.py", "test_repair.py",
+    "test_io.py", "test_graph.py", "test_mpc.py", "test_minimizer.py",
+    "test_selection.py", "test_myers.py", "test_chains.py",
+    "test_mem.py",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.fspath.basename in _FAST_FILES:
+            item.add_marker(pytest.mark.fast)
