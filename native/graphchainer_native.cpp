@@ -1805,11 +1805,30 @@ void cpu_signature(int64_t* out) {
   for (int i = 0; i < 16; i++) out[i] = 0;
 #if defined(__x86_64__) || defined(__i386__)
   unsigned a, b, c, d;
-  if (__get_cpuid(1, &a, &b, &c, &d)) {         // family/model/stepping
-    out[0] = a; out[1] = c; out[2] = d;
+  // FNV-1a over a BROAD leaf sweep: LLVM's host feature detection may
+  // read any of these, and two VM hosts here have been observed to
+  // differ only in model-derived tuning flags
+  uint64_t h = 1469598103934665603ull;
+  auto mix = [&h](unsigned v) {
+    for (int i = 0; i < 4; i++) {
+      h ^= (v >> (8 * i)) & 0xFF;
+      h *= 1099511628211ull;
+    }
+  };
+  for (unsigned leaf = 0; leaf <= 0x24; leaf++)
+    for (unsigned sub = 0; sub <= 3; sub++) {
+      a = b = c = d = 0;
+      __get_cpuid_count(leaf, sub, &a, &b, &c, &d);
+      mix(a); mix(b); mix(c); mix(d);
+    }
+  for (unsigned leaf = 0x80000000u; leaf <= 0x80000008u; leaf++) {
+    a = b = c = d = 0;
+    __get_cpuid(leaf, &a, &b, &c, &d);
+    mix(a); mix(b); mix(c); mix(d);
   }
-  if (__get_cpuid_count(7, 0, &a, &b, &c, &d)) {  // extended features
-    out[3] = b; out[4] = c; out[5] = d;
+  out[0] = (int64_t)h;
+  if (__get_cpuid(1, &a, &b, &c, &d)) {         // family/model/stepping
+    out[1] = a; out[2] = c; out[3] = d;
   }
   unsigned br[12] = {0};
   for (unsigned leaf = 0; leaf < 3; leaf++) {   // brand string
