@@ -91,6 +91,35 @@ def polish_batch(reads: Sequence[str], paths: Sequence[str],
     return out
 
 
+def polish_batch_host(reads: Sequence[str], paths: Sequence[str],
+                      bw: int = 8) -> List[PolishOutcome]:
+    """polish_batch computed on the HOST (native banded NW, bit-identical
+    to the device kernel incl. the band ramp — native/
+    graphchainer_native.cpp polish_host_batch).  For small re-polish
+    passes (bubble-repair redo, rescue fallbacks) whose device round
+    trip over the bandwidth-bound link costs more than ~1ms/read of
+    host compute."""
+    from graphchainer_tpu import native
+    rmms = [match_masks(r) for r in reads]
+    pmms = [match_masks(p) for p in paths]
+    sc, no, tc, ops = native.polish_host_batch(rmms, pmms, bw)
+    out = [PolishOutcome(score=int(sc[i]), ops=ops[i],
+                         touched=bool(tc[i])) for i in range(len(reads))]
+    while bw < MAX_BAND_WORDS:
+        bad = [i for i, oc in enumerate(out)
+               if (oc.ops is None or oc.touched)
+               and len(reads[i]) and len(paths[i])]
+        if not bad:
+            break
+        bw *= 2
+        sc, no, tc, ops = native.polish_host_batch(
+            [rmms[i] for i in bad], [pmms[i] for i in bad], bw)
+        for j, i in enumerate(bad):
+            out[i] = PolishOutcome(score=int(sc[j]), ops=ops[j],
+                                   touched=bool(tc[j]))
+    return out
+
+
 def pack_nibbles(mm: np.ndarray) -> np.ndarray:
     """(..., L) uint8 4-bit match masks -> (..., L//8) uint32 packed 8
     chars per word (the wire format of the polish kernels)."""

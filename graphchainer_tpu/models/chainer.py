@@ -479,13 +479,14 @@ class ChainerModel:
                             redo_paths.append(
                                 self.gx.positions_seq(fixed))
                 if redo_r:
+                    # HOST re-polish (bit-identical native banded NW):
+                    # the redo set is small and the device round trip
+                    # over the bandwidth-bound link costs more than the
+                    # ~1ms/read of host compute
                     with timers.stage("repair", len(redo_r)):
-                        redo = polish.polish_batch(
+                        redo = polish.polish_batch_host(
                             redo_reads, redo_paths,
-                            bw=cfg.polish_band_words,
-                            table=(None if dev_tbl is None else
-                                   (dev_tbl,
-                                    np.asarray(redo_r, np.int32))))
+                            bw=cfg.polish_band_words)
                     for ri, oc in zip(redo_r, redo):
                         out[ri].score = oc.score
                         out[ri].ops = oc.ops

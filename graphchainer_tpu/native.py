@@ -619,3 +619,47 @@ def cpu_signature() -> bytes:
     out = np.zeros(16, dtype=np.int64)
     lib.cpu_signature(_ptr(out))
     return out.tobytes()
+
+
+def polish_host_batch(read_mms, path_mms, bw: int):
+    """Banded NW on the host (exact mirror of the device polish kernel —
+    band placement, scores, backtrace tie-breaks, band-edge `touched`).
+    For small re-polish passes whose device round trip costs more than
+    the host compute.
+
+    read_mms/path_mms: per read, uint8 4-bit match-mask arrays
+    (utils/seq.match_masks).  Returns (scores, n_ops, touched, ops_list)
+    with ops_list[i] a FORWARD-order uint8 array or None (band escape).
+    """
+    lib = get_lib()
+    if not hasattr(lib, "_polish_sig"):
+        _U8P = ctypes.POINTER(ctypes.c_uint8)
+        lib.polish_host_batch.restype = None
+        lib.polish_host_batch.argtypes = [
+            ctypes.c_int64, _U8P, _I64P, _U8P, _I64P, ctypes.c_int64,
+            _I64P, _I64P, _I64P, _U8P, _I64P]
+        lib._polish_sig = True
+    nr = len(read_mms)
+    r_off = np.zeros(nr + 1, dtype=np.int64)
+    p_off = np.zeros(nr + 1, dtype=np.int64)
+    np.cumsum([len(a) for a in read_mms], out=r_off[1:])
+    np.cumsum([len(a) for a in path_mms], out=p_off[1:])
+    rmm = (np.concatenate(read_mms) if nr else
+           np.zeros(0, np.uint8)).astype(np.uint8, copy=False)
+    pmm = (np.concatenate(path_mms) if nr else
+           np.zeros(0, np.uint8)).astype(np.uint8, copy=False)
+    rmm = np.ascontiguousarray(rmm)
+    pmm = np.ascontiguousarray(pmm)
+    ops_off = r_off + p_off
+    ops_buf = np.zeros(max(int(ops_off[-1]), 1), dtype=np.uint8)
+    scores = np.zeros(nr, dtype=np.int64)
+    n_ops = np.zeros(nr, dtype=np.int64)
+    touched = np.zeros(nr, dtype=np.int64)
+    _u8 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    lib.polish_host_batch(
+        ctypes.c_int64(nr), _u8(rmm), _ptr(r_off), _u8(pmm), _ptr(p_off),
+        ctypes.c_int64(bw), _ptr(scores), _ptr(n_ops), _ptr(touched),
+        _u8(ops_buf), _ptr(ops_off))
+    ops_list = [ops_buf[ops_off[i]:ops_off[i] + n_ops[i]].copy()
+                if n_ops[i] >= 0 else None for i in range(nr)]
+    return scores, n_ops, touched, ops_list

@@ -1790,6 +1790,213 @@ void paths_copy(void* h, int64_t* offsets, int64_t* data) {
 void paths_free(void* h) { delete (PathsResult*)h; }
 
 // ---------------------------------------------------------------------
+// polish_host_batch: banded NW (read vs path) on the HOST, mirroring the
+// device kernel bit for bit: ops/linear_align.py polish_align band
+// placement (end-anchored float32 linear ramp, monotone base, bw 32-row
+// Myers words) and backtrace_device tie-breaks (diag =/X > DEL > INS)
+// including the band-edge `touched` witness.  Used for the small
+// re-polish passes (bubble-repair redo, band-ramp retries) whose device
+// round trip costs more than the host compute; results are
+// interchangeable with the device path (tests/test_polish.py
+// test_host_polish_matches_device).
+namespace polish_host {
+
+static inline int popc(uint32_t x) { return __builtin_popcount(x); }
+
+static inline int advance_word(uint32_t& vp, uint32_t& vn, int64_t& sb,
+                               uint32_t eq, int hin) {
+  uint32_t hin_neg = hin < 0 ? 1u : 0u;
+  uint32_t hin_pos = hin > 0 ? 1u : 0u;
+  eq |= hin_neg;
+  uint32_t xv = eq | vn;
+  uint32_t xh = (((eq & vp) + vp) ^ vp) | eq;
+  uint32_t ph = vn | ~(xh | vp);
+  uint32_t mh = vp & xh;
+  int hout = ((ph & 0x80000000u) ? 1 : 0) - ((mh & 0x80000000u) ? 1 : 0);
+  ph = (ph << 1) | hin_pos;
+  mh = (mh << 1) | hin_neg;
+  uint32_t vpn = mh | ~(xv | ph);
+  uint32_t vnn = ph & xv;
+  vp = vpn; vn = vnn; sb += hout;
+  return hout;
+}
+
+struct Dump {              // per-column band words (device dump layout)
+  std::vector<uint32_t> vp, vn;   // [P][bw]
+  std::vector<int64_t> sb;        // [P] bottom score of LAST band word
+  std::vector<int32_t> base;      // [P] band top word index
+};
+
+static const int64_t BIGSCORE = 1ll << 28;
+
+// band top word index at column c (exact float32 mirror of _band_base)
+static inline int band_base(int64_t c, int64_t rl, int64_t pl, int rw_cap,
+                            int bw) {
+  int64_t plc = pl > 1 ? pl : 1;
+  int64_t cc = c < plc - 1 ? c : plc - 1;
+  float target = (float)(cc + 1) * ((float)rl / (float)plc);
+  int base = (int)(target / 32.0f) - bw / 2;
+  int ub = rw_cap - bw > 0 ? rw_cap - bw : 0;
+  if (base < 0) base = 0;
+  if (base > ub) base = ub;
+  return base;
+}
+
+// one read: fill the dump + final score
+static int64_t fill(const uint8_t* rmm, int64_t rl, const uint8_t* pmm,
+                    int64_t pl, int bw, Dump& d) {
+  int rw_cap = (int)((rl + 31) / 32);
+  d.vp.assign((size_t)pl * bw, 0);
+  d.vn.assign((size_t)pl * bw, 0);
+  d.sb.assign(pl, 0);
+  d.base.assign(pl, 0);
+  // read Eq bitplanes, one word row per 32 read rows (bit i of plane b =
+  // read row matches base b) — eq per column is then 1-4 ORs per word
+  std::vector<uint32_t> planes(4 * rw_cap, 0);
+  for (int64_t r = 0; r < rl; r++) {
+    uint8_t m = rmm[r];
+    for (int b = 0; b < 4; b++)
+      if (m & (1 << b)) planes[(size_t)b * rw_cap + r / 32] |=
+          (1u << (r % 32));
+  }
+  std::vector<uint32_t> vp(bw, 0xFFFFFFFFu), vn(bw, 0);
+  std::vector<int64_t> sb(bw);
+  int base = band_base(0, rl, pl, rw_cap, bw);
+  for (int k = 0; k < bw; k++) sb[k] = (int64_t)base * 32 + 32 * (k + 1);
+  for (int64_t c = 0; c < pl; c++) {
+    int nb = band_base(c, rl, pl, rw_cap, bw);
+    if (nb < base) nb = base;
+    int shift = nb - base;
+    if (shift > bw) shift = bw;
+    if (shift) {
+      int64_t bot = sb[bw - 1];
+      for (int k = 0; k < bw; k++) {
+        int src = k + shift;
+        if (src < bw) { vp[k] = vp[src]; vn[k] = vn[src]; sb[k] = sb[src]; }
+        else {
+          vp[k] = 0xFFFFFFFFu; vn[k] = 0;
+          sb[k] = bot + (int64_t)(src - bw + 1) * 32;
+        }
+      }
+    }
+    base = nb;
+    int hin = 1;
+    uint8_t pm = pmm[c];
+    for (int w = 0; w < bw; w++) {
+      int row_word = base + w;
+      uint32_t eq = 0;
+      if (row_word < rw_cap)
+        for (int b = 0; b < 4; b++)
+          if (pm & (1 << b)) eq |= planes[(size_t)b * rw_cap + row_word];
+      hin = advance_word(vp[w], vn[w], sb[w], eq, hin);
+    }
+    std::copy(vp.begin(), vp.end(), d.vp.begin() + (size_t)c * bw);
+    std::copy(vn.begin(), vn.end(), d.vn.begin() + (size_t)c * bw);
+    d.sb[c] = sb[bw - 1];
+    d.base[c] = base;
+  }
+  // final score at (rl-1, pl-1)
+  int64_t lc = pl - 1;
+  const uint32_t* lvp = &d.vp[(size_t)lc * bw];
+  const uint32_t* lvn = &d.vn[(size_t)lc * bw];
+  int64_t r = rl - 1;
+  int wofs = (int)(r / 32) - d.base[lc];
+  if (wofs < 0) wofs = 0;
+  if (wofs > bw - 1) wofs = bw - 1;
+  int64_t bot = d.sb[lc];
+  for (int below = bw - 1; below > wofs; below--)
+    bot -= popc(lvp[below]) - popc(lvn[below]);
+  uint32_t rr = (uint32_t)(r % 32);
+  uint32_t above = rr < 31 ? (0xFFFFFFFFu << (rr + 1)) : 0u;
+  return bot - popc(lvp[wofs] & above) + popc(lvn[wofs] & above);
+}
+
+static inline int64_t cell_score(const Dump& d, int bw, int rw_cap,
+                                 int64_t rl, int64_t pl, int64_t r,
+                                 int64_t c) {
+  if (r < 0 && c < 0) return 0;
+  if (r < 0) return c + 1;
+  if (c < 0) return r + 1;
+  if (c >= pl) return BIGSCORE;
+  const uint32_t* vp = &d.vp[(size_t)c * bw];
+  const uint32_t* vn = &d.vn[(size_t)c * bw];
+  int64_t w = r / 32 - d.base[c];
+  if (w < 0 || w >= bw) return BIGSCORE;
+  int64_t bot = d.sb[c];
+  for (int below = bw - 1; below > (int)w; below--)
+    bot -= popc(vp[below]) - popc(vn[below]);
+  uint32_t rr = (uint32_t)(r % 32);
+  uint32_t above = rr < 31 ? (0xFFFFFFFFu << (rr + 1)) : 0u;
+  return bot - popc(vp[w] & above) + popc(vn[w] & above);
+}
+
+}  // namespace polish_host
+
+extern "C" {
+
+// scores[nr] (int64), n_ops[nr] (-1 = band escape / failure),
+// touched[nr] (0/1), ops: uint8 buffer laid out at ops_off[i] (caller
+// sizes ops_off[i+1]-ops_off[i] >= rl+pl), written FORWARD order.
+void polish_host_batch(int64_t nr, const uint8_t* rmm_cat,
+                       const int64_t* r_off, const uint8_t* pmm_cat,
+                       const int64_t* p_off, int64_t bw,
+                       int64_t* scores, int64_t* n_ops, int64_t* touched,
+                       uint8_t* ops_out, const int64_t* ops_off) {
+  using namespace polish_host;
+  const uint8_t OPM = 0, OPD = 1, OPI = 2, OPX = 3;
+  Dump d;
+  for (int64_t i = 0; i < nr; i++) {
+    const uint8_t* rmm = rmm_cat + r_off[i];
+    const uint8_t* pmm = pmm_cat + p_off[i];
+    int64_t rl = r_off[i + 1] - r_off[i];
+    int64_t pl = p_off[i + 1] - p_off[i];
+    scores[i] = 0; n_ops[i] = -1; touched[i] = 0;
+    if (rl <= 0 || pl <= 0) continue;
+    int rw_cap = (int)((rl + 31) / 32);
+    scores[i] = fill(rmm, rl, pmm, pl, (int)bw, d);
+    // backtrace (mirrors backtrace_device: diag =/X > DEL > INS)
+    int64_t r = rl - 1, c = pl - 1;
+    uint8_t* out = ops_out + ops_off[i];
+    int64_t n = 0, cap = ops_off[i + 1] - ops_off[i];
+    bool fail = false, touch = false;
+    while (!(r < 0 && c < 0)) {
+      int64_t s = cell_score(d, (int)bw, rw_cap, rl, pl, r, c);
+      int64_t dg = cell_score(d, (int)bw, rw_cap, rl, pl, r - 1, c - 1);
+      int64_t lf = cell_score(d, (int)bw, rw_cap, rl, pl, r, c - 1);
+      int64_t up = cell_score(d, (int)bw, rw_cap, rl, pl, r - 1, c);
+      int sub = (r >= 0 && c >= 0 && (rmm[r] & pmm[c])) ? 0 : 1;
+      bool can_diag = r >= 0 && c >= 0 && s == dg + sub;
+      bool can_left = c >= 0 && s == lf + 1;
+      bool can_up = r >= 0 && s == up + 1;
+      uint8_t op;
+      if (can_diag) op = sub ? OPX : OPM;
+      else if (can_left) op = OPD;
+      else if (can_up) op = OPI;
+      else { fail = true; break; }
+      if (n >= cap) { fail = true; break; }
+      if (r >= 0 && c >= 0) {
+        int64_t cc = c < pl - 1 ? c : pl - 1;
+        int64_t w = (r < 0 ? 0 : r) / 32 - d.base[cc];
+        bool edge = (w <= 0 && d.base[cc] > 0)
+            || (w >= (int64_t)bw - 1 && d.base[cc] + bw < rw_cap);
+        touch = touch || edge;
+      }
+      out[n++] = op;
+      if (op == OPM || op == OPX) { r--; c--; }
+      else if (op == OPD) c--;
+      else r--;
+    }
+    if (!fail) {
+      n_ops[i] = n;
+      std::reverse(out, out + n);   // emit FORWARD order
+      touched[i] = touch ? 1 : 0;
+    }
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
 // cpu_signature: RUNTIME cpuid identity (family/model/stepping, brand
 // string, feature leaves).  Used to fingerprint the persistent JAX
 // compile cache directory: this environment's VM live-migrates between

@@ -130,3 +130,45 @@ def test_polish_batch_iupac_falls_back(rng):
     out = polish_batch([seq, seq], [seq, seq[:60] + "N" + seq[61:]], bw=2)
     assert out[0].score == 0
     assert out[1].score >= 0 and out[1].ops is not None
+
+
+def test_host_polish_matches_device(rng):
+    """native polish_host_batch (host banded NW) is bit-identical to the
+    device kernel single pass: score, n_ops, touched, full ops."""
+    from graphchainer_tpu import native
+    from graphchainer_tpu.align import polish
+    from graphchainer_tpu.utils.seq import match_masks
+
+    def mutate(s, e):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < e / 3:
+                continue
+            out.append(str(rng.choice(list("ACGT"))) if r < 2 * e / 3
+                       else ch)
+            if rng.random() < e / 3:
+                out.append(str(rng.choice(list("ACGT"))))
+        return "".join(out)
+
+    reads, paths = [], []
+    for _ in range(10):
+        p = "".join(rng.choice(list("ACGT"), int(rng.integers(150, 2000))))
+        paths.append(p)
+        reads.append(mutate(p, 0.12))
+    paths.append("ACGTN" * 60)                  # IUPAC path
+    reads.append(mutate(paths[-1].replace("N", "G"), 0.05))
+    dev = polish._polish_once(reads, paths, 4)
+    sc, no, tc, ops = native.polish_host_batch(
+        [match_masks(r) for r in reads], [match_masks(p) for p in paths], 4)
+    for i, oc in enumerate(dev):
+        assert oc.score == sc[i]
+        assert (-1 if oc.ops is None else len(oc.ops)) == no[i]
+        assert oc.touched == bool(tc[i])
+        if oc.ops is not None:
+            np.testing.assert_array_equal(oc.ops, ops[i])
+    # the ramped wrappers agree end-to-end as well
+    full_dev = polish.polish_batch(reads, paths, bw=4)
+    full_host = polish.polish_batch_host(reads, paths, bw=4)
+    for a, b in zip(full_dev, full_host):
+        assert a.score == b.score
