@@ -64,6 +64,17 @@ def build_parser() -> argparse.ArgumentParser:
     clc.add_argument("--optimal-alignment",
                      action="store_true",
                      help="alias for --mode optimal (reference flag)")
+    clc.add_argument("--seedless-DP", dest="seedless_dp",
+                     action="store_true",
+                     help="no seeding: discover alignment starts with a "
+                          "free-start DP scan over the whole graph "
+                          "(implies --mode ga; reference "
+                          "src/AlignerMain.cpp:77)")
+    clc.add_argument("--DP-restart-stride", dest="dp_restart_stride",
+                     type=int, default=0,
+                     help="with --seedless-DP, re-scan at this read-offset "
+                          "stride to recover coverage after clips "
+                          "(reference src/AlignerMain.cpp:78)")
     clc.add_argument("--compare-baseline", action="store_true",
                      help="in clc mode, also run the whole-read baseline "
                           "and keep the better alignment per read (the "
@@ -283,6 +294,8 @@ def params_from_args(args) -> PipelineParams:
         seed_extend_density=args.seeds_extend_density,
         min_cluster_size=args.seeds_clustersize,
         global_alignment=args.global_alignment,
+        seedless_dp=args.seedless_dp,
+        dp_restart_stride=args.dp_restart_stride,
         num_processes=args.num_processes, process_id=args.process_id,
         coordinator=args.coordinator,
         out_corrected=args.corrected_out,
@@ -305,6 +318,8 @@ def main(argv=None) -> int:
     if getattr(args, "optimal_alignment", False):
         args.mode = "optimal"
     if getattr(args, "no_colinear_chaining", False):
+        args.mode = "ga"
+    if getattr(args, "seedless_dp", False):
         args.mode = "ga"
     if args.graph_statistics:
         from graphchainer_tpu.pipeline import load_graph

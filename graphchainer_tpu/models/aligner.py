@@ -102,6 +102,13 @@ class AlignerConfig:
     # keeps band nodes within minScore+bandwidth per slice,
     # src/GraphAlignerBitvectorBanded.h:286)
     carry_margin: int = 32
+    # reference --seedless-DP (src/AlignerMain.cpp:77, GraphAligner.h:53):
+    # ignore the seeder and discover alignment starts with a free-start
+    # (fullstart) DP scan over the whole graph (align/seedless.py);
+    # --DP-restart-stride re-scans at later read offsets to recover
+    # coverage after clips (GraphAligner.h:60-80)
+    seedless_dp: bool = False
+    dp_restart_stride: int = 0
 
     def __post_init__(self):
         if self.precise_clipping is not None:
@@ -217,6 +224,20 @@ class GraphAlignerModel:
         self.gx = gx or GraphTensors.build(g)
         # single-strand graph bp, the E-value database size
         self._db_size = int(np.sum(g.node_len)) // 2
+        self._fullstart = None   # lazy seedless-DP scanner
+
+    def _seedless_seeds(self, seq: str):
+        """Synthetic seeds from the fullstart scan (--seedless-DP)."""
+        from graphchainer_tpu.align.seedless import FullstartScanner
+        if self._fullstart is None:
+            self._fullstart = FullstartScanner(self.g, self.gx)
+        stride = self.cfg.dp_restart_stride
+        offsets = ((0,) if stride <= 0
+                   else tuple(range(0, max(len(seq) - 32, 1), stride)))
+        # one start per restart offset (the reference runs one fullstart
+        # per restart); a lone offset-0 scan keeps 3 candidate starts
+        return self._fullstart.scan(seq, offsets=offsets,
+                                    topk=3 if len(offsets) == 1 else 1)
 
     # ------------------------------------------------------------------
     def _init_states(self, ri: int, read_mm: np.ndarray, seed_node: int,
@@ -506,6 +527,11 @@ class GraphAlignerModel:
                for n, s in reads]
         seed_lists = []
         for name, seq in reads:
+            if cfg.seedless_dp:
+                # --seedless-DP: fullstart scan instead of the seeder
+                # (reference AlignOneWay, src/GraphAligner.h:53-83)
+                seed_lists.append(self._seedless_seeds(seq))
+                continue
             seeds = get_seeds(self.index, seq, cfg.seed_density)
             # diagonal clustering picks seeds from the best-supported
             # cluster first (reference OrderSeeds, src/GraphAligner.h:233)
@@ -549,8 +575,13 @@ class GraphAlignerModel:
                     candidates[ri].append((positions, span))
                 if cov > prev_cov:
                     best_span[ri] = span
-                if cov < cfg.min_coverage_frac \
-                        and si + 1 < len(seed_lists[ri]):
+                # with --DP-restart-stride every restart offset extends
+                # unconditionally (the reference re-runs fullstart after
+                # each alignment, src/GraphAligner.h:60-80); otherwise
+                # retry the next seed only while the read is under-covered
+                advance = cov < cfg.min_coverage_frac or (
+                    cfg.seedless_dp and cfg.dp_restart_stride > 0)
+                if advance and si + 1 < len(seed_lists[ri]):
                     next_pending.append((ri, si + 1))
             pending = next_pending
 

@@ -70,6 +70,8 @@ class PipelineParams:
     seed_extend_density: float = -1.0         # --seeds-extend-density
     min_cluster_size: int = 0                 # --seeds-clustersize
     global_alignment: bool = False            # --global-alignment (GA)
+    seedless_dp: bool = False                 # --seedless-DP (GA mode)
+    dp_restart_stride: int = 0                # --DP-restart-stride
     # multi-host execution (parallel/multihost.py): all processes run the
     # same command; reads stripe by index, outputs get .partI suffixes,
     # stats psum over the global mesh
@@ -195,6 +197,8 @@ def align_reads(params: PipelineParams) -> AlignmentStats:
                           seed_extend_density=params.seed_extend_density,
                           min_cluster_size=params.min_cluster_size,
                           global_alignment=params.global_alignment,
+                          seedless_dp=params.seedless_dp,
+                          dp_restart_stride=params.dp_restart_stride,
                           **({"band_slots": params.bandwidth}
                              if params.bandwidth else {})))
     elif params.mode == "optimal":
