@@ -189,3 +189,174 @@ def extend_from_seed(g: AlignmentGraph, read: str, seed_node: int,
     inject = np.full(cg.n, BIG, dtype=np.int64)
     inject[cg.char_id(seed_node, seed_offset)] = 0
     return cg, dag_dp(cg, read, inject)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed DP: exact score + traceback with O(n * (C + R/C)) memory
+# instead of the full O(n * R) table (lifts the r2 20M-cell traceback cap
+# of --optimal-alignment; reference Dijkstra mode has no such cap,
+# src/GraphAlignerBitvectorDijkstra.h).
+
+def _dp_block(cg: CharGraph, rmm_block: np.ndarray, inject: np.ndarray,
+              left: np.ndarray, j_base: int) -> np.ndarray:
+    """One read-stripe of the DP: D_block[:, 0] = `left` (the exact DP
+    column at global read position j_base); returns (n, C+1) covering
+    global columns j_base..j_base+C."""
+    C = len(rmm_block)
+    idx = np.arange(C + 1, dtype=np.int64)
+    gidx = j_base + idx
+    D = np.empty((cg.n, C + 1), dtype=np.int64)
+    rb = rmm_block.astype(np.int64)
+    for v in range(cg.n):
+        bound = np.minimum(inject[v] + gidx, BIG)
+        ps = cg.pred_idx[cg.pred_ptr[v]:cg.pred_ptr[v + 1]]
+        if len(ps):
+            inc = np.minimum(np.min(D[ps], axis=0), bound)
+        else:
+            inc = bound
+        sub = ((rb & int(cg.match_mask[v])) == 0).astype(np.int64)
+        t = np.empty(C + 1, dtype=np.int64)
+        t[0] = left[v]
+        t[1:] = np.minimum(inc[:-1] + sub, inc[1:] + 1)
+        D[v] = np.minimum.accumulate(t - idx) + idx
+        np.minimum(D[v], BIG, out=D[v])
+    return D
+
+
+def dag_dp_ckpt(cg: CharGraph, read: str, inject: np.ndarray,
+                stripe: int = 0) -> Tuple[np.ndarray, List[np.ndarray],
+                                          int]:
+    """Checkpointed forward DP.  Returns (final column D[:, R],
+    checkpoint columns [D[:, 0], D[:, C], D[:, 2C], ...], stripe C).
+
+    Memory is n x C for the working stripe plus n x ceil(R/C) for the
+    checkpoints; stripe defaults to ~sqrt(R) to balance the two."""
+    R = len(read)
+    rmm = match_masks(read)
+    if stripe <= 0:
+        stripe = max(16, int(np.sqrt(max(R, 1)) * 1.4))
+    # column 0 of the whole DP: vertical closure over inject along each
+    # topological path; computed as a 1-column block from an all-BIG left
+    # (t[0]=BIG makes the closure pick the inject/pred terms only)
+    col0 = np.empty(cg.n, dtype=np.int64)
+    for v in range(cg.n):
+        ps = cg.pred_idx[cg.pred_ptr[v]:cg.pred_ptr[v + 1]]
+        inc = min((int(col0[u]) for u in ps), default=BIG)
+        col0[v] = min(inject[v] + 1, inc + 1, BIG)
+    ckpts = [col0]
+    left = col0
+    for j0 in range(0, R, stripe):
+        blk = rmm[j0:j0 + stripe]
+        D = _dp_block(cg, blk, inject, left, j0)
+        left = D[:, -1].copy()
+        if j0 + stripe < R:
+            ckpts.append(left)
+    return left, ckpts, stripe
+
+
+def _walk_block(cg: CharGraph, D: np.ndarray, rmm: np.ndarray,
+                inject: np.ndarray, v: int, jl: int, j_base: int):
+    """Backtrace inside one stripe block from local column jl.  Returns
+    (pos_rev, ops_rev, v', done): walks until an alignment start breaks
+    (done=True) or the stripe's left boundary is reached (done=False,
+    continue at (v', local C_prev) in the previous block)."""
+    pos_rev: List[int] = []
+    ops_rev: List[int] = []
+    while True:
+        j = j_base + jl
+        cell = D[v, jl]
+        sub_ok = j > 0 and (int(rmm[j - 1]) & int(cg.match_mask[v])) != 0
+        sub = 0 if sub_ok else 1
+        ps = cg.pred_idx[cg.pred_ptr[v]:cg.pred_ptr[v + 1]]
+        if jl == 0:
+            # the previous block owns this column (it is its LAST column;
+            # in-column deletions continue there)
+            return pos_rev, ops_rev, v, False
+        if cell == min(inject[v] + (j - 1), BIG) + sub:
+            pos_rev.append(v)
+            ops_rev.append(OP_MISMATCH if sub else OP_MATCH)
+            ops_rev.extend([OP_INS] * (j - 1))
+            return pos_rev, ops_rev, v, True
+        if cell == min(inject[v] + j, BIG) + 1:
+            pos_rev.append(v)
+            ops_rev.append(OP_DEL)
+            ops_rev.extend([OP_INS] * j)
+            return pos_rev, ops_rev, v, True
+        moved = False
+        for u in ps:
+            if D[u, jl - 1] + sub == cell:
+                pos_rev.append(v)
+                ops_rev.append(OP_MISMATCH if sub else OP_MATCH)
+                v, jl = int(u), jl - 1
+                moved = True
+                break
+        if moved:
+            continue
+        for u in ps:
+            if D[u, jl] + 1 == cell:
+                pos_rev.append(v)
+                ops_rev.append(OP_DEL)
+                v = int(u)
+                moved = True
+                break
+        if moved:
+            continue
+        if D[v, jl - 1] + 1 == cell:
+            ops_rev.append(OP_INS)
+            jl -= 1
+            continue
+        raise AssertionError("inconsistent DP block in ckpt backtrace")
+
+
+def backtrace_ckpt(cg: CharGraph, read: str, inject: np.ndarray,
+                   ckpts: List[np.ndarray], stripe: int, end_char: int):
+    """Exact traceback by stripe recompute from the forward checkpoints
+    (2x forward work, O(n * stripe) peak memory).  Same output contract
+    as `backtrace`."""
+    R = len(read)
+    rmm = match_masks(read)
+    pos_rev: List[int] = []
+    ops_rev: List[int] = []
+    v = int(end_char)
+    k = (R - 1) // stripe if R else 0   # stripe index holding column R
+    jl = R - k * stripe
+    done = False
+    while not done:
+        j0 = k * stripe
+        D = _dp_block(cg, rmm[j0:j0 + stripe], inject, ckpts[k], j0)
+        seg_pos, seg_ops, v, done = _walk_block(cg, D, rmm, inject, v,
+                                                jl, j0)
+        pos_rev.extend(seg_pos)
+        ops_rev.extend(seg_ops)
+        if not done:
+            if k == 0:
+                # column 0 of the whole DP: only starts/in-column dels
+                # remain; resolve against the closed-form column 0
+                cell = int(ckpts[0][v])
+                while True:
+                    if cell == min(int(inject[v]) + 1, BIG):
+                        pos_rev.append(v)
+                        ops_rev.append(OP_DEL)
+                        done = True
+                        break
+                    ps = cg.pred_idx[cg.pred_ptr[v]:cg.pred_ptr[v + 1]]
+                    stepped = False
+                    for u in ps:
+                        if int(ckpts[0][u]) + 1 == cell:
+                            pos_rev.append(v)
+                            ops_rev.append(OP_DEL)
+                            v, cell = int(u), int(ckpts[0][u])
+                            stepped = True
+                            break
+                    if not stepped:
+                        raise AssertionError(
+                            "inconsistent column-0 in ckpt backtrace")
+                break
+            k -= 1
+            jl = stripe
+    chars = list(reversed(pos_rev))
+    positions = np.stack([cg.node_of[chars], cg.offset_of[chars]],
+                         axis=1) if chars else np.zeros((0, 2),
+                                                        dtype=np.int64)
+    ops = np.array(list(reversed(ops_rev)), dtype=np.uint8)
+    return positions, ops

@@ -9,8 +9,12 @@ an ENTIRE component and free-start injection at every slot (full_start):
 with the whole component in band there is no out-of-band approximation,
 so one topo pass per slice is the exact DP.
 
-Practical for components up to a few thousand split nodes (the score-
-ordered reference implementation is likewise a small-graph tool).  Reads
+Components up to max_component (4096) split nodes run on the kernel;
+wider components fall back to the exact host checkpointed DP
+(align/oracle.py dag_dp_ckpt), so the mode is UNBOUNDED like the
+reference's — the kernel band is a fast path, not a cap.  Traceback is
+always exact: the full oracle table when component x read fits in 20M
+cells, else stripe-checkpointed recompute (O(n*sqrt(R)) memory).  Reads
 are processed one at a time; the component is chosen by the read's best
 minimizer seed (all components with seed hits are tried).
 """
@@ -21,9 +25,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from graphchainer_tpu.align import polish
 from graphchainer_tpu.align.anchors import GraphTensors, backwalk
-from graphchainer_tpu.align.stitch import path_to_positions
 from graphchainer_tpu.graph.alignment_graph import AlignmentGraph
 from graphchainer_tpu.index.minimizer import MinimizerIndex, get_seeds
 from graphchainer_tpu.models.chainer import ReadAlignment
@@ -32,12 +34,11 @@ from graphchainer_tpu.parallel.device import asarray_chunked
 from graphchainer_tpu.utils.seq import match_masks
 
 W = 32
-# int16 backtrace pointers cap the band at 32767 slots, but the practical
-# bound is the component's topo DEPTH (the level-parallel kernel steps
-# once per level, so a chain-shaped component costs depth x 32 columns
-# sequentially).  4096 keeps worst-case chains tractable; raise
-# OptimalConfig.max_component for bushy components if needed.  The
-# reference's score-ordered Dijkstra mode is likewise a small-graph tool.
+# Kernel fast-path bound: int16 backtrace pointers cap a band at 32767
+# slots, and the level-parallel kernel steps once per topo LEVEL, so a
+# chain-shaped component costs depth x 32 columns sequentially.  4096
+# keeps worst-case chains tractable; components wider than this are NOT
+# rejected — they take the exact host checkpointed-DP path instead.
 MAX_COMPONENT = 4096
 
 
@@ -72,10 +73,7 @@ class OptimalAlignerModel:
         g = self.g
         nodes = np.nonzero(g.comp == c)[0].astype(np.int64)
         n = len(nodes)
-        if n > self.cfg.max_component:
-            raise ValueError(
-                f"component {c} has {n} split nodes; --optimal-alignment "
-                f"supports components up to {self.cfg.max_component}")
+        assert n <= self.cfg.max_component
         B = _pow2(n, 64)
         slot_of = {int(v): i for i, v in enumerate(nodes)}
         max_in = 1
@@ -101,6 +99,16 @@ class OptimalAlignerModel:
         from graphchainer_tpu.align.anchors import (level_bucket,
                                                     pack_row_planes)
         g = self.g
+        nodes = np.nonzero(g.comp == c)[0]
+        if len(nodes) > self.cfg.max_component:
+            # component too wide for one kernel band: exact host
+            # checkpointed DP (O(n*sqrt(R)) memory) — slow but unbounded,
+            # like the reference's score-ordered Dijkstra expansion
+            from graphchainer_tpu.align import oracle as orc
+            cg = orc.build_char_graph(g, nodes)
+            inject = np.zeros(cg.n, dtype=np.int64)
+            fin, _, _ = orc.dag_dp_ckpt(cg, read, inject)
+            return int(fin.min()), None, 0
         band_nodes, band_in, band_level, n_real = self._component_band(c)
         max_in = band_in.shape[2]
         rows = len(read)
@@ -153,27 +161,24 @@ class OptimalAlignerModel:
                 continue
             score, comp, path, end_col = best
             out[ri].score = score
-            # exact traceback via the host oracle when the component x read
-            # DP fits; otherwise keep the kernel's heuristic path and
-            # polish it (the SCORE stays the kernel's exact one)
+            # EXACT traceback always (r3: the 20M-cell cap is gone): the
+            # full oracle table when it fits, else the checkpointed
+            # stripe-recompute traceback (align/oracle.py dag_dp_ckpt /
+            # backtrace_ckpt, O(n*sqrt(R)) memory, 2x forward work)
+            from graphchainer_tpu.align import oracle as orc
             nodes = np.nonzero(self.g.comp == comp)[0]
             n_chars = int(self.g.node_len[nodes].sum())
+            cg = orc.build_char_graph(self.g, nodes)
+            inject = np.zeros(cg.n, dtype=np.int64)
             if n_chars * (len(read) + 1) <= 20_000_000:
-                from graphchainer_tpu.align import oracle as orc
-                cg = orc.build_char_graph(self.g, nodes)
-                inject = np.zeros(cg.n, dtype=np.int64)
                 D = orc.dag_dp(cg, read, inject)
                 end = int(np.argmin(D[:, len(read)]))
                 positions, ops = orc.backtrace(cg, D, read, inject, end)
-                out[ri].positions = positions
-                out[ri].ops = ops
-            elif path is not None:
-                positions = path_to_positions(self.g, path, 0, end_col)
-                oc = polish.polish_batch(
-                    [read], [self.gx.positions_seq(positions)],
-                    bw=self.cfg.polish_band_words)[0]
-                out[ri].positions = positions
-                out[ri].ops = oc.ops
             else:
-                out[ri].error = "optimal: path recovery failed"
+                fin, ckpts, stripe = orc.dag_dp_ckpt(cg, read, inject)
+                end = int(np.argmin(fin))
+                positions, ops = orc.backtrace_ckpt(cg, read, inject,
+                                                    ckpts, stripe, end)
+            out[ri].positions = positions
+            out[ri].ops = ops
         return out
