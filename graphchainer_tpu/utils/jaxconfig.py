@@ -18,6 +18,32 @@ import os
 import platform
 
 _done = False
+_cpu_feats: bytes | None = None
+
+
+def _xla_cpu_features() -> bytes:
+    """The LLVM target-feature string XLA:CPU compiles with RIGHT NOW —
+    the exact string cpu_aot_loader compares at cache-load time (compile
+    a trivial function, serialize it, pull the `+feat,...` run out of the
+    blob).  Catches tuning flags like +prefer-no-gather that are derived
+    from kernel/microcode mitigation state and can change across VM
+    live-migrations WITHOUT changing cpuid (the residual r2 mismatch the
+    cpuid sweep missed).  Only called in CPU-platform processes: it must
+    never trigger axon TPU plugin initialization (which hangs when the
+    tunnel is down)."""
+    global _cpu_feats
+    if _cpu_feats is None:
+        import re
+
+        import jax
+        import numpy as np
+        f = jax.jit(lambda x: x + 1)
+        blob = (f.lower(np.ones((4,), np.float32)).compile()
+                .runtime_executable().serialize())
+        m = re.search(rb"[+\-][a-z0-9\-\.]{2,24}"
+                      rb"(?:,[+\-][a-z0-9\-\.]{2,24}){8,}", blob)
+        _cpu_feats = m.group(0) if m else b""
+    return _cpu_feats
 
 
 def machine_tag() -> str:
@@ -49,6 +75,14 @@ def machine_tag() -> str:
                     if len(seen) == len(want):
                         break
         except OSError:
+            pass
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # CPU-platform process (tests, dryrun, multihost children): fold
+        # in the live LLVM feature string so the tag can never collide
+        # across a migration that only flips compiler tuning flags
+        try:
+            txt += _xla_cpu_features()
+        except Exception:
             pass
     return hashlib.sha1(txt).hexdigest()[:10]
 
