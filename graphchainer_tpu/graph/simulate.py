@@ -75,3 +75,57 @@ def simulate_reads(path_seq: str, n: int, mean_len: int, seed: int = 0,
         read = mutate_read(rng, frag, sub=per, ins=per, dele=per)
         reads.append((f"sim_{i}_{start}_{L}", read))
     return reads
+
+
+def tangle_bigraph(rng, n_knots: int = 10, arms: int = 8,
+                   spacer: int = 40, arm_len: int = 8,
+                   nested: bool = True, cycle_every: int = 0):
+    """Adversarial dense variation graph: a backbone of `n_knots`
+    superbubble KNOTS, each fanning into `arms` parallel variant arms
+    that reconverge on one join node (join in-degree == arms, far above
+    the default max_in=4 band cap).  With `nested`, one arm of every
+    knot contains an inner bubble (nested superbubbles).  With
+    `cycle_every` > 0, every k-th knot also gets a back edge from its
+    join to its fork (short directed cycles — GA mode only; CLC refuses
+    cyclic graphs like the reference).
+
+    This is the stress shape VERDICT r2 weak #5 asks for: the benign
+    bench graph never exercises the max_in truncation or fixed-band
+    failure modes.
+    """
+    from graphchainer_tpu.io.gfa import Bigraph
+    bg = Bigraph()
+    bases = list("ACGT")
+    prev = bg.add_segment("start", "".join(rng.choice(bases, spacer)))
+    for i in range(n_knots):
+        fork = bg.add_segment(f"f{i}", "".join(rng.choice(bases, spacer)))
+        bg.links.append((prev, False, fork, False, 0))
+        join = bg.add_segment(f"j{i}", "".join(rng.choice(bases, spacer)))
+        for a in range(arms):
+            ln = max(1, arm_len + int(rng.integers(-arm_len // 2,
+                                                   arm_len // 2 + 1)))
+            if nested and a == 0:
+                # nested bubble inside the first arm
+                head = bg.add_segment(f"k{i}a{a}h",
+                                      "".join(rng.choice(bases, ln)))
+                x = bg.add_segment(f"k{i}a{a}x", str(rng.choice(bases)))
+                y = bg.add_segment(f"k{i}a{a}y", str(rng.choice(bases)))
+                tail = bg.add_segment(f"k{i}a{a}t",
+                                      "".join(rng.choice(bases, ln)))
+                bg.links.append((fork, False, head, False, 0))
+                bg.links.append((head, False, x, False, 0))
+                bg.links.append((head, False, y, False, 0))
+                bg.links.append((x, False, tail, False, 0))
+                bg.links.append((y, False, tail, False, 0))
+                bg.links.append((tail, False, join, False, 0))
+            else:
+                arm = bg.add_segment(f"k{i}a{a}",
+                                     "".join(rng.choice(bases, ln)))
+                bg.links.append((fork, False, arm, False, 0))
+                bg.links.append((arm, False, join, False, 0))
+        if cycle_every and (i % cycle_every == cycle_every - 1):
+            bg.links.append((join, False, fork, False, 0))
+        prev = join
+    end = bg.add_segment("end", "".join(rng.choice(bases, spacer)))
+    bg.links.append((prev, False, end, False, 0))
+    return bg

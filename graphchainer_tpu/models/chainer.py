@@ -68,6 +68,27 @@ class ChainerConfig:
     # reference --fast-mode (src/Aligner.cpp:834-843): skip the base-level
     # polish; score = positional mismatch count along the path, no CIGAR.
     fast_mode: bool = False
+    # CLC band escalation (the reference ramps its bandwidth on slices
+    # that fail the score cutoff, src/GraphAlignerBitvectorBanded.h:572-
+    # 644): reads whose polished edit distance still exceeds
+    # rescue_threshold re-run the WHOLE fragment path once with this
+    # wider band / in-degree cap before the (more expensive) GA-baseline
+    # rescue.  Recovers anchors lost to max_in truncation and band
+    # overflow on dense tangles; never triggers on benign graphs.
+    # 0 = off.
+    escalate_band: int = 96
+    escalate_max_in: int = 12
+    # norm-ED trigger for the escalation retry; None = use
+    # rescue_threshold (so escalation precedes each GA rescue)
+    escalate_threshold: Optional[float] = None
+    # data-dependent band effort (the reference adapts its band to the
+    # graph via flood fill + --tangle-effort; here the band is fixed, so
+    # on DENSE graphs — where the max_in cap and fixed band make the CLC
+    # DP approximate — fall back to the reference's own always-compare
+    # behaviour (src/Aligner.cpp:901-920) instead of threshold rescue.
+    # "Dense" = more than 2% of nodes exceed the max_in cap.  Costs
+    # nothing on benign graphs (the bench graph has 0 such nodes).
+    auto_compare_dense: bool = True
     # polish-guided bubble repair (align/repair.py): swap wrong variant
     # arms picked at word-granular walk ties for the arm matching the
     # read (the reference's per-cell backtrace gets this for free)
@@ -100,14 +121,18 @@ class ChainerModel:
                  index: MinimizerIndex,
                  cfg: Optional[ChainerConfig] = None,
                  file_seeds: Optional[dict] = None,
-                 seed_fn=None):
+                 seed_fn=None, gx: Optional[GraphTensors] = None):
         self.g = g
         self.mpc = mpc
         self.index = index
         self.cfg = cfg or ChainerConfig()
-        self.gx = GraphTensors.build(g)
+        self.gx = gx or GraphTensors.build(g)
         self._baseline = None
         self._baseline_lock = threading.Lock()
+        self._escalated = None
+        indeg = np.diff(g.in_ptr)
+        self._dense_graph = bool(
+            np.mean(indeg > self.cfg.max_in) > 0.02)
         # external seeds: read name -> [SeedHit] (reference .gam seed
         # files, src/Aligner.cpp:1169-1190)
         self.file_seeds = file_seeds
@@ -118,6 +143,26 @@ class ChainerModel:
     def baseline(self):
         with self._baseline_lock:
             return self._baseline_locked()
+
+    def escalated(self) -> "ChainerModel":
+        """Wide-band sibling model for the escalation retry (shares the
+        graph tensors / index / MPC; escalation+rescue disabled so the
+        retry cannot recurse)."""
+        with self._baseline_lock:
+            if self._escalated is None:
+                from dataclasses import replace
+                wide = replace(self.cfg,
+                               band_slots=self.cfg.escalate_band,
+                               max_in=self.cfg.escalate_max_in,
+                               band_slack=self.cfg.band_slack * 2,
+                               escalate_band=0, rescue_threshold=0.0,
+                               compare_with_baseline=False,
+                               auto_compare_dense=False)
+                self._escalated = ChainerModel(
+                    self.g, self.mpc, self.index, wide,
+                    file_seeds=self.file_seeds, seed_fn=self.seed_fn,
+                    gx=self.gx)
+            return self._escalated
 
     def _baseline_locked(self):
         if self._baseline is None:
@@ -491,7 +536,34 @@ class ChainerModel:
                         out[ri].score = oc.score
                         out[ri].ops = oc.ops
 
-        if cfg.compare_with_baseline:
+        esc_thr = (cfg.escalate_threshold
+                   if cfg.escalate_threshold is not None
+                   else cfg.rescue_threshold)
+        if cfg.escalate_band > cfg.band_slots and esc_thr > 0:
+            # band escalation before the GA rescue (reference bandwidth
+            # ramp on score-flagged slices,
+            # src/GraphAlignerBitvectorBanded.h:572-644): re-run still-bad
+            # reads through the fragment path with a wider band and
+            # in-degree cap — recovers anchors lost to max_in truncation
+            # on dense tangles at a fraction of the GA-rescue cost
+            esc = [ri for ri in range(len(reads))
+                   if out[ri].failed
+                   or out[ri].score > esc_thr
+                   * max(len(reads[ri][1]), 1)]
+            if esc:
+                with timers.stage("escalate", len(esc)):
+                    ealn = self.escalated().align_batch(
+                        [reads[ri] for ri in esc])
+                for bi, ri in enumerate(esc):
+                    if not ealn[bi].failed and (
+                            out[ri].failed
+                            or ealn[bi].score < out[ri].score):
+                        ealn[bi].n_seeds = max(ealn[bi].n_seeds,
+                                               out[ri].n_seeds)
+                        out[ri] = ealn[bi]
+
+        if cfg.compare_with_baseline or (cfg.auto_compare_dense
+                                         and self._dense_graph):
             retry = list(range(len(reads)))
         elif cfg.rescue_threshold > 0:
             retry = [ri for ri in range(len(reads))
