@@ -27,18 +27,17 @@ class EditItem:
 @dataclass
 class MappingItem:
     node_name: str
-    node_id: int          # numeric id for GAM (name if numeric, else 1+idx)
+    node_id: int          # the reference binary's INTERNAL digraph node
+                          # id (0-based appearance order) — byte-parity
+                          # with its GAM output (src/Aligner.cpp:152-165
+                          # writes internal ids in node_id and the GFA
+                          # name in Position.name)
     offset: int           # offset in the oriented node where mapping starts
     is_reverse: bool
     edits: List[EditItem] = field(default_factory=list)
     node_len: int = 0
 
 
-def _numeric_id(name: str, fallback: int) -> int:
-    try:
-        return int(name)
-    except ValueError:
-        return fallback + 1
 
 
 def to_mappings(g: AlignmentGraph, aln: ReadAlignment
@@ -66,7 +65,7 @@ def to_mappings(g: AlignmentGraph, aln: ReadAlignment
         d = di[p]
         name = g.names[d // 2]
         cur = MappingItem(node_name=name,
-                          node_id=_numeric_id(name, d // 2),
+                          node_id=d // 2,
                           offset=off[p], is_reverse=bool(d & 1),
                           node_len=len(g.di_seqs[d]))
         cur_d = d

@@ -21,7 +21,9 @@ from graphchainer_tpu.models.chainer import ReadAlignment
 def alignment_message(g: AlignmentGraph, aln: ReadAlignment) -> bytes:
     mappings = emit_mod.to_mappings(g, aln)
     wire_mappings = []
-    for rank, m in enumerate(mappings, start=1):
+    # the reference binary numbers mapping ranks 0-based (the first
+    # mapping's rank field is absent on the wire) — byte parity
+    for rank, m in enumerate(mappings, start=0):
         pos = vg_wire.position(m.node_id, m.offset, m.is_reverse,
                                name=m.node_name)
         edits = [vg_wire.edit(e.from_length, e.to_length, e.sequence)

@@ -396,9 +396,15 @@ def backtrace_device(dump_vp, dump_vn, dump_sb, dump_base, read_planes,
         can_diag = (r >= 0) & (c >= 0) & (s == d + sub)
         can_left = (c >= 0) & (s == l + 1)
         can_up = (r >= 0) & (s == u + 1)
-        op = jnp.where(can_diag, jnp.where(sub == 1, OP_MISMATCH, OP_MATCH),
-                       jnp.where(can_left, OP_DEL,
-                                 jnp.where(can_up, OP_INS, OP_NONE)))
+        # tie order INS > diag > DEL: the reference's backtrace prefers
+        # the vertical move, then diagonal, then horizontal
+        # (src/GraphAlignerBitvectorCommon.h:556-597 pickBacktraceInside)
+        # — byte-parity of emitted CIGARs/GAM depends on matching it
+        op = jnp.where(can_up, OP_INS,
+                       jnp.where(can_diag,
+                                 jnp.where(sub == 1, OP_MISMATCH,
+                                           OP_MATCH),
+                                 jnp.where(can_left, OP_DEL, OP_NONE)))
         stuck = ~done & (op == OP_NONE)
         fail = fail | stuck
         emit = ~done & ~fail
@@ -411,10 +417,10 @@ def backtrace_device(dump_vp, dump_vn, dump_sb, dump_base, read_planes,
         edge = (((w <= 0) & (base_c > 0))
                 | ((w >= bw - 1) & (base_c + bw < rw_cap)))
         touch = touch | (emit & (r >= 0) & (c >= 0) & edge)
-        r_new = jnp.where(emit & (can_diag | (~can_diag & ~can_left
-                                              & can_up)), r - 1, r)
-        c_new = jnp.where(emit & (can_diag | (~can_diag & can_left)),
-                          c - 1, c)
+        go_diag = ~can_up & can_diag
+        go_left = ~can_up & ~can_diag & can_left
+        r_new = jnp.where(emit & (can_up | go_diag), r - 1, r)
+        c_new = jnp.where(emit & (go_diag | go_left), c - 1, c)
         done_new = done | ((r_new < 0) & (c_new < 0)) | fail
         out_op = jnp.where(emit, op, jnp.uint8(OP_NONE)).astype(jnp.uint8)
         return (r_new, c_new, fail, done_new, touch), out_op
@@ -507,9 +513,13 @@ def _backtrace_t(dump_vp, dump_vn, dump_sb, dump_base, planes_t, path_t,
         can_diag = (r >= 0) & (c >= 0) & (s == d + sub)
         can_left = (c >= 0) & (s == l + 1)
         can_up = (r >= 0) & (s == u + 1)
-        op = jnp.where(can_diag, jnp.where(sub == 1, OP_MISMATCH, OP_MATCH),
-                       jnp.where(can_left, OP_DEL,
-                                 jnp.where(can_up, OP_INS, OP_NONE)))
+        # tie order INS > diag > DEL (reference pickBacktraceInside,
+        # src/GraphAlignerBitvectorCommon.h:556-597 — GAM byte-parity)
+        op = jnp.where(can_up, OP_INS,
+                       jnp.where(can_diag,
+                                 jnp.where(sub == 1, OP_MISMATCH,
+                                           OP_MATCH),
+                                 jnp.where(can_left, OP_DEL, OP_NONE)))
         stuck = ~done & (op == OP_NONE)
         fail = fail | stuck
         # ops-buffer overflow: still walking at the emit cap -> band
@@ -522,13 +532,13 @@ def _backtrace_t(dump_vp, dump_vn, dump_sb, dump_base, planes_t, path_t,
         edge = (((w <= 0) & (base_c > 0))
                 | ((w >= bw - 1) & (base_c + bw < rw_cap)))
         touch = touch | (emit & (r >= 0) & (c >= 0) & edge)
-        go_diag = can_diag
-        go_left = ~can_diag & can_left
-        go_up = ~can_diag & ~can_left & can_up
-        r_new = jnp.where(emit & (go_diag | go_up), r - 1, r)
+        go_up = can_up
+        go_diag = ~can_up & can_diag
+        go_left = ~can_up & ~can_diag & can_left
+        r_new = jnp.where(emit & (go_up | go_diag), r - 1, r)
         c_new = jnp.where(emit & (go_diag | go_left), c - 1, c)
-        s_new = jnp.where(emit, jnp.where(go_diag, d,
-                                          jnp.where(go_left, l, u)), s)
+        s_new = jnp.where(emit, jnp.where(go_up, u,
+                                          jnp.where(go_diag, d, l)), s)
         done_new = done | ((r_new < 0) & (c_new < 0)) | fail
         # clamped write: once i >= ops_cap every lane is done or failed
         # (emit False), so merging with the old row preserves the last

@@ -1793,7 +1793,7 @@ void paths_free(void* h) { delete (PathsResult*)h; }
 // polish_host_batch: banded NW (read vs path) on the HOST, mirroring the
 // device kernel bit for bit: ops/linear_align.py polish_align band
 // placement (end-anchored float32 linear ramp, monotone base, bw 32-row
-// Myers words) and backtrace_device tie-breaks (diag =/X > DEL > INS)
+// Myers words) and backtrace_device tie-breaks (INS > diag =/X > DEL)
 // including the band-edge `touched` witness.  Used for the small
 // re-polish passes (bubble-repair redo, band-ramp retries) whose device
 // round trip costs more than the host compute; results are
@@ -1954,7 +1954,9 @@ void polish_host_batch(int64_t nr, const uint8_t* rmm_cat,
     if (rl <= 0 || pl <= 0) continue;
     int rw_cap = (int)((rl + 31) / 32);
     scores[i] = fill(rmm, rl, pmm, pl, (int)bw, d);
-    // backtrace (mirrors backtrace_device: diag =/X > DEL > INS)
+    // backtrace (mirrors backtrace_device: INS > diag =/X > DEL — the
+    // reference's vertical-first preference, GraphAlignerBitvectorCommon
+    // .h:556-597, which GAM byte-parity depends on)
     int64_t r = rl - 1, c = pl - 1;
     uint8_t* out = ops_out + ops_off[i];
     int64_t n = 0, cap = ops_off[i + 1] - ops_off[i];
@@ -1969,9 +1971,9 @@ void polish_host_batch(int64_t nr, const uint8_t* rmm_cat,
       bool can_left = c >= 0 && s == lf + 1;
       bool can_up = r >= 0 && s == up + 1;
       uint8_t op;
-      if (can_diag) op = sub ? OPX : OPM;
+      if (can_up) op = OPI;
+      else if (can_diag) op = sub ? OPX : OPM;
       else if (can_left) op = OPD;
-      else if (can_up) op = OPI;
       else { fail = true; break; }
       if (n >= cap) { fail = true; break; }
       if (r >= 0 && c >= 0) {

@@ -200,3 +200,106 @@ def test_live_head_to_head_vs_reference_binary(tmp_path):
         if our_ed > ref_ed[name] + 0.01 * len(seq):
             n_worse += 1
     assert n_worse <= 1, f"{n_worse} reads materially worse than reference"
+
+
+@pytest.mark.fast
+@pytest.mark.skipif(not os.path.exists(TOY_GFA),
+                    reason="reference checkout not present")
+def test_gam_wire_parity_with_reference():
+    """Field-level wire parity with the reference binary's GAM message on
+    the toy inputs (VERDICT r2 #6).  Byte-equal except for one documented
+    delta: WITHIN equal-cost regions the reference's word-sliced
+    backtrace (src/GraphAlignerBitvectorCommon.h:392-544) can split edits
+    at different columns than our polish backtrace (both walks follow the
+    same INS > diag > DEL tie order now; the residue is the reference's
+    per-word corner-crossing rules).  Everything the wire carries besides
+    those split points must match byte-for-byte semantics: field
+    presence, ids, offsets, ranks, scores, per-mapping from/to totals."""
+    import gzip
+
+    from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+    from graphchainer_tpu.graph.mpc import build_mpc
+    from graphchainer_tpu.index.minimizer import build_index
+    from graphchainer_tpu.io.gam import alignment_message
+    from graphchainer_tpu.io.gfa import load_gfa
+    from graphchainer_tpu.models.chainer import ChainerConfig, ChainerModel
+
+    def rd_varint(b, i):
+        v = s = 0
+        while True:
+            x = b[i]; i += 1
+            v |= (x & 0x7F) << s
+            s += 7
+            if not x & 0x80:
+                return v, i
+
+    def fields(b):
+        """[(field, wiretype, value-or-bytes)] of one proto message."""
+        i = 0
+        out = []
+        while i < len(b):
+            tag, i = rd_varint(b, i)
+            f, wt = tag >> 3, tag & 7
+            if wt == 0:
+                v, i = rd_varint(b, i)
+            elif wt == 2:
+                ln, i = rd_varint(b, i)
+                v = b[i:i + ln]
+                i += ln
+            elif wt == 1:
+                v = b[i:i + 8]
+                i += 8
+            else:
+                raise AssertionError(f"wiretype {wt}")
+            out.append((f, wt, v))
+        return out
+
+    raw = gzip.open(os.path.join(DATA, "ref_toy.gam"), "rb").read()
+    cnt, i = rd_varint(raw, 0)
+    ln, i = rd_varint(raw, i)
+    ref_msg = raw[i:i + ln]
+
+    g = build_alignment_graph(load_gfa(TOY_GFA))
+    mpc = build_mpc(g)
+    idx = build_index(g, k=15, w=20)
+    model = ChainerModel(g, mpc, idx, ChainerConfig())
+    name, seq = open(TOY_READ_FA).read().strip().split("\n")
+    aln = model.align_batch([(name[1:], seq)])[0]
+    our_msg = alignment_message(g, aln)
+
+    rf, of = dict_fields(ref_msg, fields), dict_fields(our_msg, fields)
+    # top-level: sequence(1), name(3), score(6) byte-equal
+    for f in (1, 3, 6):
+        assert rf.get(f) == of.get(f), f"alignment field {f}"
+    # path: same mapping count; per mapping same Position message
+    # (node_id/offset/is_reverse/name), same rank, same edit totals
+    ref_maps = [v for fl, wt, v in fields(rf[2][0][2]) if fl == 2]
+    our_maps = [v for fl, wt, v in fields(of[2][0][2]) if fl == 2]
+    assert len(ref_maps) == len(our_maps)
+    for rm, om in zip(ref_maps, our_maps):
+        rfs, ofs = fields(rm), fields(om)
+        rpos = [v for f, w, v in rfs if f == 1]
+        opos = [v for f, w, v in ofs if f == 1]
+        assert rpos == opos, "Position submessage"
+        rrank = [v for f, w, v in rfs if f == 5]
+        orank = [v for f, w, v in ofs if f == 5]
+        assert rrank == orank, "rank"
+        def totals(fs):
+            fr = to = 0
+            for f, w, v in fs:
+                if f != 2:
+                    continue
+                for ef, ew, ev in fields(v):
+                    if ef == 1:
+                        fr += ev
+                    elif ef == 2:
+                        to += ev
+            return fr, to
+        assert totals(rfs) == totals(ofs), "edit from/to totals"
+
+
+def dict_fields(msg, fields):
+    d = {}
+    for f, wt, v in fields(msg):
+        d.setdefault(f, []).append((f, wt, v))
+    return d
