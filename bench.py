@@ -60,6 +60,33 @@ PLATFORM = os.environ.get("BENCH_PLATFORM")
 _fallback = False
 
 
+def _run_with_deadline() -> bool:
+    """Run the whole benchmark in a child process under a hard deadline.
+
+    `_tpu_responsive` only covers a tunnel that is dead at STARTUP; the
+    dev tunnel has also died MID-RUN, and a hung device call blocks
+    uninterruptibly in-process, so the only robust guard is a process
+    boundary.  Returns True when the child completed (it prints the
+    result JSON on inherited stdout); False means hung or crashed and
+    the caller should re-run on CPU."""
+    import subprocess
+    deadline = float(os.environ.get("BENCH_TPU_DEADLINE", 2400))
+    env = dict(os.environ, BENCH_CHILD="1")
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           timeout=deadline, env=env)
+        if r.returncode != 0:
+            print(f"WARNING: benchmark child exited rc={r.returncode} "
+                  "on the TPU path; re-running on CPU", file=sys.stderr)
+            return False
+        return True
+    except subprocess.TimeoutExpired:
+        print("WARNING: benchmark exceeded BENCH_TPU_DEADLINE "
+              f"({deadline:.0f}s) on the TPU path (tunnel died "
+              "mid-run?); re-running on CPU", file=sys.stderr)
+        return False
+
+
 def _init_platform():
     """Pick the benchmark platform (import-time side effects kept out of
     module import so scripts can reuse the graph builder)."""
@@ -132,6 +159,12 @@ def build_bench_graph(rng, total_bp: int):
 
 
 def main():
+    global PLATFORM, _fallback
+    if not os.environ.get("BENCH_CHILD") and not PLATFORM:
+        if _run_with_deadline():
+            return
+        PLATFORM = "cpu"
+        _fallback = True
     _init_platform()
     n_reads = int(os.environ.get("BENCH_READS", 960))
     read_len = int(os.environ.get("BENCH_READ_LEN", 3000))
@@ -225,7 +258,7 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / baseline, 3),
         "detail": {
-            "platform": ("cpu-fallback (TPU tunnel unresponsive)"
+            "platform": ("cpu-fallback (TPU unresponsive or hung mid-run)"
                          if _fallback else (PLATFORM or "tpu")),
             "baseline_reads_per_s": baseline,
             "baseline_provenance": baseline_prov,
