@@ -96,6 +96,13 @@ def _init_platform():
               "CPU — reads/s is NOT a TPU measurement", file=sys.stderr)
         PLATFORM = "cpu"
         _fallback = True
+    if PLATFORM == "cpu":
+        # route through the env var (not just jax.config) so jaxconfig's
+        # cache fingerprint folds in the live XLA:CPU LLVM feature
+        # string — without it the CPU fallback reuses a pre-migration
+        # host's AOT executables (`+prefer-no-scatter ... could lead to
+        # SIGILL` cpu_aot_loader errors, the r2 test-gate crash class)
+        os.environ["JAX_PLATFORMS"] = "cpu"
     from graphchainer_tpu.utils.jaxconfig import setup as _jax_setup
     _jax_setup()
     if PLATFORM:
