@@ -26,6 +26,12 @@ Env knobs: BENCH_READS (default 960; the baseline is re-measured on the
 same 960-read workload), BENCH_READ_LEN (3000), BENCH_GRAPH_BP (60000),
 BENCH_BATCH (128), BENCH_WORKERS (4 in-flight batches),
 BENCH_PLATFORM (default: let JAX pick, i.e. the TPU).
+
+NOTE: an explicit BENCH_PLATFORM runs the benchmark IN-PROCESS and so
+bypasses both the TPU-responsiveness probe and the BENCH_TPU_DEADLINE
+guard child — a mid-run tunnel death will hang that path.  It is meant
+for deliberate overrides (BENCH_PLATFORM=cpu, or =tpu when debugging the
+device path interactively); the default path is the guarded one.
 """
 from __future__ import annotations
 
@@ -60,38 +66,66 @@ PLATFORM = os.environ.get("BENCH_PLATFORM")
 _fallback = False
 
 
+def _result_line(text: str | None) -> str | None:
+    """The complete result-JSON line in `text`, if any."""
+    for line in (text or "").splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                if "metric" in json.loads(line):
+                    return line
+            except json.JSONDecodeError:
+                pass
+    return None
+
+
 def _run_with_deadline() -> bool:
     """Run the whole benchmark in a child process under a hard deadline.
 
-    `_tpu_responsive` only covers a tunnel that is dead at STARTUP; the
+    The startup probe only covers a tunnel that is dead at LAUNCH; the
     dev tunnel has also died MID-RUN, and a hung device call blocks
     uninterruptibly in-process, so the only robust guard is a process
-    boundary.  Returns True when the child completed (it prints the
-    result JSON on inherited stdout); False means hung or crashed and
-    the caller should re-run on CPU."""
+    boundary.  Child stdout is captured and forwarded only as the single
+    result JSON line — if the child produced a complete result before
+    dying (e.g. a teardown hang after printing), that result is used and
+    the CPU re-run skipped, preserving the one-JSON-line contract.
+    Returns True when a result line was printed; False means the caller
+    should re-run on CPU."""
     import subprocess
     deadline = float(os.environ.get("BENCH_TPU_DEADLINE", 2400))
-    env = dict(os.environ, BENCH_CHILD="1")
+    # the parent already probed the TPU; tell the child to skip the probe
+    env = dict(os.environ, BENCH_CHILD="1", BENCH_TPU_OK="1")
+    out = None
     try:
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           timeout=deadline, env=env)
+                           timeout=deadline, env=env,
+                           stdout=subprocess.PIPE, text=True)
+        out = r.stdout
         if r.returncode != 0:
             print(f"WARNING: benchmark child exited rc={r.returncode} "
-                  "on the TPU path; re-running on CPU", file=sys.stderr)
-            return False
-        return True
-    except subprocess.TimeoutExpired:
+                  "on the TPU path", file=sys.stderr)
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout
+        if isinstance(out, bytes):
+            out = out.decode("utf-8", "replace")
         print("WARNING: benchmark exceeded BENCH_TPU_DEADLINE "
               f"({deadline:.0f}s) on the TPU path (tunnel died "
-              "mid-run?); re-running on CPU", file=sys.stderr)
-        return False
+              "mid-run?)", file=sys.stderr)
+    line = _result_line(out)
+    if line:
+        print(line)
+        return True
+    print("WARNING: no result from the TPU child; re-running on CPU",
+          file=sys.stderr)
+    return False
 
 
 def _init_platform():
     """Pick the benchmark platform (import-time side effects kept out of
     module import so scripts can reuse the graph builder)."""
     global PLATFORM, _fallback
-    if not PLATFORM and not _tpu_responsive():
+    if (not PLATFORM and not os.environ.get("BENCH_TPU_OK")
+            and not _tpu_responsive()):
         print("WARNING: TPU unresponsive (tunnel down?); benchmarking on "
               "CPU — reads/s is NOT a TPU measurement", file=sys.stderr)
         PLATFORM = "cpu"
@@ -168,10 +202,19 @@ def build_bench_graph(rng, total_bp: int):
 def main():
     global PLATFORM, _fallback
     if not os.environ.get("BENCH_CHILD") and not PLATFORM:
-        if _run_with_deadline():
-            return
-        PLATFORM = "cpu"
-        _fallback = True
+        # probe in the parent: a dead-at-startup tunnel goes straight to
+        # CPU (no deadline child, no duplicate probe, no double run)
+        if not _tpu_responsive():
+            print("WARNING: TPU unresponsive (tunnel down?); benchmarking "
+                  "on CPU — reads/s is NOT a TPU measurement",
+                  file=sys.stderr)
+            PLATFORM = "cpu"
+            _fallback = True
+        else:
+            if _run_with_deadline():
+                return
+            PLATFORM = "cpu"
+            _fallback = True
     _init_platform()
     n_reads = int(os.environ.get("BENCH_READS", 960))
     read_len = int(os.environ.get("BENCH_READ_LEN", 3000))
