@@ -28,6 +28,14 @@ class GamMapping:
                             # (the reference binary always sets it,
                             # src/Aligner.cpp:152-165)
 
+    @property
+    def node_key(self) -> str:
+        """GFA segment name for graph lookups: Position.name when the
+        writer set it (ours and the reference binary do; node_id is the
+        internal digraph id there), else the numeric node_id (plain vg
+        GAMs, where node_id IS the segment name)."""
+        return self.node_name or str(self.node_id)
+
 
 @dataclass
 class GamAlignment:
@@ -88,7 +96,10 @@ def load_gam_seeds(path: str, name_to_id=None):
             continue
         m = aln.mappings[0]
         if name_to_id is not None:
-            base = name_to_id.get(str(m.node_id))
+            # our writer (like the reference binary) carries the GFA
+            # segment name in Position.name and the internal digraph id
+            # in node_id; third-party GAMs may only set node_id
+            base = name_to_id.get(m.node_name or str(m.node_id))
             if base is None:
                 continue
             di = 2 * base + (1 if m.is_reverse else 0)

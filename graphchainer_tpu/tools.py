@@ -84,7 +84,7 @@ def _mapping_seq(node_seqs: Dict[str, str], aln) -> str:
     from graphchainer_tpu.utils.seq import revcomp
     out = []
     for m in aln.mappings:
-        seq = node_seqs.get(str(m.node_id), "")
+        seq = node_seqs.get(m.node_key, "")
         if m.is_reverse:
             seq = revcomp(seq)
         consumed = sum(e.get("from_length", 0) for e in m.edits) \
@@ -222,7 +222,7 @@ def cmd_subsequence_identity(args):
     with _out(args.output) as f:
         f.write("read,path_len,in_truth,identity\n")
         for aln in load_gam_alignments(args.gam):
-            path = [str(m.node_id) for m in aln.mappings]
+            path = [m.node_key for m in aln.mappings]
             common = _lcs_len(path, truth)
             ident = common / max(len(path), 1)
             f.write(f"{aln.name},{len(path)},{common},{ident:.4f}\n")
@@ -320,10 +320,10 @@ def _aln_nodes_edges(gam_path: str):
     for aln in load_gam_alignments(gam_path):
         ms = aln.mappings
         for m in ms:
-            nodes.add(str(m.node_id))
+            nodes.add(m.node_key)
         for a, b in zip(ms[:-1], ms[1:]):
-            edges.add((str(a.node_id), a.is_reverse,
-                       str(b.node_id), b.is_reverse))
+            edges.add((a.node_key, a.is_reverse,
+                       b.node_key, b.is_reverse))
     return nodes, edges
 
 
@@ -394,9 +394,9 @@ def cmd_supported_subgraph(args):
     for aln in load_gam_alignments(args.gam):
         ms = aln.mappings
         for m in ms:
-            nodes.add(str(m.node_id))
+            nodes.add(m.node_key)
         for a, b in zip(ms[:-1], ms[1:]):
-            support[(str(a.node_id), str(b.node_id))] += 1
+            support[(a.node_key, b.node_key)] += 1
     keep = {i for i, n in enumerate(g.names) if n in nodes}
     keep_links = [
         lk for lk in g.links
@@ -490,61 +490,164 @@ def cmd_unitigify(args):
 
 
 def cmd_untip(args):
-    """Remove tips: dead-end runs shorter than --max-len bp AND shorter
-    than --fraction of the longest parallel branch (reference
-    UntipRelative.cpp semantics, simplified to single-segment tips on
-    the bidirected graph)."""
+    """Remove short relative tips — the reference UntipRelative.cpp
+    algorithm in full (not just single-segment tips):
+
+    Over the oriented digraph (two nodes per segment, each link plus its
+    reverse complement), depth(v) = longest forward path in bp from v to
+    a dead end (infinite through any cycle or self-loop;
+    UntipRelative.cpp:56-90).  For every surviving oriented node, let
+    bigLength = the longest depth among its out-neighbors; when
+    bigLength >= --min-safe-len, every out-neighbor subtree with depth
+    <= min(--fraction * bigLength, --max-len) is removed recursively
+    (UntipRelative.cpp:102-126).  A segment is kept only if BOTH of its
+    orientations survive (UntipRelative.cpp:238-255).  Node lengths are
+    reduced by the graph's uniform link overlap when there is one, like
+    the reference's edgeOverlap (UntipRelative.cpp:28)."""
+    import numpy as np
     from graphchainer_tpu.io.gfa import save_gfa
+    from graphchainer_tpu.native import scc_order
     g = _load_bigraph(args.graph)
-    out_of = {}
-    for u, ur, v, vr, o in g.links:
-        out_of.setdefault((u, ur), []).append((v, vr))
-        out_of.setdefault((v, not vr), []).append((u, not ur))
-    drop = set()
-    for v in range(len(g.names)):
-        ln = len(g.seqs[v])
-        if ln >= args.max_len:
+    nseg = len(g.names)
+    n = 2 * nseg                     # oriented node (v, r) -> 2*v + r
+    src, dst = [], []
+    for u, ur, v, vr, _o in g.links:
+        src.append(2 * u + ur)
+        dst.append(2 * v + vr)
+        src.append(2 * v + (not vr))
+        dst.append(2 * u + (not ur))
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    # CSR out-adjacency over oriented nodes
+    order_e = np.argsort(src, kind="stable") if len(src) else src
+    es, ed = src[order_e], dst[order_e]
+    ptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(ptr, es + 1, 1)
+    np.cumsum(ptr, out=ptr)
+    overlaps = {o for *_ignore, o in g.links}
+    ov = overlaps.pop() if len(overlaps) == 1 else 0
+    length = np.empty(n, dtype=np.int64)
+    for v in range(nseg):
+        length[2 * v] = length[2 * v + 1] = max(len(g.seqs[v]) - ov, 0)
+
+    INF = np.iinfo(np.int64).max
+    nscc, order, _rank, scc = scc_order(n, src, dst)
+    scc_size = np.bincount(scc, minlength=nscc)
+    depth = np.zeros(n, dtype=np.int64)
+    # sinks first: scc_order is condensation-topological, so reversed
+    # node order visits every out-neighbor before its sources
+    for v in order[::-1]:
+        if scc_size[scc[v]] > 1:
+            depth[v] = INF
             continue
-        fwd = out_of.get((v, False), [])
-        bwd = out_of.get((v, True), [])
-        # a tip dangles on exactly one side
-        if bool(fwd) == bool(bwd):
+        d = length[v]
+        for w in ed[ptr[v]:ptr[v + 1]]:
+            if w == v or depth[w] == INF:
+                d = INF
+                break
+            d = max(d, depth[w] + length[v])
+        depth[v] = d
+
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        if not keep[i]:
             continue
-        anchor = (fwd or bwd)[0]
-        # longest alternative branch out of the anchor's other side
-        alts = [len(g.seqs[w]) for w, wr in
-                out_of.get((anchor[0], not anchor[1]), []) if w != v]
-        if alts and ln < args.fraction * max(alts):
-            drop.add(v)
-    keep = set(range(len(g.names))) - drop
-    print(f"removed {len(drop)} tips", file=sys.stderr)
-    save_gfa(g, args.output, keep=keep)
+        nbrs = ed[ptr[i]:ptr[i + 1]]
+        if len(nbrs) == 0:
+            continue
+        big = int(depth[nbrs].max())
+        if big < args.min_safe_len:
+            continue
+        removable = min(int(big * args.fraction), args.max_len)
+        for w in nbrs:
+            if depth[w] <= removable and keep[w]:
+                stack = [int(w)]
+                while stack:
+                    x = stack.pop()
+                    if not keep[x]:
+                        continue
+                    keep[x] = False
+                    stack.extend(int(y) for y in ed[ptr[x]:ptr[x + 1]]
+                                 if keep[y])
+    kept = {v for v in range(nseg) if keep[2 * v] and keep[2 * v + 1]}
+    print(f"removed {nseg - len(kept)} tip segments", file=sys.stderr)
+    save_gfa(g, args.output, keep=kept)
 
 
 def cmd_estimate_repeat_count(args):
-    """Per-node repeat-count estimate from alignment coverage and local
-    branching degree (reference EstimateRepeatCount.cpp: max of distinct
-    aligned reads normalized by median and the branch degree)."""
-    from collections import Counter, defaultdict
+    """Per-node repeat-count estimate — the reference
+    EstimateRepeatCount.cpp min-alignment-topology fixpoint:
+
+    counts[v] starts at max(per-side branch degree, max times any single
+    read's alignment visits v) (EstimateRepeatCount.cpp:34-83).  Where a
+    node side has a UNIQUE out-edge, its count flows to the target's
+    entry-side bucket; the fixpoint raises counts[v] to
+    max(sum over left-entry in-neighbors, sum over right-entry
+    in-neighbors) and re-queues downstream nodes until stable
+    (EstimateRepeatCount.cpp:85-131).  Output CSV matches the
+    reference: `node,_minalntoporepeatcount`, sorted by node id."""
+    from collections import defaultdict
     from graphchainer_tpu.io.gam_reader import load_gam_alignments
     g = _load_bigraph(args.graph)
-    reads_per_node = defaultdict(set)
+    nseg = len(g.names)
+    # per-side adjacency in the reference's NodePos terms: side True is
+    # the '+'-exit ("end") side; our link flag r=True means '-'
+    edges = defaultdict(set)
+    for u, ur, v, vr, _o in g.links:
+        edges[(u, not ur)].add((v, not vr))
+        edges[(v, vr)].add((u, ur))
+    out_n = defaultdict(list)
+    left_in = defaultdict(list)    # in-neighbors entering via '-' side
+    right_in = defaultdict(list)   # in-neighbors entering via '+' side
+    counts = defaultdict(int)
+    for v in range(nseg):
+        for side in (True, False):
+            ts = edges.get((v, side))
+            if not ts:
+                continue
+            counts[v] = max(counts[v], len(ts))
+            if len(ts) == 1:
+                (tid, tend), = ts
+                out_n[v].append(tid)
+                (right_in if tend else left_in)[tid].append(v)
+
+    # max per-read visit multiplicity per node
+    by_name = {nm: i for i, nm in enumerate(g.names)}
+    per_read = defaultdict(lambda: defaultdict(int))
     for aln in load_gam_alignments(args.gam):
         for m in aln.mappings:
-            reads_per_node[str(m.node_id)].add(aln.name)
-    degree = Counter()
-    for u, ur, v, vr, _ in g.links:
-        degree[g.names[u]] += 1
-        degree[g.names[v]] += 1
-    covs = sorted(len(s) for s in reads_per_node.values()) or [1]
-    med = max(1, covs[len(covs) // 2])
+            nid = by_name.get(m.node_key)
+            if nid is not None:
+                per_read[nid][aln.name] += 1
+    for nid, reads in per_read.items():
+        counts[nid] = max(counts[nid], max(reads.values()))
+
+    queue = list(range(nseg))
+    budget = 64 * max(nseg, 1) + len(queue)   # divergence guard (cycles
+    # of unique edges can grow counts unboundedly; the reference has no
+    # guard and would spin — we stop and warn instead)
+    while queue and budget:
+        budget -= 1
+        v = queue.pop()
+        left = sum(counts[w] for w in left_in.get(v, ()))
+        right = sum(counts[w] for w in right_in.get(v, ()))
+        if counts[v] >= left and counts[v] >= right:
+            continue
+        counts[v] = max(left, right)
+        queue.extend(out_n.get(v, ()))
+    if queue:
+        print("warning: repeat-count fixpoint did not converge "
+              "(cyclic unique-edge growth); partial counts written",
+              file=sys.stderr)
+
+    def node_key(i):
+        nm = g.names[i]
+        return (0, int(nm)) if nm.lstrip("-").isdigit() else (1, nm)
+
     with _out(args.output) as f:
-        f.write("node,reads,estimated_count\n")
-        for name in g.names:
-            r = len(reads_per_node.get(name, ()))
-            est = max(1, round(r / med), 1 if degree[name] <= 2
-                      else degree[name] // 2)
-            f.write(f"{name},{r},{est}\n")
+        f.write("node,_minalntoporepeatcount\n")
+        for i in sorted(range(nseg), key=node_key):
+            f.write(f"{g.names[i]},{counts[i]}\n")
 
 
 def _write_seed_gam(path: str, seeds):
@@ -948,7 +1051,12 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("untip")
     s.add_argument("--graph", required=True)
-    s.add_argument("--max-len", type=int, required=True)
+    s.add_argument("--max-len", type=int, required=True,
+                   help="max removable tip length in bp (reference "
+                        "maxRemovableLen)")
+    s.add_argument("--min-safe-len", type=int, default=0,
+                   help="only prune next to a branch at least this long "
+                        "(reference minSafeLen)")
     s.add_argument("--fraction", type=float, default=0.5)
     s.add_argument("--output", "-o", required=True)
     s.set_defaults(fn=cmd_untip)

@@ -112,7 +112,61 @@ def test_untip(tmp_path):
     assert sorted(g.names) == ["1", "2", "3"]
 
 
+def _tippy_gfa(tmp_path):
+    """50bp chain A-B-C with a TWO-segment 3bp tip chain off A."""
+    p = tmp_path / "g.gfa"
+    write_gfa(p, [("A", "A" * 50), ("B", "C" * 50), ("C", "G" * 50),
+                  ("t1", "ACG"), ("t2", "TGA")],
+              [("A", False, "B", False), ("B", False, "C", False),
+               ("A", False, "t1", False), ("t1", False, "t2", False)])
+    return p
+
+
+def test_untip_multisegment_tip(tmp_path):
+    """The reference removes whole tip SUBTREES recursively
+    (UntipRelative.cpp:92-126), not just single dangling segments: the
+    2-segment tip chain (total depth 6bp <= removable 10bp) goes."""
+    p = _tippy_gfa(tmp_path)
+    out = tmp_path / "t.gfa"
+    tools_main(["untip", "--graph", str(p), "--max-len", "10",
+                "--fraction", "0.5", "-o", str(out)])
+    g = load_gfa(str(out))
+    assert sorted(g.names) == ["A", "B", "C"]
+    assert len(g.links) == 2
+
+
+def test_untip_min_safe_len(tmp_path):
+    """No pruning next to branches shorter than --min-safe-len
+    (UntipRelative.cpp:114): the longest branch out of A is 100bp
+    (B+C), below a 200bp safety floor, so the tip survives."""
+    p = _tippy_gfa(tmp_path)
+    out = tmp_path / "t.gfa"
+    tools_main(["untip", "--graph", str(p), "--max-len", "10",
+                "--min-safe-len", "200", "--fraction", "0.5",
+                "-o", str(out)])
+    g = load_gfa(str(out))
+    assert sorted(g.names) == ["A", "B", "C", "t1", "t2"]
+
+
+def test_untip_fraction_cap(tmp_path):
+    """removableLen = min(fraction * longest-sibling, max-len)
+    (UntipRelative.cpp:115-116): with fraction 0.04 the cap is
+    0.04 * 100 = 4bp < the 6bp tip depth, so the tip survives even
+    though max-len alone (10bp) would remove it."""
+    p = _tippy_gfa(tmp_path)
+    out = tmp_path / "t.gfa"
+    tools_main(["untip", "--graph", str(p), "--max-len", "10",
+                "--fraction", "0.04", "-o", str(out)])
+    g = load_gfa(str(out))
+    assert sorted(g.names) == ["A", "B", "C", "t1", "t2"]
+
+
 def test_estimate_repeat_count(chain_gfa, tmp_path):
+    """Reference EstimateRepeatCount.cpp fixpoint on the 1->2->{3,4}
+    fork: node 2 starts at its branch degree (2); node 1 feeds node 2
+    through a unique edge so the fixpoint raises it to 2 (node 2 is
+    node 1's only left-entry in-neighbor); 3 and 4 get no inflow (node
+    2's '+' side is not unique) and stay 1."""
     gam = tmp_path / "a.gam"
     write_gam(gam, [("r1", [(2, False, 10)]), ("r2", [(2, False, 10)]),
                     ("r3", [(1, False, 10)])])
@@ -120,10 +174,22 @@ def test_estimate_repeat_count(chain_gfa, tmp_path):
     tools_main(["estimate-repeat-count", "--graph", str(chain_gfa),
                 "--gam", str(gam), "-o", str(out)])
     lines = out.read_text().strip().split("\n")
-    assert lines[0] == "node,reads,estimated_count"
-    rows = {ln.split(",")[0]: ln.split(",") for ln in lines[1:]}
-    assert rows["2"][1] == "2"
-    assert int(rows["2"][2]) >= int(rows["3"][2])
+    assert lines[0] == "node,_minalntoporepeatcount"
+    rows = dict(ln.split(",") for ln in lines[1:])
+    assert rows == {"1": "2", "2": "2", "3": "1", "4": "1"}
+
+
+def test_estimate_repeat_count_read_multiplicity(chain_gfa, tmp_path):
+    """A single read visiting a node twice lifts its count to 2 even
+    with degree 1 (EstimateRepeatCount.cpp:67-83)."""
+    gam = tmp_path / "a.gam"
+    write_gam(gam, [("r1", [(3, False, 10), (3, False, 10)])])
+    out = tmp_path / "c.csv"
+    tools_main(["estimate-repeat-count", "--graph", str(chain_gfa),
+                "--gam", str(gam), "-o", str(out)])
+    rows = dict(ln.split(",") for ln in
+                out.read_text().strip().split("\n")[1:])
+    assert rows["3"] == "2"
 
 
 def test_pick_mummer_seeds(tmp_path):
