@@ -106,6 +106,10 @@ def alignment_json(g: AlignmentGraph, aln: ReadAlignment) -> str:
         jm = []
         for rank, m in enumerate(mappings, start=1):
             position = {"node_id": str(m.node_id)}
+            if m.node_name:
+                # original GFA segment name, like the GAM wire's
+                # Position.name (the reference binary sets both)
+                position["name"] = m.node_name
             if m.offset:
                 position["offset"] = str(m.offset)
             if m.is_reverse:

@@ -1082,9 +1082,36 @@ void* stitch_batch(
     int64_t* out_last_y, int64_t* out_ok) {
   auto* res = new PathsResult();
   res->offsets.push_back(0);
-  std::vector<int64_t> vis(n_nodes, 0), dis(n_nodes), pre(n_nodes), Q;
-  std::vector<int64_t> inset(n_nodes, 0);  // epoch-tagged "nodes" set
-  int64_t flag = 0, inflag = 0;
+  // Persistent per-thread scratch: these are graph-sized and epoch-
+  // tagged, so zeroing them on every call costs O(n_nodes) memset per
+  // batch — at chr scale (5M split nodes) that was ~160MB of memset per
+  // stitch_batch call and dominated the stitch stage.  The epoch flags
+  // live with the buffers, so stale entries from earlier calls can
+  // never alias the current epoch.  thread_local: ctypes releases the
+  // GIL, so worker threads may run stitch_batch concurrently.
+  struct Scratch {
+    std::vector<int64_t> vis, dis, pre, Q, inset;
+    int64_t flag = 0, inflag = 0;
+    void ensure(int64_t n) {
+      if ((int64_t)vis.size() < n) {
+        vis.assign(n, 0);
+        dis.resize(n);
+        pre.resize(n);
+        inset.assign(n, 0);
+        flag = 0;
+        inflag = 0;
+      }
+    }
+  };
+  static thread_local Scratch sc;
+  sc.ensure(n_nodes);
+  std::vector<int64_t>& vis = sc.vis;
+  std::vector<int64_t>& dis = sc.dis;
+  std::vector<int64_t>& pre = sc.pre;
+  std::vector<int64_t>& Q = sc.Q;
+  std::vector<int64_t>& inset = sc.inset;
+  int64_t& flag = sc.flag;
+  int64_t& inflag = sc.inflag;
   std::vector<int64_t> ids, bt, bfs, pos_path, longest, tmp, positions;
   for (int64_t r = 0; r < nr; r++) {
     out_n_chained[r] = 0;
