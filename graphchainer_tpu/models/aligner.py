@@ -603,29 +603,37 @@ class GraphAlignerModel:
             for (ri, ci), oc in zip(refs, outcomes):
                 scored[(ri, ci)] = oc
             if cfg.bubble_repair:
-                # polish-guided bubble repair (align/repair.py): the
-                # extension walk is word-granular; wrong variant arms at
-                # exact-score ties swap for the read's arm, then the
-                # repaired candidates re-polish in one batched call
-                from graphchainer_tpu.align.repair import repair_read
-                redo_keys, redo_reads, redo_paths = [], [], []
-                for (ri, ci), oc in zip(refs, outcomes):
-                    if oc.score <= 0 or oc.ops is None:
-                        continue
-                    positions, span = candidates[ri][ci]
-                    seg = reads[ri][1][span[0]:span[1]]
-                    fixed = repair_read(self.g, self.gx, seg, positions,
-                                        oc.ops)
-                    if fixed is not None:
-                        candidates[ri][ci] = (fixed, span)
-                        redo_keys.append((ri, ci))
-                        redo_reads.append(seg)
-                        redo_paths.append(self.gx.positions_seq(fixed))
-                if redo_keys:
-                    redo = polish.polish_batch(redo_reads, redo_paths,
-                                               bw=cfg.polish_band_words)
-                    for key, oc in zip(redo_keys, redo):
-                        scored[key] = oc
+                # corridor re-polish (native corridor_polish_batch, see
+                # models/chainer.py): exact banded DP with per-cell
+                # backtrace over each candidate's path + 1-hop arm
+                # corridor — the extension walk is word-granular, so its
+                # path can miss the banded-optimal score; this jointly
+                # fixes every wrong arm on host, no device round trip
+                from graphchainer_tpu import native
+                keys = [k for k, oc in zip(refs, outcomes)
+                        if oc.score > 0 and oc.ops is not None]
+                for _ in range(2):
+                    if not keys:
+                        break
+                    fixed_l = native.corridor_polish_batch(
+                        self.gx,
+                        [candidates[ri][ci][0] for ri, ci in keys],
+                        [scored[k].ops for k in keys],
+                        [reads[ri][1][slice(*candidates[ri][ci][1])]
+                         for ri, ci in keys],
+                        [scored[k].score for k in keys])
+                    improved = []
+                    for (ri, ci), fixed in zip(keys, fixed_l):
+                        if fixed is None:
+                            continue
+                        sc, pos, ops = fixed
+                        candidates[ri][ci] = (pos,
+                                              candidates[ri][ci][1])
+                        scored[(ri, ci)] = polish.PolishOutcome(
+                            score=sc, ops=ops)
+                        if sc > 0:
+                            improved.append((ri, ci))
+                    keys = improved
         from graphchainer_tpu.align.selection import (SelectionMethod,
                                                       SelectionOptions,
                                                       select_alignments)

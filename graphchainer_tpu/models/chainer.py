@@ -89,10 +89,16 @@ class ChainerConfig:
     # "Dense" = more than 2% of nodes exceed the max_in cap.  Costs
     # nothing on benign graphs (the bench graph has 0 such nodes).
     auto_compare_dense: bool = True
-    # polish-guided bubble repair (align/repair.py): swap wrong variant
-    # arms picked at word-granular walk ties for the arm matching the
-    # read (the reference's per-cell backtrace gets this for free)
+    # corridor re-polish (native corridor_polish_batch): exact banded DP
+    # with per-cell backtrace over the path + 1-hop arm corridor,
+    # recovering the arm choices the word-granular device backwalk got
+    # wrong (the reference's per-cell backtrace gets this for free,
+    # src/GraphAlignerBitvectorCommon.h:392-544)
     bubble_repair: bool = True
+    corridor_band: int = 48            # +- read rows around the current
+                                       # alignment diagonal
+    corridor_passes: int = 2           # re-run on improved reads once
+                                       # (changed runs expose new arms)
 
 
 @dataclass
@@ -490,51 +496,42 @@ class ChainerModel:
                 out[ri].score = oc.score
                 out[ri].ops = oc.ops
             if cfg.bubble_repair:
-                # polish-guided bubble repair: wrong variant arms at
-                # word-granular walk ties are swapped for the arm matching
-                # the read (one whole-batch native pass — the Python
-                # oracle is align/repair.py); repaired reads re-polish in
-                # one extra batched call
-                cand = [(ri, oc) for ri, oc in zip(polish_refs, outcomes)
-                        if oc.score > 0 and oc.ops is not None]
-                redo_r, redo_reads, redo_paths = [], [], []
-                if cand:
-                    with timers.stage("repair_scan", len(cand)):
-                        fixed_l = native.repair_batch(
+                # corridor re-polish (native corridor_polish_batch):
+                # exact banded DP with per-cell backtrace over the path
+                # plus every 1-hop sibling/skip/insertion arm — resolves
+                # all the bubble-arm choices the word-granular device
+                # backwalk got wrong, JOINTLY, unlike the superseded
+                # local repair (align/repair.py), whose per-locus view
+                # missed arms whose cost smears into neighbouring ops
+                # under global NW.  Recovers the reference's per-cell
+                # backtrace quality (~0.6% of read length at 8-10% err)
+                # for ~1.5ms/read of host C++, no device round trip.
+                cand = [ri for ri in polish_refs
+                        if out[ri].score > 0 and out[ri].ops is not None]
+                for _ in range(max(cfg.corridor_passes, 0)):
+                    if not cand:
+                        break
+                    with timers.stage("repair", len(cand)):
+                        fixed_l = native.corridor_polish_batch(
                             self.gx,
-                            [out[ri].positions for ri, _ in cand],
-                            [oc.ops for _, oc in cand],
-                            [reads[ri][1] for ri, _ in cand])
-                    from graphchainer_tpu.align.repair import rewrite_ops
-                    for (ri, oc), fixed in zip(cand, fixed_l):
+                            [out[ri].positions for ri in cand],
+                            [out[ri].ops for ri in cand],
+                            [reads[ri][1] for ri in cand],
+                            [out[ri].score for ri in cand],
+                            band=cfg.corridor_band)
+                    improved = []
+                    for ri, fixed in zip(cand, fixed_l):
                         if fixed is None:
                             continue
-                        # same-length X->= swaps rewrite (score, ops)
-                        # exactly on host (align/repair.rewrite_ops);
-                        # only the rest pay the re-polish round trip
-                        rw = rewrite_ops(self.gx, reads[ri][1], oc.score,
-                                         oc.ops, out[ri].positions,
-                                         fixed)
-                        out[ri].positions = fixed
-                        if rw is not None:
-                            out[ri].score, out[ri].ops = rw
-                        else:
-                            redo_r.append(ri)
-                            redo_reads.append(reads[ri][1])
-                            redo_paths.append(
-                                self.gx.positions_seq(fixed))
-                if redo_r:
-                    # HOST re-polish (bit-identical native banded NW):
-                    # the redo set is small and the device round trip
-                    # over the bandwidth-bound link costs more than the
-                    # ~1ms/read of host compute
-                    with timers.stage("repair", len(redo_r)):
-                        redo = polish.polish_batch_host(
-                            redo_reads, redo_paths,
-                            bw=cfg.polish_band_words)
-                    for ri, oc in zip(redo_r, redo):
-                        out[ri].score = oc.score
-                        out[ri].ops = oc.ops
+                        sc, pos, ops = fixed
+                        out[ri].score = sc
+                        out[ri].positions = pos
+                        out[ri].ops = ops
+                        if sc > 0:
+                            improved.append(ri)
+                    # another pass only helps where the path changed:
+                    # new runs expose new 1-hop alternatives
+                    cand = improved
 
         esc_thr = (cfg.escalate_threshold
                    if cfg.escalate_threshold is not None

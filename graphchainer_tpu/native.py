@@ -609,6 +609,94 @@ def repair_batch(gx, positions_list, ops_list, reads, max_arm_len: int = 32):
             if changed[i] else None for i in range(nr)]
 
 
+def corridor_polish_batch(gx, positions_list, ops_list, reads, scores,
+                          band: int = 48, max_arm_len: int = 64):
+    """Exact banded DP over each read's path-corridor DAG (path + 1-hop
+    sibling/skip/insertion arms), with per-cell backtrace — resolves all
+    the bubble-arm choices jointly, unlike the local repair_batch.  The
+    C++ kernel documents the rationale (the word-granular device
+    backwalk can emit a path that misses the banded-optimal score; the
+    reference's per-cell backtrace never does,
+    src/GraphAlignerBitvectorCommon.h:392-544).
+
+    positions_list/ops_list/reads/scores: per-read current alignment.
+    Returns a list of (score, positions (n,2), ops uint8) tuples, or
+    None where the corridor found nothing strictly better."""
+    lib = get_lib()
+    if not hasattr(lib, "_corridor_sig"):
+        _U8P = ctypes.POINTER(ctypes.c_uint8)
+        lib.corridor_polish_batch.restype = ctypes.c_void_p
+        lib.corridor_polish_batch.argtypes = (
+            [ctypes.c_int64] + [_I64P] * 5 + [_U8P] + [_I64P] * 3
+            + [ctypes.c_int64] + [_I64P] * 4 + [_U8P, _U8P, _I64P]
+            + [_I64P, ctypes.c_int64, ctypes.c_int64])
+        lib.corridor_sizes.argtypes = [ctypes.c_void_p, _I64P]
+        lib.corridor_copy.argtypes = [ctypes.c_void_p, _I64P, _I64P,
+                                      _I64P, _U8P, _I64P]
+        lib.corridor_free.argtypes = [ctypes.c_void_p]
+        lib._corridor_sig = True
+    g = gx.g
+    nr = len(reads)
+    pos_off = np.zeros(nr + 1, dtype=np.int64)
+    ops_off = np.zeros(nr + 1, dtype=np.int64)
+    read_off = np.zeros(nr + 1, dtype=np.int64)
+    pos_parts, ops_parts = [], []
+    for i in range(nr):
+        p = positions_list[i]
+        o = ops_list[i]
+        if p is None or o is None or len(p) == 0:
+            p = np.zeros((0, 2), dtype=np.int64)
+            o = np.zeros(0, dtype=np.uint8)
+        pos_parts.append(np.ascontiguousarray(p, dtype=np.int64))
+        ops_parts.append(np.ascontiguousarray(o, dtype=np.uint8))
+        pos_off[i + 1] = pos_off[i] + len(pos_parts[-1])
+        ops_off[i + 1] = ops_off[i] + len(ops_parts[-1])
+        read_off[i + 1] = read_off[i] + len(reads[i])
+    pos_cat = (np.concatenate(pos_parts, axis=0) if pos_off[-1]
+               else np.zeros((1, 2), dtype=np.int64))
+    pos_nodes = np.ascontiguousarray(pos_cat[:, 0])
+    pos_offs = np.ascontiguousarray(pos_cat[:, 1])
+    ops_cat = (np.concatenate(ops_parts) if ops_off[-1]
+               else np.zeros(1, dtype=np.uint8))
+    read_bytes = np.frombuffer("".join(reads).encode("ascii") or b"\0",
+                               dtype=np.uint8)
+    i64 = lambda a: np.ascontiguousarray(a, dtype=np.int64)
+    cur = i64([int(s) for s in scores])
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    h = lib.corridor_polish_batch(
+        ctypes.c_int64(g.n_nodes), _ptr(gx.out_ptr), _ptr(gx.out_idx),
+        _ptr(gx.in_ptr), _ptr(gx.in_idx), _ptr(gx.node_len64),
+        gx.seq_bytes.ctypes.data_as(u8p), _ptr(i64(gx.di_base)),
+        _ptr(i64(g.orig_node)), _ptr(i64(g.orig_offset)),
+        ctypes.c_int64(nr), _ptr(pos_off), _ptr(pos_nodes),
+        _ptr(pos_offs), _ptr(ops_off), ops_cat.ctypes.data_as(u8p),
+        read_bytes.ctypes.data_as(u8p), _ptr(read_off), _ptr(cur),
+        ctypes.c_int64(band), ctypes.c_int64(max_arm_len))
+    sizes = np.empty(3, dtype=np.int64)
+    lib.corridor_sizes(h, _ptr(sizes))
+    nq, npos, nops = int(sizes[0]), int(sizes[1]), int(sizes[2])
+    pos_offsets = np.empty(nq + 1, dtype=np.int64)
+    pos_data = np.empty(max(npos, 1), dtype=np.int64)
+    ops_offsets = np.empty(nq + 1, dtype=np.int64)
+    ops_data = np.empty(max(nops, 1), dtype=np.uint8)
+    new_scores = np.empty(nq, dtype=np.int64)
+    lib.corridor_copy(h, _ptr(pos_offsets), _ptr(pos_data),
+                      _ptr(ops_offsets), ops_data.ctypes.data_as(u8p),
+                      _ptr(new_scores))
+    lib.corridor_free(h)
+    out = []
+    for i in range(nq):
+        if new_scores[i] < 0:
+            out.append(None)
+        else:
+            out.append((int(new_scores[i]),
+                        pos_data[pos_offsets[i]:pos_offsets[i + 1]]
+                        .reshape(-1, 2).copy(),
+                        ops_data[ops_offsets[i]:ops_offsets[i + 1]]
+                        .copy()))
+    return out
+
+
 def cpu_signature() -> bytes:
     """Runtime cpuid identity (family/model/stepping + brand + feature
     leaves) as raw bytes.  Unlike /proc/cpuinfo — populated at BOOT and

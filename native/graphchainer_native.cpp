@@ -1908,6 +1908,327 @@ void* repair_batch(
   return (void*)res;
 }
 
+// ---------------------------------------------------------------------------
+// Corridor re-polish: exact banded DP with per-cell backtrace over the
+// "corridor" DAG — the polished path plus every 1-hop alternative at each
+// full node run (sibling arms u->w->x, skip edges u->x, insertion arms
+// u->w->v).  The fragment/GA kernels' word-granular backwalk can emit a
+// path that does NOT achieve the banded-optimal score (the reference's
+// per-cell backtrace, src/GraphAlignerBitvectorCommon.h:392-544, never
+// does); the local bubble repair (repair_batch above) misses arms whose
+// cost smears into neighbouring ops under global NW.  This pass resolves
+// ALL the arm choices jointly and exactly within the corridor: measured
+// on the golden set it recovers the systematic ~0.6%-of-read-length gap
+// to the reference (131->121 vs exact optimum 120 on the worst read).
+// Band: +-W read rows around the current alignment's diagonal (rpos per
+// path char), so cost is O(corridor_chars * 2W) per read with int32
+// cells — ~1ms/read at 3kb.  Results with score >= the current polish
+// score are dropped (scores[r] = -1, caller keeps the original).
+
+namespace {
+struct CorridorResult {
+  std::vector<int64_t> pos_offsets, pos_data;  // interleaved (node, off)
+  std::vector<int64_t> ops_offsets;
+  std::vector<uint8_t> ops_data;
+  std::vector<int64_t> scores;                 // new score or -1
+};
+}  // namespace
+
+void* corridor_polish_batch(
+    int64_t n_nodes, const int64_t* out_ptr, const int64_t* out_idx,
+    const int64_t* in_ptr, const int64_t* in_idx, const int64_t* node_len,
+    const uint8_t* seq_bytes, const int64_t* di_base,
+    const int64_t* orig_node, const int64_t* orig_offset, int64_t nr,
+    const int64_t* pos_off, const int64_t* pos_nodes, const int64_t* pos_offs,
+    const int64_t* ops_off, const uint8_t* ops_all,
+    const uint8_t* read_bytes, const int64_t* read_off,
+    const int64_t* cur_score, int64_t W, int64_t max_arm_len) {
+  (void)n_nodes;
+  (void)in_ptr;
+  (void)in_idx;
+  auto* res = new CorridorResult();
+  res->pos_offsets.push_back(0);
+  res->ops_offsets.push_back(0);
+  const int32_t INF = 1 << 28;
+  const uint8_t OPM = 0, OPD = 1, OPI = 2, OPX = 3;
+  const int64_t Wb = 2 * W + 1;
+
+  auto node_char = [&](int64_t v, int64_t o) -> uint8_t {
+    return seq_bytes[di_base[orig_node[v]] + orig_offset[v] + o];
+  };
+  auto has_edge = [&](int64_t u, int64_t x) -> bool {
+    int64_t d = out_ptr[u + 1] - out_ptr[u];
+    if (d > 256) return false;  // perf guard on extreme hubs
+    for (int64_t e = out_ptr[u]; e < out_ptr[u + 1]; e++)
+      if (out_idx[e] == x) return true;
+    return false;
+  };
+
+  // per-read scratch (persists across calls; epochless — fully rewritten)
+  std::vector<uint8_t> ch;
+  std::vector<int64_t> vnode, voff, center;
+  std::vector<int32_t> pred_off, pred_flat;
+  std::vector<std::vector<int32_t>> vpreds;  // build-time adjacency
+  std::vector<int64_t> rpos, rstart, rend, rnode, last_of_run;
+  std::vector<char> rfull;
+  std::vector<int32_t> cost, lov;
+  std::vector<uint8_t> tag;   // op (2 bits) | pred-choice (6 bits)
+  std::vector<int64_t> out_rows;
+  std::vector<uint8_t> out_ops;
+
+  for (int64_t r = 0; r < nr; r++) {
+    auto unchanged = [&]() {
+      res->scores.push_back(-1);
+      res->pos_offsets.push_back((int64_t)res->pos_data.size());
+      res->ops_offsets.push_back((int64_t)res->ops_data.size());
+    };
+    int64_t p0 = pos_off[r], p1 = pos_off[r + 1], P = p1 - p0;
+    int64_t o0 = ops_off[r], o1 = ops_off[r + 1], nops = o1 - o0;
+    const uint8_t* read = read_bytes + read_off[r];
+    int64_t R = read_off[r + 1] - read_off[r];
+    if (P < 2 || R < 1 || nops < 1 || cur_score[r] <= 0) {
+      unchanged();
+      continue;
+    }
+    // rpos[p]: read chars consumed before path char p is consumed
+    rpos.resize(P);
+    {
+      int64_t pi = 0, ri = 0;
+      bool bad = false;
+      for (int64_t k = o0; k < o1; k++) {
+        uint8_t op = ops_all[k];
+        if (op != OPI) {
+          if (pi >= P) { bad = true; break; }
+          rpos[pi++] = ri;
+        }
+        if (op != OPD) ri++;
+      }
+      if (bad || pi != P || ri != R) {  // ops/path mismatch: bail out
+        unchanged();
+        continue;
+      }
+    }
+    // node runs
+    rstart.clear(); rend.clear(); rnode.clear(); rfull.clear();
+    for (int64_t p = 0; p < P; ) {
+      int64_t q = p;
+      while (q < P && pos_nodes[p0 + q] == pos_nodes[p0 + p]) q++;
+      int64_t v = pos_nodes[p0 + p];
+      rstart.push_back(p); rend.push_back(q); rnode.push_back(v);
+      rfull.push_back(pos_offs[p0 + p] == 0
+                      && pos_offs[p0 + q - 1] == node_len[v] - 1
+                      && q - p == node_len[v]);
+      p = q;
+    }
+    int64_t nruns = (int64_t)rstart.size();
+    // corridor vertices
+    ch.clear(); vnode.clear(); voff.clear(); center.clear();
+    vpreds.clear();
+    last_of_run.assign(nruns, -1);
+    std::vector<std::vector<int32_t>> extra(nruns);
+    auto add_vertex = [&](uint8_t c, int64_t v, int64_t o, int64_t cen,
+                          std::vector<int32_t>&& pr) -> int32_t {
+      ch.push_back(c); vnode.push_back(v); voff.push_back(o);
+      center.push_back(cen); vpreds.push_back(std::move(pr));
+      return (int32_t)ch.size() - 1;
+    };
+    auto add_arm = [&](int64_t w, int32_t from, int64_t cen) -> int32_t {
+      int32_t pv = from;
+      for (int64_t k = 0; k < node_len[w]; k++)
+        pv = add_vertex(node_char(w, k), w, k, cen, {pv});
+      return pv;
+    };
+    for (int64_t i = 0; i < nruns; i++) {
+      int64_t v = rnode[i];
+      int64_t cen_i = rpos[rstart[i]];
+      if (i > 0 && i < nruns - 1 && rfull[i] && rfull[i - 1]
+          && rfull[i + 1]) {
+        int64_t u = rnode[i - 1], x = rnode[i + 1];
+        if (out_ptr[u + 1] - out_ptr[u] <= 64) {
+          for (int64_t e = out_ptr[u]; e < out_ptr[u + 1]; e++) {
+            int64_t w = out_idx[e];
+            if (w == v || node_len[w] > max_arm_len) continue;
+            if (!has_edge(w, x)) continue;
+            extra[i + 1].push_back(
+                add_arm(w, last_of_run[i - 1], cen_i));
+          }
+          if (has_edge(u, x))
+            extra[i + 1].push_back((int32_t)last_of_run[i - 1]);
+        }
+      }
+      if (i > 0 && rfull[i] && rfull[i - 1]) {
+        int64_t u = rnode[i - 1];
+        if (out_ptr[u + 1] - out_ptr[u] <= 64) {
+          for (int64_t e = out_ptr[u]; e < out_ptr[u + 1]; e++) {
+            int64_t w = out_idx[e];
+            if (w == v || node_len[w] > max_arm_len) continue;
+            if (!has_edge(w, v)) continue;
+            extra[i].push_back(add_arm(w, last_of_run[i - 1], cen_i));
+          }
+        }
+      }
+      for (int64_t p = rstart[i]; p < rend[i]; p++) {
+        std::vector<int32_t> pr;
+        if (p == rstart[i]) {
+          if (i > 0) pr.push_back((int32_t)last_of_run[i - 1]);
+          for (int32_t x : extra[i]) pr.push_back(x);
+        } else {
+          pr.push_back((int32_t)ch.size() - 1);
+        }
+        add_vertex(node_char(pos_nodes[p0 + p], pos_offs[p0 + p]),
+                   pos_nodes[p0 + p], pos_offs[p0 + p], rpos[p],
+                   std::move(pr));
+      }
+      last_of_run[i] = (int64_t)ch.size() - 1;
+    }
+    int64_t V = (int64_t)ch.size();
+    int32_t endv = (int32_t)last_of_run[nruns - 1];
+    // band + DP
+    cost.assign((size_t)V * Wb, INF);
+    tag.assign((size_t)V * Wb, 0);
+    lov.resize(V);
+    for (int64_t c = 0; c < V; c++) {
+      int64_t lo = center[c] - W;
+      if (lo < 0) lo = 0;
+      if (lo > R) lo = R;
+      if (c == endv && lo + Wb - 1 < R) lo = R - Wb + 1 > 0 ? R - Wb + 1
+                                                            : 0;
+      lov[c] = (int32_t)lo;
+      int64_t hi = lo + Wb - 1;
+      if (hi > R) hi = R;
+      int32_t* cc = &cost[(size_t)c * Wb];
+      uint8_t* tt = &tag[(size_t)c * Wb];
+      uint8_t chc = ch[c];
+      const auto& pr = vpreds[c];
+      for (int64_t rr = lo; rr <= hi; rr++) {
+        int32_t best = INF;
+        uint8_t bt = 0;
+        if (pr.empty()) {
+          // virtual start: cost(q) = q leading insertions
+          if (rr >= 1) {
+            int32_t c1 = (int32_t)(rr - 1) + (read[rr - 1] != chc);
+            if (c1 < best) {
+              best = c1;
+              bt = (uint8_t)((read[rr - 1] != chc ? OPX : OPM) | (63 << 2));
+            }
+          }
+          int32_t c2 = (int32_t)rr + 1;
+          if (c2 < best) { best = c2; bt = (uint8_t)(OPD | (63 << 2)); }
+        } else {
+          for (size_t k = 0; k < pr.size() && k < 63; k++) {
+            int32_t p = pr[k];
+            const int32_t* pc = &cost[(size_t)p * Wb];
+            int64_t plo = lov[p];
+            if (rr - 1 >= plo && rr - 1 <= plo + Wb - 1) {
+              int32_t base = pc[rr - 1 - plo];
+              if (base < INF) {
+                int32_t c1 = base + (read[rr - 1] != chc);
+                if (c1 < best) {
+                  best = c1;
+                  bt = (uint8_t)((read[rr - 1] != chc ? OPX : OPM)
+                                 | ((uint8_t)k << 2));
+                }
+              }
+            }
+            if (rr >= plo && rr <= plo + Wb - 1) {
+              int32_t base = pc[rr - plo];
+              if (base < INF) {
+                int32_t c2 = base + 1;
+                if (c2 < best) {
+                  best = c2;
+                  bt = (uint8_t)(OPD | ((uint8_t)k << 2));
+                }
+              }
+            }
+          }
+        }
+        cc[rr - lo] = best;
+        tt[rr - lo] = bt;
+      }
+      // insertion chain (reference tie order: INS preferred at equal
+      // cost, like the polish backtrace INS > diag > DEL)
+      for (int64_t rr = lo + 1; rr <= hi; rr++) {
+        if (cc[rr - 1 - lo] < INF && cc[rr - 1 - lo] + 1 <= cc[rr - lo]) {
+          cc[rr - lo] = cc[rr - 1 - lo] + 1;
+          tt[rr - lo] = OPI;
+        }
+      }
+    }
+    int64_t elo = lov[endv];
+    int32_t fin = (R >= elo && R <= elo + Wb - 1)
+                      ? cost[(size_t)endv * Wb + (R - elo)] : INF;
+    if (fin >= cur_score[r] || fin >= INF) {
+      unchanged();
+      continue;
+    }
+    // backtrace
+    out_rows.clear();
+    out_ops.clear();
+    int64_t c = endv, rr = R;
+    bool ok = true;
+    for (int64_t guard = 0; ; guard++) {
+      if (guard > 4 * (V + R)) { ok = false; break; }
+      uint8_t t = tag[(size_t)c * Wb + (rr - lov[c])];
+      uint8_t op = t & 3;
+      uint8_t k = t >> 2;
+      if (op == OPI && k == 0) {   // same-vertex insertion
+        out_ops.push_back(OPI);
+        rr--;
+        continue;
+      }
+      out_rows.push_back(vnode[c]);
+      out_rows.push_back(voff[c]);
+      out_ops.push_back(op);
+      if (op != OPD) rr--;
+      if (k == 63 || vpreds[c].empty()) {   // virtual start
+        for (; rr > 0; rr--) out_ops.push_back(OPI);
+        break;
+      }
+      c = vpreds[c][k];
+    }
+    if (!ok) {
+      unchanged();
+      continue;
+    }
+    std::reverse(out_ops.begin(), out_ops.end());
+    // rows were appended end->start as (node, off) pairs; reverse pairwise
+    res->scores.push_back(fin);
+    for (int64_t i = (int64_t)out_rows.size() - 2; i >= 0; i -= 2) {
+      res->pos_data.push_back(out_rows[i]);
+      res->pos_data.push_back(out_rows[i + 1]);
+    }
+    res->pos_offsets.push_back((int64_t)res->pos_data.size());
+    res->ops_data.insert(res->ops_data.end(), out_ops.begin(),
+                         out_ops.end());
+    res->ops_offsets.push_back((int64_t)res->ops_data.size());
+  }
+  return (void*)res;
+}
+
+void corridor_sizes(void* h, int64_t* sizes) {
+  auto* r = (CorridorResult*)h;
+  sizes[0] = (int64_t)r->scores.size();
+  sizes[1] = (int64_t)r->pos_data.size();
+  sizes[2] = (int64_t)r->ops_data.size();
+}
+
+void corridor_copy(void* h, int64_t* pos_offsets, int64_t* pos_data,
+                   int64_t* ops_offsets, uint8_t* ops_data,
+                   int64_t* scores) {
+  auto* r = (CorridorResult*)h;
+  std::memcpy(pos_offsets, r->pos_offsets.data(),
+              r->pos_offsets.size() * 8);
+  if (!r->pos_data.empty())
+    std::memcpy(pos_data, r->pos_data.data(), r->pos_data.size() * 8);
+  std::memcpy(ops_offsets, r->ops_offsets.data(),
+              r->ops_offsets.size() * 8);
+  if (!r->ops_data.empty())
+    std::memcpy(ops_data, r->ops_data.data(), r->ops_data.size());
+  std::memcpy(scores, r->scores.data(), r->scores.size() * 8);
+}
+
+void corridor_free(void* h) { delete (CorridorResult*)h; }
+
 void paths_sizes(void* h, int64_t* sizes) {
   auto* r = (PathsResult*)h;
   sizes[0] = (int64_t)r->offsets.size() - 1;

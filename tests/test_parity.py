@@ -303,3 +303,53 @@ def dict_fields(msg, fields):
     for f, wt, v in fields(msg):
         d.setdefault(f, []).append((f, wt, v))
     return d
+
+
+def test_golden100_per_read_ed_vs_pinned_reference(tmp_path):
+    """Pinned 100-read golden set (VERDICT r2 #6): regenerate the exact
+    workload scripts/make_golden100.py ran through the reference binary
+    (seeds pinned there), align it with our pipeline, and require our
+    per-read edit distance to MATCH OR BEAT the pinned reference ED on
+    >= 95% of reads, with every read aligned.  Runs without the
+    reference binary — its numbers live in tests/data/golden100.json."""
+    import importlib.util
+    import json as _json
+
+    from graphchainer_tpu.graph.mpc import build_mpc
+    from graphchainer_tpu.index.minimizer import build_index
+    from graphchainer_tpu.models.chainer import ChainerConfig, ChainerModel
+    from tests.test_polish import nw_edit_distance
+
+    golden = _json.load(open(os.path.join(DATA, "golden100.json")))
+    spec = importlib.util.spec_from_file_location(
+        "make_golden100", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "make_golden100.py"))
+    mg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mg)
+    _gfa, g, reads = mg.build_workload(str(tmp_path))
+    assert len(reads) == golden["n_reads"] == 100
+    # workload must be byte-identical to what the reference binary saw
+    for name, seq in reads:
+        assert golden["reads"][name]["len"] == len(seq), name
+
+    model = ChainerModel(g, build_mpc(g), build_index(g, k=15, w=10),
+                         ChainerConfig())
+    ours = model.align_batch(reads)
+
+    n_le = 0
+    n_aligned = 0
+    worse = []
+    for (name, seq), aln in zip(reads, ours):
+        ref_ed = golden["reads"][name]["ref_ed"]
+        if aln.failed:
+            continue
+        n_aligned += 1
+        our_ed = nw_edit_distance(seq, model.gx.positions_seq(
+            aln.positions))
+        if ref_ed is None or our_ed <= ref_ed:
+            n_le += 1
+        else:
+            worse.append((name, our_ed, ref_ed))
+    assert n_aligned == 100, f"only {n_aligned}/100 aligned"
+    assert n_le >= 95, (f"beat/matched reference on only {n_le}/100: "
+                        f"{sorted(worse, key=lambda t: t[2]-t[1])[:8]}")
