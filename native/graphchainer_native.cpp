@@ -18,6 +18,7 @@
 #include <map>
 #include <queue>
 #include <set>
+#include <unordered_map>
 #include <utility>
 #include <vector>
 
@@ -1049,6 +1050,198 @@ inline void bfs_path(const int64_t* ptr, const int64_t* idx,
   std::reverse(out.begin(), out.end());
 }
 
+// Exact DP extension of the stitched path over the uncovered read
+// head/tail (replaces the greedy char-matching walk, which picked arms
+// by first-char match and cost ~1-2 edits per wrong terminal bubble —
+// the reference's whole-read DP never pays this).  Explores the char
+// cone reachable from the anchor (Dijkstra by min char depth, node ids
+// are topo ranks so DP order is just sorted ids), runs an exact
+// edit-distance DP with FREE path end (the path may stop anywhere; the
+// rest of the read segment is insertions), and backtraces the best
+// path.  `backward` handles the head: expansion via in-edges, node
+// chars consumed offset-reversed; the caller passes the read segment in
+// consumption order (reversed for the head) and reverses the returned
+// rows.  Returns false when the segment or cone exceeds the caps —
+// caller falls back to the greedy walk.
+inline bool dp_extend(bool backward,
+                      const int64_t* out_ptr, const int64_t* out_idx,
+                      const int64_t* in_ptr, const int64_t* in_idx,
+                      const int64_t* node_len, const uint8_t* seq_bytes,
+                      const int64_t* di_base, const int64_t* orig_node,
+                      const int64_t* orig_offset,
+                      int64_t v0, int64_t o0, const uint8_t* seg,
+                      int64_t L, std::vector<int64_t>& out) {
+  out.clear();
+  const int64_t L_CAP = 384, NODE_CAP = 256, CHAR_CAP = 2048, SLACK = 16;
+  const int32_t INF = 1 << 28;
+  if (L <= 0) return true;
+  if (L > L_CAP) return false;
+  auto node_char = [&](int64_t v, int64_t o) -> uint8_t {
+    return seq_bytes[di_base[orig_node[v]] + orig_offset[v] + o];
+  };
+  // canonical char of node w at step k (entry char = k 0)
+  auto canon_char = [&](int64_t w, int64_t k) -> uint8_t {
+    return node_char(w, backward ? node_len[w] - 1 - k : k);
+  };
+  auto canon_off = [&](int64_t w, int64_t k) -> int64_t {
+    return backward ? node_len[w] - 1 - k : k;
+  };
+  const int64_t* eptr = backward ? in_ptr : out_ptr;
+  const int64_t* eidx = backward ? in_idx : out_idx;
+  int64_t rem0 = backward ? o0 : node_len[v0] - 1 - o0;
+  int64_t maxd = L + SLACK;
+  // cone collection: Dijkstra by min char depth over nodes
+  std::unordered_map<int64_t, int64_t> depth;   // node -> min entry depth
+  std::vector<int64_t> cone;
+  {
+    typedef std::pair<int64_t, int64_t> QE;     // (depth, node)
+    std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
+    for (int64_t e = eptr[v0]; e < eptr[v0 + 1]; e++)
+      pq.push({rem0, eidx[e]});
+    while (!pq.empty()) {
+      auto [d, w] = pq.top();
+      pq.pop();
+      if (d > maxd) break;
+      auto it = depth.find(w);
+      if (it != depth.end() && it->second <= d) continue;
+      if (it == depth.end()) {
+        if ((int64_t)cone.size() >= NODE_CAP) return false;
+        cone.push_back(w);
+      }
+      depth[w] = d;
+      int64_t nd = d + node_len[w];
+      if (nd <= maxd)
+        for (int64_t e = eptr[w]; e < eptr[w + 1]; e++)
+          pq.push({nd, eidx[e]});
+    }
+  }
+  // DP order: stub chars of v0, then cone nodes in topo order (ids are
+  // topo ranks; backward cones run against topo order)
+  std::sort(cone.begin(), cone.end());
+  if (backward) std::reverse(cone.begin(), cone.end());
+  std::unordered_map<int64_t, int32_t> first_char;  // node -> char idx
+  std::vector<uint8_t> ch;
+  std::vector<int64_t> cnode, coff;
+  for (int64_t k = 0; k < rem0; k++) {
+    ch.push_back(canon_char(v0, (backward ? node_len[v0] - 1 - o0 : o0)
+                                    + 1 + k));
+    cnode.push_back(v0);
+    coff.push_back(canon_off(v0, (backward ? node_len[v0] - 1 - o0 : o0)
+                                     + 1 + k));
+  }
+  for (int64_t w : cone) {
+    first_char[w] = (int32_t)ch.size();
+    for (int64_t k = 0; k < node_len[w]; k++) {
+      ch.push_back(canon_char(w, k));
+      cnode.push_back(w);
+      coff.push_back(canon_off(w, k));
+    }
+    if ((int64_t)ch.size() > CHAR_CAP) return false;
+  }
+  int64_t V = (int64_t)ch.size();
+  if (V == 0) return true;
+  // entry-char pred lists: pred = exit char of u for expansion edge
+  // u -> w (u in cone or the v0 stub; stub empty -> virtual anchor -1)
+  std::vector<std::vector<int32_t>> preds(V);
+  int32_t stub_last = rem0 > 0 ? (int32_t)(rem0 - 1) : -1;
+  for (int64_t e = eptr[v0]; e < eptr[v0 + 1]; e++) {
+    auto it = first_char.find(eidx[e]);
+    if (it != first_char.end()) preds[it->second].push_back(stub_last);
+  }
+  for (int64_t u : cone) {
+    int32_t ulast = first_char[u] + (int32_t)node_len[u] - 1;
+    for (int64_t e = eptr[u]; e < eptr[u + 1]; e++) {
+      auto it = first_char.find(eidx[e]);
+      if (it != first_char.end()
+          && preds[it->second].size() < 60)
+        preds[it->second].push_back(ulast);
+    }
+  }
+  // stub chain preds
+  for (int64_t k = 1; k < rem0; k++) preds[k].push_back((int32_t)(k - 1));
+  if (rem0 > 0) preds[0].push_back(-1);
+  // chars inside cone nodes chain to the previous char
+  for (int64_t w : cone)
+    for (int64_t k = 1; k < node_len[w]; k++)
+      preds[first_char[w] + k].push_back(first_char[w] + (int32_t)k - 1);
+  for (int64_t c = 0; c < V; c++)
+    if (preds[c].empty()) preds[c].push_back(-1);  // unreachable guard
+  // DP (full rows 0..L; L is small)
+  static thread_local std::vector<int32_t> cost;
+  static thread_local std::vector<uint8_t> tag;
+  cost.assign((size_t)V * (L + 1), INF);
+  tag.assign((size_t)V * (L + 1), 0);
+  for (int64_t c = 0; c < V; c++) {
+    int32_t* cc = &cost[(size_t)c * (L + 1)];
+    uint8_t* tt = &tag[(size_t)c * (L + 1)];
+    uint8_t chc = ch[c];
+    const auto& pr = preds[c];
+    for (int64_t r = 0; r <= L; r++) {
+      int32_t best = INF;
+      uint8_t bt = 0;
+      for (size_t k = 0; k < pr.size() && k < 60; k++) {
+        int32_t p = pr[k];
+        const int32_t base_del =
+            p < 0 ? (int32_t)r : cost[(size_t)p * (L + 1) + r];
+        if (r >= 1) {
+          int32_t base =
+              p < 0 ? (int32_t)(r - 1) : cost[(size_t)p * (L + 1) + r - 1];
+          if (base < INF) {
+            int32_t c1 = base + (seg[r - 1] != chc);
+            if (c1 < best) {
+              best = c1;
+              bt = (uint8_t)(0 | ((uint8_t)(p < 0 ? 62 : k) << 2));
+            }
+          }
+        }
+        if (base_del < INF && base_del + 1 < best) {
+          best = base_del + 1;
+          bt = (uint8_t)(1 | ((uint8_t)(p < 0 ? 62 : k) << 2));
+        }
+      }
+      cc[r] = best;
+      tt[r] = bt;
+    }
+    for (int64_t r = 1; r <= L; r++)
+      if (cc[r - 1] < INF && cc[r - 1] + 1 <= cc[r]) {
+        cc[r] = cc[r - 1] + 1;
+        tt[r] = 2;
+      }
+  }
+  // free end: best over all chars at row L vs the pure-insertion anchor
+  int32_t best = (int32_t)L;
+  int64_t bc = -1;
+  for (int64_t c = 0; c < V; c++)
+    if (cost[(size_t)c * (L + 1) + L] < best) {
+      best = cost[(size_t)c * (L + 1) + L];
+      bc = c;
+    }
+  if (bc < 0) return true;   // extending doesn't beat pure insertions
+  // backtrace: collect (node, offset) pairs, end -> anchor
+  int64_t c = bc, r = L;
+  for (int64_t guard = 0; guard <= 4 * (V + L); guard++) {
+    uint8_t t = tag[(size_t)c * (L + 1) + r];
+    uint8_t op = t & 3;
+    uint8_t k = t >> 2;
+    if (op == 2) {
+      r--;
+      continue;
+    }
+    out.push_back(cnode[c]);
+    out.push_back(coff[c]);
+    if (op == 0) r--;
+    if (k == 62) break;   // virtual anchor: remaining rows are
+                          // insertions at the anchor, no path rows
+    int32_t p = preds[c][k];
+    if (p < 0) break;
+    c = p;
+  }
+  // out is in BACKTRACE order: far end of the walk first, the
+  // anchor-adjacent char last.  The head caller appends it verbatim
+  // (read order); the tail caller reverses pairwise.
+  return true;
+}
+
 // expand a node path into per-char (node, offset) pairs
 inline void path_positions(const int64_t* node_len,
                            const std::vector<int64_t>& path,
@@ -1232,8 +1425,27 @@ void* stitch_batch(
     auto node_char = [&](int64_t v, int64_t o) -> uint8_t {
       return seq_bytes[di_base[orig_node[v]] + orig_offset[v] + o];
     };
-    // backward head (collect reversed, then emit in order)
-    {
+    // head: exact DP extension over the backward cone (greedy
+    // char-matching walk as fallback when the cone/segment exceed the
+    // DP caps).  The DP segment is the read head REVERSED (consumption
+    // order walking away from the anchor); dp_extend returns rows in
+    // backtrace order = read order for the head.
+    static thread_local std::vector<int64_t> dp_rows;
+    static thread_local std::vector<uint8_t> segbuf;
+    bool head_done = false;
+    if (head > 0) {
+      segbuf.resize(head);
+      for (int64_t i = 0; i < head; i++) segbuf[i] = read[head - 1 - i];
+      head_done = dp_extend(true, out_ptr, out_idx, in_ptr, in_idx,
+                            node_len, seq_bytes, di_base, orig_node,
+                            orig_offset, longest[0], longest[1],
+                            segbuf.data(), head, dp_rows);
+      if (head_done)
+        positions.insert(positions.end(), dp_rows.begin(), dp_rows.end());
+    } else {
+      head_done = true;
+    }
+    if (!head_done) {
       std::vector<int64_t> headv;
       int64_t v = longest[0], o = longest[1];
       int64_t hi = head - 1, left = head;
@@ -1265,7 +1477,22 @@ void* stitch_batch(
       }
     }
     positions.insert(positions.end(), longest.begin(), longest.end());
-    {
+    bool tail_done = false;
+    if (tail > 0) {
+      tail_done = dp_extend(false, out_ptr, out_idx, in_ptr, in_idx,
+                            node_len, seq_bytes, di_base, orig_node,
+                            orig_offset, longest[longest.size() - 2],
+                            longest[longest.size() - 1],
+                            read + (rlen - tail), tail, dp_rows);
+      if (tail_done)   // backtrace order: reverse pairwise for the tail
+        for (int64_t i = (int64_t)dp_rows.size() - 2; i >= 0; i -= 2) {
+          positions.push_back(dp_rows[i]);
+          positions.push_back(dp_rows[i + 1]);
+        }
+    } else {
+      tail_done = true;
+    }
+    if (!tail_done) {
       int64_t v = longest[longest.size() - 2],
               o = longest[longest.size() - 1];
       int64_t ti = rlen - tail, left = tail;
@@ -1970,7 +2197,7 @@ void* corridor_polish_batch(
   std::vector<int32_t> pred_off, pred_flat;
   std::vector<std::vector<int32_t>> vpreds;  // build-time adjacency
   std::vector<int64_t> rpos, rstart, rend, rnode, last_of_run;
-  std::vector<char> rfull;
+  std::vector<char> rfull, rst0, rendn;
   std::vector<int32_t> cost, lov;
   std::vector<uint8_t> tag;   // op (2 bits) | pred-choice (6 bits)
   std::vector<int64_t> out_rows;
@@ -2010,6 +2237,7 @@ void* corridor_polish_batch(
     }
     // node runs
     rstart.clear(); rend.clear(); rnode.clear(); rfull.clear();
+    rst0.clear(); rendn.clear();
     for (int64_t p = 0; p < P; ) {
       int64_t q = p;
       while (q < P && pos_nodes[p0 + q] == pos_nodes[p0 + p]) q++;
@@ -2018,6 +2246,8 @@ void* corridor_polish_batch(
       rfull.push_back(pos_offs[p0 + p] == 0
                       && pos_offs[p0 + q - 1] == node_len[v] - 1
                       && q - p == node_len[v]);
+      rst0.push_back(pos_offs[p0 + p] == 0);
+      rendn.push_back(pos_offs[p0 + q - 1] == node_len[v] - 1);
       p = q;
     }
     int64_t nruns = (int64_t)rstart.size();
@@ -2041,8 +2271,14 @@ void* corridor_polish_batch(
     for (int64_t i = 0; i < nruns; i++) {
       int64_t v = rnode[i];
       int64_t cen_i = rpos[rstart[i]];
-      if (i > 0 && i < nruns - 1 && rfull[i] && rfull[i - 1]
-          && rfull[i + 1]) {
+      // sibling/skip alternatives replace the whole node run i, so run
+      // i must be full; but the neighbours only have to MEET it at a
+      // node boundary — prev run ends at its node's last char, next run
+      // starts at offset 0.  (Requiring full neighbours missed arms
+      // adjacent to the partial first/last runs of the path — e.g. a
+      // wrong 3bp insertion arm right before the final, mid-node run.)
+      if (i > 0 && i < nruns - 1 && rfull[i] && rendn[i - 1]
+          && rst0[i + 1]) {
         int64_t u = rnode[i - 1], x = rnode[i + 1];
         if (out_ptr[u + 1] - out_ptr[u] <= 64) {
           for (int64_t e = out_ptr[u]; e < out_ptr[u + 1]; e++) {
@@ -2056,7 +2292,9 @@ void* corridor_polish_batch(
             extra[i + 1].push_back((int32_t)last_of_run[i - 1]);
         }
       }
-      if (i > 0 && rfull[i] && rfull[i - 1]) {
+      // insertion arms u->w->v enter run i at its first char: run i
+      // must start at offset 0, prev run must end at its node end
+      if (i > 0 && rst0[i] && rendn[i - 1]) {
         int64_t u = rnode[i - 1];
         if (out_ptr[u + 1] - out_ptr[u] <= 64) {
           for (int64_t e = out_ptr[u]; e < out_ptr[u + 1]; e++) {

@@ -124,20 +124,30 @@ def test_dense_truncation_surfaces_in_counters(dense):
 def test_escalation_recovers_truncated_reads(dense):
     """Force a tiny band/in-cap so the base pass degrades, then check
     the escalation retry (reference bandwidth ramp,
-    src/GraphAlignerBitvectorBanded.h:572-644) recovers it.  Rescue and
-    auto-compare are disabled in both configs to isolate escalation."""
-    _, g, mpc, idx, reads = dense
-    base = ChainerConfig(band_slots=8, max_in=2, band_slack=2,
+    src/GraphAlignerBitvectorBanded.h:572-644) recovers it.  Rescue,
+    auto-compare AND the corridor re-polish are disabled in all three
+    configs to isolate escalation (the corridor otherwise repairs the
+    crippled-band damage on its own and erases the contrast); the
+    cripple is band_slots=4/max_in=1 on 600bp reads — with the exact-DP
+    stitch extension in place, milder cripples on short reads no longer
+    measurably degrade quality (their loss sits at read ends, which the
+    extension recovers band-free)."""
+    _, g, mpc, idx, _ = dense
+    rng = np.random.default_rng(1234)      # fresh; fixture rng is shared
+    reads = [(f"e{i}", simulate(rng, g, err=0.1, min_len=600)[0])
+             for i in range(6)]
+    base = ChainerConfig(band_slots=4, max_in=1, band_slack=1,
                          polish_band_words=4, escalate_band=0,
-                         rescue_threshold=0.0, auto_compare_dense=False)
-    esc = ChainerConfig(band_slots=8, max_in=2, band_slack=2,
+                         rescue_threshold=0.0, auto_compare_dense=False,
+                         bubble_repair=False)
+    esc = ChainerConfig(band_slots=4, max_in=1, band_slack=1,
                         polish_band_words=4, escalate_band=64,
                         escalate_max_in=12, rescue_threshold=0.0,
-                        escalate_threshold=0.1,
-                        auto_compare_dense=False)
+                        escalate_threshold=0.05,
+                        auto_compare_dense=False, bubble_repair=False)
     dflt = ChainerConfig(polish_band_words=4, escalate_band=0,
-                         rescue_threshold=0.0, auto_compare_dense=False)
-    reads = reads[:6]
+                         rescue_threshold=0.0, auto_compare_dense=False,
+                         bubble_repair=False)
     a_base = ChainerModel(g, mpc, idx, base).align_batch(reads)
     a_esc = ChainerModel(g, mpc, idx, esc).align_batch(reads)
     a_dflt = ChainerModel(g, mpc, idx, dflt).align_batch(reads)
@@ -147,8 +157,8 @@ def test_escalation_recovers_truncated_reads(dense):
     # escalation strictly recovers part of the crippled-band loss ...
     assert better < worse, (better, worse)
     # ... and lands within a few edits of the full default-band quality
-    # (measured: base 212, esc 196, default 192 on this pinned set)
-    assert better <= dflt_tot + 8, (better, dflt_tot)
+    # (measured: base 490, esc 455, default 448 on this pinned set)
+    assert better <= dflt_tot + 10, (better, dflt_tot)
 
 
 def test_cyclic_tangle_ga_mode():

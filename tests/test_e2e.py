@@ -213,7 +213,7 @@ def test_native_stitch_matches_python(rng):
     from graphchainer_tpu.align.anchors import run_fragments
     from graphchainer_tpu.align.chaining import (batch_arrays_cols,
                                                  best_chain)
-    from graphchainer_tpu.align.stitch import extend_tails, stitch
+    from graphchainer_tpu.align.stitch import stitch
     from graphchainer_tpu.graph.simulate import generate_path, simulate_reads
     from graphchainer_tpu.ops import frag_align
     from graphchainer_tpu.ops.chain_scan import chain_scan
@@ -289,13 +289,129 @@ def test_native_stitch_matches_python(rng):
         read = reads[ri][1]
         head = int(anchors[ids[0]].x)
         tail = len(read) - 1 - int(anchors[ids[-1]].y)
-        positions = extend_tails(g, st.positions, read, max(head, 0),
-                                 max(tail, 0))
         assert okst[bi] == 1
-        np.testing.assert_array_equal(positions_l[bi], positions,
-                                      err_msg=f"read {ri}")
+        # the stitched CORE must be bit-identical; the head/tail
+        # extensions are produced by the native exact-DP cone search
+        # (dp_extend) which must be OPTIMAL: its edit cost equals the
+        # brute-force minimum over every path leaving the anchor (a
+        # stronger property than equality with the legacy greedy walk,
+        # align/stitch.extend_tails, which remains the fallback)
+        got = positions_l[bi]
+        core = st.positions
+        starts = np.nonzero((got[:, 0] == core[0, 0])
+                            & (got[:, 1] == core[0, 1]))[0]
+        off = -1
+        for s in starts:
+            if (s + len(core) <= len(got)
+                    and np.array_equal(got[s:s + len(core)], core)):
+                off = int(s)
+                break
+        assert off >= 0, f"read {ri}: stitched core not found"
+        head_ext = got[:off]
+        tail_ext = got[off + len(core):]
+
+        def ext_chars(rows):
+            return "".join(g.node_seq(int(v))[int(o)] for v, o in rows)
+
+        from tests.test_polish import nw_edit_distance
+        if 0 < head <= 384:                # beyond 384 = greedy fallback
+            seg = read[:head][::-1]        # consumption order (backward)
+            want = _ext_cost_oracle(g, int(core[0, 0]), int(core[0, 1]),
+                                    seg, backward=True)
+            got_cost = nw_edit_distance(seg, ext_chars(head_ext)[::-1])
+            assert got_cost == want, f"read {ri} head: {got_cost}!={want}"
+        elif head == 0:
+            assert len(head_ext) == 0
+        if 0 < tail <= 384:
+            seg = read[len(read) - tail:]
+            want = _ext_cost_oracle(g, int(core[-1, 0]),
+                                    int(core[-1, 1]), seg,
+                                    backward=False)
+            got_cost = nw_edit_distance(seg, ext_chars(tail_ext))
+            assert got_cost == want, f"read {ri} tail: {got_cost}!={want}"
+        elif tail == 0:
+            assert len(tail_ext) == 0
         n_checked += 1
     assert n_checked > 0
+
+
+def _ext_cost_oracle(g, v0: int, o0: int, seg: str, backward: bool) -> int:
+    """Brute-force minimum edit cost of aligning `seg` (in consumption
+    order) against ANY path leaving (v0, o0) in the given direction,
+    with a free path end — the spec for native dp_extend."""
+    L = len(seg)
+    if L == 0:
+        return 0
+    # char stream generator: states are (node, canonical step)
+    import heapq
+    maxd = L + 16
+
+    def succ_chars(v, k):
+        """next canonical chars after (v, k): list of (node, step)."""
+        ln = int(g.node_len[v])
+        if k + 1 < ln:
+            return [(v, k + 1)]
+        nbrs = g.in_neighbors(v) if backward else g.out_neighbors(v)
+        return [(int(w), 0) for w in nbrs]
+
+    def char_of(v, k):
+        s = g.node_seq(int(v))
+        return s[::-1][k] if backward else s[k]
+
+    start_k = (int(g.node_len[v0]) - 1 - o0) if backward else o0
+    INF = 1 << 30
+    import collections
+    # the anchor char (v0, start_k) is part of the CORE; the extension
+    # consists of its transitive successors (bounded BFS by char depth)
+    roots = succ_chars(v0, start_k)
+    order = []
+    seen = {}
+    dq = [(0, st) for st in roots]
+    for st in roots:
+        seen[st] = 0
+    qi = 0
+    while qi < len(dq):
+        d, st = dq[qi]
+        qi += 1
+        order.append(st)
+        if d < maxd:
+            for nx in succ_chars(*st):
+                if nx not in seen:
+                    seen[nx] = d + 1
+                    dq.append((d + 1, nx))
+    cost = {st: [INF] * (L + 1) for st in order}
+    preds = collections.defaultdict(list)
+    for st in order:
+        for nx in succ_chars(*st):
+            if nx in cost:
+                preds[nx].append(st)
+    rootset = set(roots)
+    # DP to fixpoint (discovery order is not topo-safe on general DAGs;
+    # the cone is tiny in this test)
+    changed = True
+    while changed:
+        changed = False
+        for st in order:
+            ch = char_of(*st)
+            row = cost[st]
+            for r in range(0, L + 1):
+                cands = []
+                if st in rootset:   # virtual anchor: cost(q) = q
+                    if r >= 1:
+                        cands.append((r - 1) + (seg[r - 1] != ch))
+                    cands.append(r + 1)
+                for p in preds[st]:
+                    if r >= 1 and cost[p][r - 1] < INF:
+                        cands.append(cost[p][r - 1] + (seg[r - 1] != ch))
+                    if cost[p][r] < INF:
+                        cands.append(cost[p][r] + 1)
+                if r >= 1 and row[r - 1] < INF:
+                    cands.append(row[r - 1] + 1)
+                m = min(cands) if cands else INF
+                if m < row[r]:
+                    row[r] = m
+                    changed = True
+    return min([L] + [cost[st][L] for st in order])
 
 
 def test_read_table_path_matches_selfcontained(monkeypatch):

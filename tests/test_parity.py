@@ -338,6 +338,7 @@ def test_golden100_per_read_ed_vs_pinned_reference(tmp_path):
 
     n_le = 0
     n_aligned = 0
+    deltas = []
     worse = []
     for (name, seq), aln in zip(reads, ours):
         ref_ed = golden["reads"][name]["ref_ed"]
@@ -350,6 +351,17 @@ def test_golden100_per_read_ed_vs_pinned_reference(tmp_path):
             n_le += 1
         else:
             worse.append((name, our_ed, ref_ed))
+        if ref_ed is not None:
+            deltas.append(our_ed - ref_ed)
     assert n_aligned == 100, f"only {n_aligned}/100 aligned"
-    assert n_le >= 95, (f"beat/matched reference on only {n_le}/100: "
+    # Pinned bars (ratchet upward as quality lands; history: r3 baseline
+    # was n_le=15 mean +10.3/read; corridor re-polish -> 24 / +2.4;
+    # + exact-DP tail extension -> 93 / +0.22; + corridor arms at
+    # partial-run boundaries -> 98 / +0.10, median 0).
+    mean_delta = float(np.mean(deltas))
+    assert mean_delta <= 0.3, (
+        f"mean per-read ED delta vs reference regressed: {mean_delta:.2f} "
+        f"(pinned <= 0.3); worst {sorted(worse, key=lambda t: t[2]-t[1])[:8]}")
+    assert n_le >= 95, (f"beat/matched reference on only {n_le}/100 "
+                        "(pinned >= 95): "
                         f"{sorted(worse, key=lambda t: t[2]-t[1])[:8]}")
