@@ -95,10 +95,15 @@ class ChainerConfig:
     # wrong (the reference's per-cell backtrace gets this for free,
     # src/GraphAlignerBitvectorCommon.h:392-544)
     bubble_repair: bool = True
-    corridor_band: int = 48            # +- read rows around the current
-                                       # alignment diagonal
-    corridor_passes: int = 2           # re-run on improved reads once
-                                       # (changed runs expose new arms)
+    corridor_band: int = 16            # +- read rows around the current
+                                       # alignment diagonal (sweep on the
+                                       # golden100 set: 16/24/48 and 1 vs
+                                       # 2 passes all give 98/100 at-or-
+                                       # better, mean delta +0.10 — so
+                                       # default to the cheapest)
+    corridor_passes: int = 1           # >1 re-runs improved reads
+                                       # (changed runs expose new arms;
+                                       # no measured gain on golden100)
 
 
 @dataclass

@@ -28,7 +28,12 @@ def _ptr(a: np.ndarray):
 
 
 def _build():
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC]
+    # -march=x86-64-v3 (AVX2 baseline): fixed target, NOT -march=native —
+    # the .so is cached next to the source and survives VM migrations
+    # across heterogeneous hosts (the same hazard class as the XLA:CPU
+    # AOT cache SIGILLs, utils/jaxconfig.py)
+    cmd = ["g++", "-O3", "-march=x86-64-v3", "-std=c++17", "-shared",
+           "-fPIC", "-o", _SO, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
 

@@ -2338,11 +2338,11 @@ void* corridor_polish_batch(
       uint8_t* tt = &tag[(size_t)c * Wb];
       uint8_t chc = ch[c];
       const auto& pr = vpreds[c];
-      for (int64_t rr = lo; rr <= hi; rr++) {
-        int32_t best = INF;
-        uint8_t bt = 0;
-        if (pr.empty()) {
+      if (pr.empty()) {
+        for (int64_t rr = lo; rr <= hi; rr++) {
           // virtual start: cost(q) = q leading insertions
+          int32_t best = INF;
+          uint8_t bt = 0;
           if (rr >= 1) {
             int32_t c1 = (int32_t)(rr - 1) + (read[rr - 1] != chc);
             if (c1 < best) {
@@ -2352,11 +2352,50 @@ void* corridor_polish_batch(
           }
           int32_t c2 = (int32_t)rr + 1;
           if (c2 < best) { best = c2; bt = (uint8_t)(OPD | (63 << 2)); }
-        } else {
-          for (size_t k = 0; k < pr.size() && k < 63; k++) {
-            int32_t p = pr[k];
-            const int32_t* pc = &cost[(size_t)p * Wb];
-            int64_t plo = lov[p];
+          cc[rr - lo] = best;
+          tt[rr - lo] = bt;
+        }
+      } else if (pr.size() == 1) {
+        // fast path: the vast majority of corridor vertices are chars
+        // inside a run with exactly one pred (the previous char).
+        // Identical semantics to the generic loop below, with the pred
+        // pointer hoisted and the branchy in-band checks reduced to a
+        // tight interior loop (INF+2 cannot overflow int32, so the
+        // base<INF guards of the generic path are subsumed by c<best).
+        const int32_t* pc = &cost[(size_t)pr[0] * Wb];
+        const int64_t plo = lov[pr[0]], phi = plo + Wb - 1;
+        for (int64_t rr = lo; rr <= hi; rr++) {
+          int32_t best = INF;
+          uint8_t bt = 0;
+          if (rr - 1 >= plo && rr - 1 <= phi) {
+            uint8_t sub = (read[rr - 1] != chc);
+            int32_t c1 = pc[rr - 1 - plo] + sub;
+            if (c1 < best) {
+              best = c1;
+              bt = (uint8_t)(sub ? OPX : OPM);
+            }
+          }
+          if (rr >= plo && rr <= phi) {
+            int32_t c2 = pc[rr - plo] + 1;
+            if (c2 < best) { best = c2; bt = OPD; }
+          }
+          cc[rr - lo] = best;
+          tt[rr - lo] = bt;
+        }
+      } else {
+        const int32_t np = (int32_t)(pr.size() < 63 ? pr.size() : 63);
+        const int32_t* pcs[63];
+        int64_t plos[63];
+        for (int32_t k = 0; k < np; k++) {
+          pcs[k] = &cost[(size_t)pr[k] * Wb];
+          plos[k] = lov[pr[k]];
+        }
+        for (int64_t rr = lo; rr <= hi; rr++) {
+          int32_t best = INF;
+          uint8_t bt = 0;
+          for (int32_t k = 0; k < np; k++) {
+            const int32_t* pc = pcs[k];
+            int64_t plo = plos[k];
             if (rr - 1 >= plo && rr - 1 <= plo + Wb - 1) {
               int32_t base = pc[rr - 1 - plo];
               if (base < INF) {
@@ -2379,9 +2418,9 @@ void* corridor_polish_batch(
               }
             }
           }
+          cc[rr - lo] = best;
+          tt[rr - lo] = bt;
         }
-        cc[rr - lo] = best;
-        tt[rr - lo] = bt;
       }
       // insertion chain (reference tie order: INS preferred at equal
       // cost, like the polish backtrace INS > diag > DEL)
