@@ -243,7 +243,12 @@ def main():
 
     from concurrent.futures import ThreadPoolExecutor
     from graphchainer_tpu.utils import timers
-    workers = int(os.environ.get("BENCH_WORKERS", 4))
+    # default in-flight batches: cores+2 (bounded 4..8) — the extra two
+    # workers overlap device-blocked polish/frag dispatch with host
+    # stages; measured on a 4-core host: 4 -> 479 reads/s, 6 -> 516,
+    # 8 -> 472 (contention)
+    workers = int(os.environ.get("BENCH_WORKERS",
+                                 max(4, min(8, (os.cpu_count() or 4) + 2))))
 
     def one_pass(pool):
         aligned = 0
