@@ -24,8 +24,9 @@ warmup_compile_s and both pass walls).
 
 Env knobs: BENCH_READS (default 960; the baseline is re-measured on the
 same 960-read workload), BENCH_READ_LEN (3000), BENCH_GRAPH_BP (60000),
-BENCH_BATCH (128), BENCH_WORKERS (4 in-flight batches),
-BENCH_PLATFORM (default: let JAX pick, i.e. the TPU).
+BENCH_BATCH (128), BENCH_WORKERS (in-flight batches; default: available
+cores+2, clamped to 4..8), BENCH_PLATFORM (default: let JAX pick, i.e.
+the TPU).
 
 NOTE: an explicit BENCH_PLATFORM runs the benchmark IN-PROCESS and so
 bypasses both the TPU-responsiveness probe and the BENCH_TPU_DEADLINE
@@ -246,9 +247,14 @@ def main():
     # default in-flight batches: cores+2 (bounded 4..8) — the extra two
     # workers overlap device-blocked polish/frag dispatch with host
     # stages; measured on a 4-core host: 4 -> 479 reads/s, 6 -> 516,
-    # 8 -> 472 (contention)
+    # 8 -> 472 (contention).  sched_getaffinity counts only the cores
+    # this process may use (cgroup/affinity limits on shared VMs).
+    try:
+        ncores = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        ncores = os.cpu_count() or 4
     workers = int(os.environ.get("BENCH_WORKERS",
-                                 max(4, min(8, (os.cpu_count() or 4) + 2))))
+                                 max(4, min(8, ncores + 2))))
 
     def one_pass(pool):
         aligned = 0

@@ -95,9 +95,10 @@ class GraphTensors:
             node_len64=g.node_len.astype(np.int64),
             seq_bytes=seq_bytes, di_base=di_base)
 
-    def find_splits(self, di: np.ndarray, off: np.ndarray):
-        """Vectorized find_split for (digraph node, offset) arrays:
-        returns (split node ids, offsets within split)."""
+    def split_lookup(self):
+        """(sorted keys, split ids) for the global (digraph node, offset)
+        -> split-node binary search; shared by find_splits and the native
+        seed_window_batch."""
         g = self.g
         if not hasattr(self, "_split_keys"):
             # di_splits is grouped by digraph node (ascending) with
@@ -105,8 +106,23 @@ class GraphTensors:
             splits = g.di_splits.astype(np.int64)
             owner_di = np.repeat(np.arange(g.n_digraph, dtype=np.int64),
                                  np.diff(g.di_ptr))
-            self._split_keys = (owner_di << 33) | g.orig_offset[splits].astype(np.int64)
-            self._split_vals = splits
+            self._split_keys = np.ascontiguousarray(
+                (owner_di << 33) | g.orig_offset[splits].astype(np.int64))
+            self._split_vals = np.ascontiguousarray(splits)
+        return self._split_keys, self._split_vals
+
+    @property
+    def orig_offset64(self) -> np.ndarray:
+        if not hasattr(self, "_orig_offset64"):
+            self._orig_offset64 = np.ascontiguousarray(
+                self.g.orig_offset, dtype=np.int64)
+        return self._orig_offset64
+
+    def find_splits(self, di: np.ndarray, off: np.ndarray):
+        """Vectorized find_split for (digraph node, offset) arrays:
+        returns (split node ids, offsets within split)."""
+        g = self.g
+        self.split_lookup()
         keys = (np.asarray(di, dtype=np.int64) << 33) | np.asarray(
             off, dtype=np.int64)
         j = np.searchsorted(self._split_keys, keys, side="right") - 1

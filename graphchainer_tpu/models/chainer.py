@@ -199,6 +199,17 @@ class ChainerModel:
         cfg = self.cfg
         from graphchainer_tpu.align.anchors import JobCols
         from graphchainer_tpu.index.minimizer import get_seed_arrays_batch
+        # default (minimizer) seeding: the whole seed+window stage runs
+        # in ONE native call that releases the GIL (was the largest host
+        # stage; the Python path below stays as the oracle, pinned by
+        # tests/test_minimizer.py, and serves file/custom seeders)
+        import os as _os
+        if (self.file_seeds is None and self.seed_fn is None
+                and not _os.environ.get("GCTPU_PY_SEEDWINDOW")):
+            return native.seed_window_batch(
+                self.index, self.gx, reads, cfg.seed_density,
+                cfg.colinear_split_len, cfg.colinear_split_gap,
+                cfg.seeds_per_fragment)
         # one vectorized minimizer pass + index search for the whole batch
         batch_arrs = None
         if self.file_seeds is None and self.seed_fn is None:

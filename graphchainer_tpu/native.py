@@ -702,6 +702,118 @@ def corridor_polish_batch(gx, positions_list, ops_list, reads, scores,
     return out
 
 
+def seed_window_batch(index, gx, reads, density: float, flen: int,
+                      sep: int, kper: int):
+    """The CLC seed+window stage in one native call (semantics identical
+    to models/chainer._fragment_jobs_cols' Python path; pinned by
+    tests/test_minimizer.py::test_native_seed_window_matches_python).
+    Releases the GIL for its whole duration, so concurrent pipeline
+    workers overlap instead of serializing on the interpreter lock.
+
+    index: MinimizerIndex; gx: GraphTensors; reads: list of (name, seq).
+    Returns (JobCols, frags [nfrag,7] int64, seed_counts list)."""
+    from graphchainer_tpu.align.anchors import JobCols
+    lib = get_lib()
+    if not hasattr(lib, "_sw_sig"):
+        _U8P = ctypes.POINTER(ctypes.c_uint8)
+        lib.seed_window_batch.restype = ctypes.c_void_p
+        lib.seed_window_batch.argtypes = (
+            [ctypes.c_int64, _I64P, _I64P, _I64P]
+            + [ctypes.c_int64] * 3 + [ctypes.c_double]
+            + [ctypes.c_int64, _U8P, _I64P]
+            + [ctypes.c_int64] + [_I64P] * 4
+            + [ctypes.c_int64] * 3 + [_I64P])
+        lib.sw_sizes.argtypes = [ctypes.c_void_p, _I64P]
+        lib.sw_copy.argtypes = [ctypes.c_void_p] + [_I64P] * 7
+        lib.sw_free.argtypes = [ctypes.c_void_p]
+        lib._sw_sig = True
+    # index arrays (cached int64 copies live on the index object: the
+    # same index serves every batch)
+    cache = getattr(index, "_native_arrs", None)
+    if cache is None:
+        cache = (np.ascontiguousarray(index.codes).view(np.int64),
+                 np.ascontiguousarray(index.di_node, dtype=np.int64),
+                 np.ascontiguousarray(index.offset, dtype=np.int64))
+        index._native_arrs = cache
+    codes_i64, di_node, offset = cache
+    split_keys, split_vals = gx.split_lookup()
+    nr = len(reads)
+    read_bytes = np.frombuffer("".join(s for _, s in reads).encode("ascii")
+                               or b"\0", dtype=np.uint8)
+    read_off = np.zeros(nr + 1, dtype=np.int64)
+    np.cumsum([len(s) for _, s in reads], out=read_off[1:])
+    seed_counts = np.zeros(nr, dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    orig_offset = gx.orig_offset64
+    h = lib.seed_window_batch(
+        ctypes.c_int64(len(codes_i64)), _ptr(codes_i64), _ptr(di_node),
+        _ptr(offset), ctypes.c_int64(int(index.count_cap)),
+        ctypes.c_int64(int(index.k)), ctypes.c_int64(int(index.w)),
+        ctypes.c_double(float(density)),
+        ctypes.c_int64(nr), read_bytes.ctypes.data_as(u8p), _ptr(read_off),
+        ctypes.c_int64(len(split_keys)), _ptr(split_keys),
+        _ptr(split_vals), _ptr(gx.node_len64), _ptr(orig_offset),
+        ctypes.c_int64(flen), ctypes.c_int64(sep), ctypes.c_int64(kper),
+        _ptr(seed_counts))
+    sizes = np.empty(2, dtype=np.int64)
+    lib.sw_sizes(h, _ptr(sizes))
+    F, nfrag = int(sizes[0]), int(sizes[1])
+    seed = np.empty(max(F, 1), dtype=np.int64)
+    trim = np.empty(max(F, 1), dtype=np.int64)
+    rev = np.empty(max(F, 1), dtype=np.int64)
+    read_idx = np.empty(max(F, 1), dtype=np.int64)
+    lo = np.empty(max(F, 1), dtype=np.int64)
+    hi = np.empty(max(F, 1), dtype=np.int64)
+    frags = np.empty(max(nfrag * 7, 1), dtype=np.int64)
+    lib.sw_copy(h, _ptr(seed), _ptr(trim), _ptr(rev), _ptr(read_idx),
+                _ptr(lo), _ptr(hi), _ptr(frags))
+    lib.sw_free(h)
+    jc = JobCols(seed=seed[:F], trim=trim[:F],
+                 rev=rev[:F].astype(bool), read_idx=read_idx[:F],
+                 lo=lo[:F], hi=hi[:F])
+    return jc, frags[:nfrag * 7].reshape(nfrag, 7), seed_counts.tolist()
+
+
+def minimizer_build(seq_bytes: np.ndarray, seq_off: np.ndarray, k: int,
+                    w: int, n_threads: int = 0):
+    """Whole-graph minimizer extraction + stable code sort in native
+    threads (bit-identical to the NumPy build_index path; pinned by
+    tests/test_minimizer.py::test_native_index_matches_python).
+    Returns (codes uint64 sorted, node int64, off int64)."""
+    import os
+    lib = get_lib()
+    if not hasattr(lib, "_mb_sig"):
+        _U8P = ctypes.POINTER(ctypes.c_uint8)
+        lib.minimizer_build.restype = ctypes.c_void_p
+        lib.minimizer_build.argtypes = [_U8P, _I64P] + \
+            [ctypes.c_int64] * 4
+        lib.mb_sizes.argtypes = [ctypes.c_void_p, _I64P]
+        lib.mb_copy.argtypes = [ctypes.c_void_p] + [_I64P] * 3
+        lib.mb_free.argtypes = [ctypes.c_void_p]
+        lib._mb_sig = True
+    if not n_threads:
+        try:
+            n_threads = len(os.sched_getaffinity(0))
+        except (AttributeError, OSError):
+            n_threads = os.cpu_count() or 4
+    seq_bytes = np.ascontiguousarray(seq_bytes, dtype=np.uint8)
+    seq_off = np.ascontiguousarray(seq_off, dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    h = lib.minimizer_build(seq_bytes.ctypes.data_as(u8p), _ptr(seq_off),
+                            ctypes.c_int64(len(seq_off) - 1),
+                            ctypes.c_int64(k), ctypes.c_int64(w),
+                            ctypes.c_int64(n_threads))
+    sizes = np.empty(1, dtype=np.int64)
+    lib.mb_sizes(h, _ptr(sizes))
+    n = int(sizes[0])
+    codes = np.empty(max(n, 1), dtype=np.int64)
+    node = np.empty(max(n, 1), dtype=np.int64)
+    off = np.empty(max(n, 1), dtype=np.int64)
+    lib.mb_copy(h, _ptr(codes), _ptr(node), _ptr(off))
+    lib.mb_free(h)
+    return codes[:n].view(np.uint64), node[:n], off[:n]
+
+
 def cpu_signature() -> bytes:
     """Runtime cpuid identity (family/model/stepping + brand + feature
     leaves) as raw bytes.  Unlike /proc/cpuinfo — populated at BOOT and

@@ -33,12 +33,65 @@ def rss_gb():
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
+def run_reference(bg, reads, binary, threads=1):
+    """Run the reference binary on the same graph + reads; returns a dict
+    with its align-only throughput.  The reference prints per-phase
+    stderr timestamps; we time the whole run and subtract its index-build
+    phases by timing a 1-read run (graph load + MPC + seeder dominate it),
+    mirroring how bench.py excludes warmup/index on our side."""
+    import subprocess
+    import tempfile
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_reference import write_gfa
+    out = {"binary": binary, "threads": threads}
+    with tempfile.TemporaryDirectory() as td:
+        gfa = os.path.join(td, "g.gfa")
+        write_gfa(bg, gfa)
+        fa1 = os.path.join(td, "one.fa")
+        with open(fa1, "w") as f:
+            f.write(f">{reads[0][0]}\n{reads[0][1]}\n")
+        fa = os.path.join(td, "reads.fa")
+        with open(fa, "w") as f:
+            for name, seq in reads:
+                f.write(f">{name}\n{seq}\n")
+        # 1-read run: startup (graph + MPC + minimizer build) + 1 read
+        t0 = time.time()
+        r1 = subprocess.run([binary, "-g", gfa, "-f", fa1, "-a",
+                             os.path.join(td, "o1.gam"), "-t", str(threads)],
+                            capture_output=True, text=True)
+        t_startup = time.time() - t0
+        if r1.returncode != 0:
+            out["error"] = (r1.stdout + r1.stderr)[-500:]
+            return out
+        t0 = time.time()
+        r2 = subprocess.run([binary, "-g", gfa, "-f", fa, "-a",
+                             os.path.join(td, "o.gam"), "-t", str(threads)],
+                            capture_output=True, text=True)
+        t_full = time.time() - t0
+        if r2.returncode != 0:
+            out["error"] = (r2.stdout + r2.stderr)[-500:]
+            return out
+        out["startup_s"] = round(t_startup, 1)
+        out["full_wall_s"] = round(t_full, 1)
+        align_s = max(t_full - t_startup, 1e-3)
+        out["align_s"] = round(align_s, 1)
+        out["n_reads"] = len(reads)
+        out["reads_per_s"] = round(len(reads) / align_s, 3)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=192)
     ap.add_argument("--read-len", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--error-rate", type=float, default=0.10)
+    ap.add_argument("--ref-binary", default=None,
+                    help="reference GraphChainer binary: also measure it "
+                         "on the same graph + reads (single thread) and "
+                         "report vs_baseline_at_scale")
+    ap.add_argument("--ref-reads", type=int, default=0,
+                    help="reference read subsample (0 = all --reads)")
     args = ap.parse_args()
     scale_bp = int(os.environ.get("SCALE_BP", 20_000_000))
 
@@ -111,6 +164,16 @@ def main():
     from graphchainer_tpu.utils import timers
     out["stage_seconds"] = {k: round(v[0], 1)
                             for k, v in timers.snapshot().items()}
+
+    if args.ref_binary and os.path.exists(args.ref_binary):
+        nref = args.ref_reads or len(reads)
+        ref = run_reference(bg, reads[:nref], args.ref_binary)
+        out["reference"] = ref
+        if "reads_per_s" in ref:
+            out["vs_baseline_at_scale"] = round(
+                out["reads_per_s"] / ref["reads_per_s"], 3)
+    elif args.ref_binary:
+        out["reference"] = {"error": f"binary not found: {args.ref_binary}"}
     print(json.dumps(out))
 
 

@@ -76,3 +76,31 @@ def pytest_collection_modifyitems(items):
     for item in items:
         if item.fspath.basename in _FAST_FILES:
             item.add_marker(pytest.mark.fast)
+
+
+@pytest.fixture(autouse=True)
+def _enforce_timeout_marker(request):
+    """Enforce @pytest.mark.timeout(N) with SIGALRM (pytest-timeout is
+    not in this environment; without enforcement a hung multi-process
+    test would hang the whole run).  Main-thread only — pytest runs
+    tests in the main thread, so this holds here."""
+    import signal
+    import threading
+    marker = request.node.get_closest_marker("timeout")
+    if marker is None or not marker.args or \
+            threading.current_thread() is not threading.main_thread():
+        yield
+        return
+    seconds = int(marker.args[0])
+
+    def _alarm(signum, frame):
+        raise TimeoutError(
+            f"test exceeded @pytest.mark.timeout({seconds}) wall bound")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)

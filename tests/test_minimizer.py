@@ -152,3 +152,104 @@ def test_get_seed_arrays_batch_matches_scalar():
             continue
         for a, b in zip(got, ref):
             np.testing.assert_array_equal(a, b)
+
+
+def test_native_seed_window_matches_python(monkeypatch):
+    """The native seed_window_batch must be BIT-identical to the Python
+    _fragment_jobs_cols path (JobCols, frags, seed_counts) on a bubbly
+    graph with noisy reads, N bases, short reads and empty reads."""
+    from graphchainer_tpu import native
+    from graphchainer_tpu.graph.mpc import build_mpc
+    from graphchainer_tpu.graph.simulate import generate_path, simulate_reads
+    from graphchainer_tpu.models.chainer import ChainerConfig, ChainerModel
+
+    rng = np.random.default_rng(5)
+    bg = Bigraph()
+    prev = None
+    for i in range(40):
+        sp = bg.add_segment(f"s{i}", "".join(rng.choice(list("ACGT"),
+                                                        int(rng.integers(30, 80)))))
+        if prev is not None:
+            for pn in prev:
+                bg.links.append((pn, False, sp, False, 0))
+        a = bg.add_segment(f"a{i}", str(rng.choice(list("ACGT"))))
+        b = bg.add_segment(f"b{i}", str(rng.choice(list("ACGT"))))
+        bg.links.append((sp, False, a, False, 0))
+        bg.links.append((sp, False, b, False, 0))
+        prev = [a, b]
+    g = build_alignment_graph(bg)
+    mpc = build_mpc(g)
+    idx = build_index(g, k=15, w=10)
+    model = ChainerModel(g, mpc, idx, ChainerConfig())
+    path_seq, _ = generate_path(g, seed=3)
+    reads = simulate_reads(path_seq, 24, 400, seed=11, error_rate=0.10,
+                           len_std=60)
+    # edge cases: tiny read, N-containing read, empty-ish read
+    reads = list(reads) + [("tiny", "ACG"), ("enn", "ACGTN" * 30),
+                           ("one", "A")]
+
+    monkeypatch.setenv("GCTPU_PY_SEEDWINDOW", "1")
+    jc_py, frags_py, sc_py = model._fragment_jobs_cols(reads)
+    monkeypatch.delenv("GCTPU_PY_SEEDWINDOW")
+    jc_nat, frags_nat, sc_nat = native.seed_window_batch(
+        idx, model.gx, reads, model.cfg.seed_density,
+        model.cfg.colinear_split_len, model.cfg.colinear_split_gap,
+        model.cfg.seeds_per_fragment)
+
+    assert list(sc_py) == list(sc_nat)
+    assert len(jc_py) == len(jc_nat)
+    np.testing.assert_array_equal(jc_py.seed, jc_nat.seed)
+    np.testing.assert_array_equal(jc_py.trim, jc_nat.trim)
+    np.testing.assert_array_equal(jc_py.rev, jc_nat.rev)
+    np.testing.assert_array_equal(jc_py.read_idx, jc_nat.read_idx)
+    np.testing.assert_array_equal(jc_py.lo, jc_nat.lo)
+    np.testing.assert_array_equal(jc_py.hi, jc_nat.hi)
+    np.testing.assert_array_equal(np.asarray(frags_py, dtype=np.int64),
+                                  frags_nat)
+
+
+def test_native_seed_window_density_budget():
+    """density budget + count-cap semantics survive the native port:
+    density=-1 keeps everything under the cap; a tiny density keeps
+    whole equal-frequency groups only."""
+    from graphchainer_tpu import native
+    from graphchainer_tpu.align.anchors import GraphTensors
+    from graphchainer_tpu.index.minimizer import get_seed_arrays_batch
+
+    rng = np.random.default_rng(9)
+    seq = "".join(rng.choice(list("ACGT"), 600))
+    bg = Bigraph()
+    bg.add_segment("x", seq)
+    g = build_alignment_graph(bg)
+    idx = build_index(g, k=11, w=8)
+    gx = GraphTensors.build(g)
+    read = seq[50:350]
+    for density in (-1.0, 0.05, 10.0):
+        arrs = get_seed_arrays_batch(idx, [read], density)[0]
+        jc, frags, sc = native.seed_window_batch(
+            idx, gx, [("r", read)], density, 35, 35, 2)
+        n_py = 0 if arrs is None else len(arrs[0])
+        assert sc[0] == n_py
+
+
+def test_native_index_matches_python(monkeypatch, rng):
+    """Native minimizer_build must equal the NumPy build_index path
+    bit-for-bit (codes sorted identically, same positions, same cap)."""
+    from graphchainer_tpu.index import minimizer as M
+
+    bg = Bigraph()
+    for i in range(30):
+        n = int(rng.integers(5, 200))
+        seq = "".join(rng.choice(list("ACGTN"), n,
+                                 p=[.24, .24, .24, .24, .04]))
+        bg.add_segment(f"s{i}", seq)
+    g = build_alignment_graph(bg)
+    for k, w in [(15, 10), (11, 8), (15, 20)]:
+        idx_nat = M.build_index(g, k=k, w=w)
+        monkeypatch.setenv("GCTPU_PY_INDEX", "1")
+        idx_py = M.build_index(g, k=k, w=w)
+        monkeypatch.delenv("GCTPU_PY_INDEX")
+        np.testing.assert_array_equal(idx_py.codes, idx_nat.codes)
+        np.testing.assert_array_equal(idx_py.di_node, idx_nat.di_node)
+        np.testing.assert_array_equal(idx_py.offset, idx_nat.offset)
+        assert idx_py.count_cap == idx_nat.count_cap
