@@ -58,11 +58,70 @@ def mutate_read(rng, seq: str, sub: float = 0.03, ins: float = 0.03,
     return "".join(out)
 
 
+def mutate_read_badread(rng, seq: str, mean_identity: float = 0.88,
+                        identity_std: float = 0.03,
+                        burst_enter: float = 0.003,
+                        burst_exit: float = 0.25,
+                        homopolymer_boost: float = 3.0) -> str:
+    """Badread-style long-read error model (the reference's experiment
+    protocol simulates with badread/pbsim,
+    /root/reference/scripts/10fold_test/gen_test.py:13-15, rather than
+    the uniform iid model of its SimulateReads tool).  Three realistic
+    departures from iid errors:
+
+    * per-read identity drawn once (~N(mean, std), clipped) — some reads
+      are much worse than others;
+    * BURSTY errors: a 2-state Markov chain (background / burst) makes
+      errors cluster in low-quality stretches instead of spreading
+      uniformly (burst state multiplies the error rate ~8x);
+    * HOMOPOLYMER indels: inside a homopolymer run of length >= 3 the
+      indel probability is boosted and the inserted base duplicates the
+      run (the dominant real ONT/PacBio error mode).
+    """
+    ident = float(np.clip(rng.normal(mean_identity, identity_std),
+                          0.70, 0.99))
+    base_err = 1.0 - ident
+    out = []
+    in_burst = False
+    run_ch, run_len = "", 0
+    for i, ch in enumerate(seq):
+        if ch == run_ch:
+            run_len += 1
+        else:
+            run_ch, run_len = ch, 1
+        if in_burst:
+            in_burst = rng.random() >= burst_exit
+        else:
+            in_burst = rng.random() < burst_enter
+        err = base_err * (8.0 if in_burst else
+                          1.0 / (1.0 + 8.0 * burst_enter / burst_exit))
+        hp = run_len >= 3
+        p_ind = err * (2 / 3) * (homopolymer_boost if hp else 1.0)
+        p_sub = err / 3
+        r = rng.random()
+        if r < p_ind / 2:
+            continue                       # deletion (hp: run shrinks)
+        if r < p_ind:
+            out.append(ch)                 # insertion: hp duplicates the
+            out.append(ch if hp else str(rng.choice(list("ACGT"))))
+            continue
+        if r < p_ind + p_sub:
+            out.append(str(rng.choice(list("ACGT"))))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def simulate_reads(path_seq: str, n: int, mean_len: int, seed: int = 0,
                    error_rate: float = 0.1,
-                   len_std: Optional[int] = None) -> List[Tuple[str, str]]:
-    """Simulate n reads from a path sequence with the given error rate
-    (split evenly between sub/ins/del, pbsim-like)."""
+                   len_std: Optional[int] = None,
+                   profile: str = "uniform") -> List[Tuple[str, str]]:
+    """Simulate n reads from a path sequence.
+
+    profile="uniform": iid errors at `error_rate` split evenly between
+    sub/ins/del (pbsim-like, the reference SimulateReads model).
+    profile="badread": bursty + homopolymer-biased errors with per-read
+    identity ~N(1 - error_rate, 0.03) (mutate_read_badread)."""
     rng = np.random.default_rng(seed)
     len_std = len_std or mean_len // 4
     reads = []
@@ -72,7 +131,11 @@ def simulate_reads(path_seq: str, n: int, mean_len: int, seed: int = 0,
         L = min(L, len(path_seq))
         start = int(rng.integers(0, max(len(path_seq) - L, 1)))
         frag = path_seq[start:start + L]
-        read = mutate_read(rng, frag, sub=per, ins=per, dele=per)
+        if profile == "badread":
+            read = mutate_read_badread(rng, frag,
+                                       mean_identity=1.0 - error_rate)
+        else:
+            read = mutate_read(rng, frag, sub=per, ins=per, dele=per)
         reads.append((f"sim_{i}_{start}_{L}", read))
     return reads
 

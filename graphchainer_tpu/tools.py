@@ -167,7 +167,8 @@ def cmd_simulate_reads(args):
     g = load_graph(args.graph)
     path_seq, names = generate_path(g, seed=args.seed)
     reads = simulate_reads(path_seq, args.count, args.length,
-                           seed=args.seed, error_rate=args.error_rate)
+                           seed=args.seed, error_rate=args.error_rate,
+                           profile=args.profile)
     with _out(args.output) as f:
         for name, seq in reads:
             f.write(f">{name}\n{seq}\n")
@@ -989,6 +990,10 @@ def main(argv=None) -> int:
     s.add_argument("--count", type=int, default=100)
     s.add_argument("--length", type=int, default=3000)
     s.add_argument("--error-rate", type=float, default=0.1)
+    s.add_argument("--profile", choices=["uniform", "badread"],
+                   default="uniform",
+                   help="error model: iid sub/ins/del, or badread-style "
+                        "bursty + homopolymer-biased errors")
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--output", "-o", default="-")
     s.set_defaults(fn=cmd_simulate_reads)

@@ -365,3 +365,63 @@ def test_golden100_per_read_ed_vs_pinned_reference(tmp_path):
     assert n_le >= 95, (f"beat/matched reference on only {n_le}/100 "
                         "(pinned >= 95): "
                         f"{sorted(worse, key=lambda t: t[2]-t[1])[:8]}")
+
+
+def test_golden_badread_per_read_ed(tmp_path):
+    """Pinned badread-profile golden set (VERDICT r4 missing #4): the
+    realistic long-read error regime — per-read identity spread, bursty
+    error clusters, homopolymer indels (graph/simulate.
+    mutate_read_badread) — regenerated exactly as
+    scripts/make_golden_badread.py ran it through the reference binary.
+    Requires our per-read ED to match or beat the pinned reference on
+    >= 90% of reads with every read aligned."""
+    import importlib.util
+    import json as _json
+
+    from graphchainer_tpu.graph.mpc import build_mpc
+    from graphchainer_tpu.index.minimizer import build_index
+    from graphchainer_tpu.models.chainer import ChainerConfig, ChainerModel
+    from tests.test_polish import nw_edit_distance
+
+    golden = _json.load(open(os.path.join(DATA, "golden_badread.json")))
+    spec = importlib.util.spec_from_file_location(
+        "make_golden_badread", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts",
+            "make_golden_badread.py"))
+    mg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mg)
+    _gfa, g, reads = mg.build_workload(str(tmp_path))
+    assert len(reads) == golden["n_reads"] == 80
+    for name, seq in reads:
+        assert golden["reads"][name]["len"] == len(seq), name
+
+    model = ChainerModel(g, build_mpc(g), build_index(g, k=15, w=10),
+                         ChainerConfig())
+    ours = model.align_batch(reads)
+
+    n_le = 0
+    n_aligned = 0
+    deltas = []
+    worse = []
+    for (name, seq), aln in zip(reads, ours):
+        ref_ed = golden["reads"][name]["ref_ed"]
+        if aln.failed:
+            continue
+        n_aligned += 1
+        our_ed = nw_edit_distance(seq, model.gx.positions_seq(
+            aln.positions))
+        if ref_ed is None or our_ed <= ref_ed:
+            n_le += 1
+        else:
+            worse.append((name, our_ed, ref_ed))
+        if ref_ed is not None:
+            deltas.append(our_ed - ref_ed)
+    assert n_aligned == 80, f"only {n_aligned}/80 aligned"
+    mean_delta = float(np.mean(deltas))
+    assert mean_delta <= 1.0, (
+        f"mean per-read ED delta vs reference regressed under the "
+        f"badread profile: {mean_delta:.2f} (pinned <= 1.0); worst "
+        f"{sorted(worse, key=lambda t: t[2]-t[1])[:8]}")
+    assert n_le >= 72, (f"beat/matched reference on only {n_le}/80 "
+                        "(pinned >= 72): "
+                        f"{sorted(worse, key=lambda t: t[2]-t[1])[:8]}")
