@@ -425,3 +425,43 @@ def test_golden_badread_per_read_ed(tmp_path):
     assert n_le >= 72, (f"beat/matched reference on only {n_le}/80 "
                         "(pinned >= 72): "
                         f"{sorted(worse, key=lambda t: t[2]-t[1])[:8]}")
+
+
+@pytest.mark.fast
+@pytest.mark.skipif(not os.path.exists(TOY_GFA),
+                    reason="reference checkout not present")
+def test_ref_edit_rendering_nonminimal():
+    """Pins GAM_PARITY.md divergence class 2: the reference's CLC-mode
+    edit list is a lossy re-rendering (edlib trace -> clamped
+    MatrixPosition conversion, src/Aligner.cpp:845-877 -> pairwise
+    re-derivation, src/GraphAlignerVGAlignment.h:37-70) that renders the
+    toy read with SIX error bases at score 5, while our edit list is the
+    canonical minimal script with exactly five.  If either side's
+    rendering drifts, this fails and GAM_PARITY.md needs updating."""
+    from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+    from graphchainer_tpu.graph.mpc import build_mpc
+    from graphchainer_tpu.index.minimizer import build_index
+    from graphchainer_tpu.io.gam import alignment_message
+    from graphchainer_tpu.io.gam_reader import (load_gam_alignments,
+                                                parse_alignment)
+    from graphchainer_tpu.io.gfa import load_gfa
+    from graphchainer_tpu.models.chainer import ChainerConfig, ChainerModel
+
+    def err_bases(a):
+        return sum(max(e.get("from_length", 0), e.get("to_length", 0))
+                   for m in a.mappings for e in m.edits
+                   if e.get("sequence") or e.get("from_length", 0)
+                   != e.get("to_length", 0))
+
+    ref = load_gam_alignments(os.path.join(DATA, "ref_toy.gam"))[0]
+    assert ref.score == 5
+    assert err_bases(ref) == 6      # the documented rendering inflation
+
+    g = build_alignment_graph(load_gfa(TOY_GFA))
+    model = ChainerModel(g, build_mpc(g), build_index(g, k=15, w=20),
+                         ChainerConfig())
+    name, seq = open(TOY_READ_FA).read().strip().split("\n")
+    aln = model.align_batch([(name[1:], seq)])[0]
+    our = parse_alignment(alignment_message(g, aln))
+    assert our.score == 5
+    assert err_bases(our) == 5      # ours is the minimal script
