@@ -618,6 +618,66 @@ def _walk_shard_fn(S: int, max_in: int, n_levels: int, dedup: bool,
 BI_P16_PAD = np.uint16(0x3210)
 
 
+@lru_cache(maxsize=None)
+def _walk_shard_tbl_fn(S: int, max_in: int, n_levels: int):
+    """Packed+walk kernel whose graph tables are COMPONENT-SHARDED over
+    the mesh (parallel/sharded_graph): every arg rides P('dp'), so each
+    device receives its (1, rows, 4) table block (squeezed here) plus
+    exactly the fragment rows routed to its components — table gathers
+    stay device-local, no collectives in the hot loop."""
+    def f(eq_blk, ln_blk, bb, bd, bp, bl, ss8, rq2, rw16, sb):
+        return frag_align.align_fragments_packed_out_tl_walk(
+            eq_blk[0], ln_blk[0], bb, bd, bp, ss8, rq2, rw16,
+            n_slices=S, max_in=max_in, band_level=bl, n_levels=n_levels,
+            seed_base=sb)
+    return f
+
+
+def _run_fragments_sharded(gx: "GraphTensors", plan, band_nodes_cat,
+                           band_in, seed_shift, req, rows, S, max_in,
+                           seed_base, band_level):
+    """run_fragments over component-sharded tables: route fragments to
+    their component's device, remap band ids to shard-local rows, run
+    the packed walk kernel under shard_map with the table block-sharded,
+    scatter results back to batch order.  Returns a walk-path FragResult
+    or None when the batch doesn't fit the packed format (caller falls
+    back to the replicated path)."""
+    from graphchainer_tpu.parallel.device import shard_call, shard_rows
+    from graphchainer_tpu.parallel.sharded_graph import (localize_bands,
+                                                         route_fragments)
+    F, B = band_nodes_cat.shape
+    local = localize_bands(plan, band_nodes_cat)
+    packed = _try_pack_frag(local, band_in, req, rows, max_in)
+    if packed is None:
+        return None
+    frag_dev, order, keep, Fd = route_fragments(plan, band_nodes_cat)
+    base, bn_d16, bi_p16, req2 = packed
+    n_levels = level_bucket(band_level, B)
+    bb = shard_rows(base[order].astype(np.int32))
+    bd = shard_rows(bn_d16[order])
+    bp = shard_rows(bi_p16[order])
+    bl = shard_rows(band_level[order].astype(np.int8))
+    ss8 = shard_rows(seed_shift[order].astype(np.int8))
+    rq2 = shard_rows(req2[order])
+    rw16 = shard_rows(rows[order].astype(np.int16))
+    sb = shard_rows(seed_base[order].astype(np.int32))
+    eq_sh, ln_sh = gx.shard_tables
+    res = shard_call(_walk_shard_tbl_fn(S, max_in, n_levels),
+                     (eq_sh, ln_sh, bb, bd, bp, bl, ss8, rq2, rw16, sb),
+                     (True,) * 10)
+    from graphchainer_tpu.parallel.device import asarray_chunked
+    w = asarray_chunked(res)
+    out = np.zeros((F, w.shape[1]), dtype=np.int32)
+    out[order[keep]] = w[keep]
+    cc = np.ascontiguousarray
+    return frag_align.FragResult(
+        best_score=out[:, 0], best_slot=out[:, 1] & 0xFF,
+        best_col=(out[:, 1] >> 8) & 0xFF, best_in=None,
+        end_score=None, end_col=None,
+        walk_ok=((out[:, 1] >> 16) & 1).astype(bool),
+        walk_mask=cc(out[:, 2]).view(np.uint32))
+
+
 class BandCache:
     """Process-lifetime device-resident table of DISTINCT packed bands.
 
@@ -778,6 +838,19 @@ def run_fragments(gx: GraphTensors, band_nodes_cat: np.ndarray,
     n_levels = level_bucket(band_level, B) if band_level is not None else None
     import jax as _jax
     ndev = len(_jax.devices())
+    # component-sharded tables (parallel/sharded_graph): active when the
+    # model planned shards and this batch fits the packed walk format —
+    # otherwise fall through to the replicated-table paths below
+    plan = getattr(gx, "shard_plan", None)
+    if (plan is not None and ndev == plan.n_dev and ndev > 1 and want_walk
+            and band_level is not None and carry_in is None
+            and not want_state and not want_xcells and B <= 32
+            and (B * S) % 4 == 0):
+        res = _run_fragments_sharded(gx, plan, band_nodes_cat, band_in,
+                                     seed_shift, req, rows, S, max_in,
+                                     seed_base, band_level)
+        if res is not None:
+            return res
     packed = (_try_pack_frag(band_nodes_cat, band_in, req, rows, max_in)
               if band_level is not None and (B * S) % 4 == 0 else None)
     walk = want_walk and packed is not None and B <= 32 and not want_xcells

@@ -104,6 +104,12 @@ class ChainerConfig:
     corridor_passes: int = 1           # >1 re-runs improved reads
                                        # (changed runs expose new arms;
                                        # no measured gain on golden100)
+    # component-sharded graph tables over the device mesh (SURVEY §7.1 /
+    # BASELINE config 4: pan-genome graphs whose Eq tables shouldn't be
+    # replicated per chip).  Fragments route to their component's device;
+    # table gathers stay device-local (parallel/sharded_graph.py).
+    # Ignored on a single device.
+    shard_graph_tables: bool = False
 
 
 @dataclass
@@ -144,6 +150,16 @@ class ChainerModel:
         indeg = np.diff(g.in_ptr)
         self._dense_graph = bool(
             np.mean(indeg > self.cfg.max_in) > 0.02)
+        if self.cfg.shard_graph_tables and not hasattr(self.gx,
+                                                      "shard_plan"):
+            import jax
+            ndev = len(jax.devices())
+            if ndev > 1:
+                from graphchainer_tpu.parallel.sharded_graph import (
+                    build_sharded_tables, plan_component_shards)
+                plan = plan_component_shards(g, ndev)
+                self.gx.shard_plan = plan
+                self.gx.shard_tables = build_sharded_tables(self.gx, plan)
         # external seeds: read name -> [SeedHit] (reference .gam seed
         # files, src/Aligner.cpp:1169-1190)
         self.file_seeds = file_seeds

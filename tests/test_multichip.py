@@ -186,3 +186,93 @@ print("RESULT " + json.dumps(rows))
     one = run(1)
     eight = run(8)
     assert one == eight
+
+
+def test_sharded_tables_full_model_equality(tmp_path):
+    """Component-sharded graph tables (parallel/sharded_graph, BASELINE
+    config 4 direction): the full CLC align_batch with
+    shard_graph_tables=True on the 8-virtual-device mesh must produce
+    IDENTICAL outputs to single-device replicated-table execution, on a
+    multi-component graph whose reads hit every component."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    CHILD = r'''
+import os, sys, json, hashlib
+sys.path.insert(0, "/root/repo")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=%d"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from graphchainer_tpu.io.gfa import Bigraph
+from graphchainer_tpu.graph.alignment_graph import build_alignment_graph
+from graphchainer_tpu.graph.mpc import build_mpc
+from graphchainer_tpu.graph.simulate import simulate_reads
+from graphchainer_tpu.index.minimizer import build_index
+from graphchainer_tpu.models.chainer import ChainerConfig, ChainerModel
+
+rng = np.random.default_rng(17)
+bg = Bigraph()
+comp_paths = []
+for c in range(5):            # 5 disjoint bubble chains
+    prev = None
+    path = []
+    for i in range(12):
+        sp = bg.add_segment(f"c{c}s{i}", "".join(rng.choice(list("ACGT"),
+                                                            int(rng.integers(60, 120)))))
+        if prev is not None:
+            bg.links.append((prev, False, sp, False, 0))
+        a = bg.add_segment(f"c{c}a{i}", str(rng.choice(list("ACGT"))))
+        b = bg.add_segment(f"c{c}b{i}", str(rng.choice(list("ACGT"))))
+        bg.links.append((sp, False, a, False, 0))
+        bg.links.append((sp, False, b, False, 0))
+        path.append(bg.seqs[sp])
+        path.append(bg.seqs[a])
+        prev = a
+    comp_paths.append("".join(path))
+g = build_alignment_graph(bg)
+assert g.ncomp >= 10       # 5 fwd + 5 rev strand components
+mpc = build_mpc(g)
+idx = build_index(g, k=15, w=10)
+model = ChainerModel(g, mpc, idx, ChainerConfig(shard_graph_tables=True))
+reads = []
+for c, ps in enumerate(comp_paths):
+    reads += [(f"{n}_c{c}", s) for n, s in
+              simulate_reads(ps, 4, 500, seed=100 + c, error_rate=0.08,
+                             len_std=80)]
+out = model.align_batch(reads)
+rows = [[a.name, int(a.score),
+         hashlib.sha1(np.ascontiguousarray(
+             a.positions).tobytes()).hexdigest() if len(a.positions)
+         else ""] for a in out]
+shp = getattr(model.gx, "shard_plan", None)
+print("PLAN " + json.dumps(None if shp is None else
+                           [int(shp.n_dev), int(shp.rows_per_dev)]))
+print("RESULT " + json.dumps(rows))
+'''
+    env = {k: v for k, v in os.environ.items()}
+    env["PYTHONPATH"] = "/root/repo"
+
+    def run(ndev):
+        child = tmp_path / f"shchild{ndev}.py"
+        child.write_text(CHILD % ndev)
+        r = subprocess.run([sys.executable, str(child)], env=env,
+                           capture_output=True, text=True, timeout=560,
+                           cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        plan = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("PLAN ")][-1]
+        line = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("RESULT ")][-1]
+        return (json.loads(plan[len("PLAN "):]),
+                json.loads(line[len("RESULT "):]))
+
+    plan1, one = run(1)
+    plan8, eight = run(8)
+    assert plan1 is None          # single device: flag is a no-op
+    assert plan8 is not None and plan8[0] == 8
+    assert one == eight
+    assert all(score >= 0 and h for _, score, h in one)
