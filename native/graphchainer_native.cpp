@@ -626,15 +626,25 @@ static int64_t band_build_impl(int64_t n, const int64_t* ptr,
       }
     }
     if (by_dist) {
-      // seed stays slot 0 (the kernel injects the start state there);
-      // a zero-trim seed can otherwise tie at distance 0 with its
-      // first neighbor
-      std::sort(selected.begin(), selected.end(),
-                [&](int64_t a, int64_t b) {
-                  if (a == seed || b == seed) return a == seed;
-                  if (dist[a] != dist[b]) return dist[a] < dist[b];
-                  return descending ? (a > b) : (a < b);
-                });
+      // Distance ascending; ties at distance 0 KEEP the source-list
+      // order, ties at distance > 0 sort by id.  Id-sorting the
+      // distance-0 sources broke cycle wraps: a multi-source carry band
+      // whose frontier is about to cross the cycle-closing edge u -> v
+      // (v has the smaller topo id) placed v BEFORE u, turning the wrap
+      // edge backward in slot order so the kernel dropped it — GA
+      // extension stalled exactly at one lap (golden_cyclic).  The
+      // carry caller passes sources in OLD band slot order (walk
+      // order), so list order keeps wrap edges forward.  Id order at
+      // d > 0 is kept because discovery order shifted the marginal
+      // B-overflow slot choice on dense cyclic knots (test_dense
+      // test_cyclic_tangle_ga_mode regressed under full scan order).
+      // The seed is the first distance-0 source, hence slot 0.
+      std::stable_sort(selected.begin(), selected.end(),
+                       [&](int64_t a, int64_t b) {
+                         if (dist[a] != dist[b]) return dist[a] < dist[b];
+                         if (dist[a] == 0) return false;  // keep order
+                         return descending ? (a > b) : (a < b);
+                       });
     } else {
       std::sort(selected.begin(), selected.end());
       if (descending) std::reverse(selected.begin(), selected.end());
