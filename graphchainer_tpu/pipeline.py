@@ -147,13 +147,16 @@ def corrected_read(aln: ReadAlignment, gx,
 
 
 def align_reads(params: PipelineParams) -> AlignmentStats:
-    from graphchainer_tpu.utils.jaxconfig import setup as _jax_setup
-    _jax_setup()
     if params.num_processes > 1:
-        # join the global device mesh BEFORE any backend initialization
+        # join the global device mesh BEFORE any backend initialization —
+        # including jaxconfig.setup, whose cache fingerprint probes the
+        # live XLA:CPU LLVM feature string and thereby initializes the
+        # backend (the r3 fingerprint change silently broke this order)
         from graphchainer_tpu.parallel import multihost
         multihost.initialize(params.coordinator, params.num_processes,
                              params.process_id)
+    from graphchainer_tpu.utils.jaxconfig import setup as _jax_setup
+    _jax_setup()
     t0 = time.time()
     try:
         g = load_graph(params.graph_file,
