@@ -106,8 +106,53 @@ def main():
     fr_min, fr_mean = timeit(frag_full, n=3)
     report["frag_full"] = {"min_s": round(fr_min, 3),
                            "mean_s": round(fr_mean, 3)}
+    frag_cells = int(rows.astype(np.int64).sum()) * band_nodes_cat.shape[1]
+    report["frag_full"]["dp_cells"] = frag_cells
+    report["frag_full"]["cells_per_s_incl_rtt"] = round(frag_cells / fr_min)
+
+    # ---- polish kernel: align once to get real paths, then time the
+    # batched polish device call (the largest DP-cell consumer: ~97% of
+    # all cells at bw=8)
+    from graphchainer_tpu.align import polish as polish_mod
+    alns = model.align_batch(reads)
+    p_reads, p_paths = [], []
+    for (nm, sq), a in zip(reads, alns):
+        if not a.failed and len(a.positions):
+            p_reads.append(sq)
+            p_paths.append(model.gx.positions_seq(a.positions))
+    p_min, p_mean = timeit(
+        lambda: polish_mod.polish_batch(p_reads, p_paths,
+                                        bw=model.cfg.polish_band_words),
+        n=3)
+    pol_cells = sum(len(p) for p in p_paths) \
+        * model.cfg.polish_band_words * 32
+    report["polish_full"] = {"min_s": round(p_min, 3),
+                             "mean_s": round(p_mean, 3),
+                             "n_reads": len(p_reads),
+                             "dp_cells": pol_cells,
+                             "cells_per_s_incl_rtt": round(pol_cells
+                                                           / p_min)}
+
+    # ---- binding-constraint verdict (VERDICT r4 next-round #9): compare
+    # each stage's wall against the dispatch RTT floor.  On the tunneled
+    # dev TPU a kernel call whose wall ~= a trivial jit round trip is
+    # DISPATCH-bound — raising dp_cells_per_s means fewer/bigger calls,
+    # not faster kernels; on an untunneled TPU the same design is simply
+    # HBM-resident with microsecond dispatch.
+    rtt = rtt_min
+    report["binding_constraint"] = {
+        "rtt_floor_s": round(rtt, 4),
+        "frag_call_over_rtt": round(fr_min / max(rtt, 1e-9), 1),
+        "polish_call_over_rtt": round(p_min / max(rtt, 1e-9), 1),
+        "verdict": ("dispatch/RTT-bound" if fr_min < 4 * rtt
+                    else "device-compute-bound"),
+    }
 
     print(json.dumps(report, indent=1))
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PROFILE_r05.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
 
 
 if __name__ == "__main__":
