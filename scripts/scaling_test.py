@@ -45,8 +45,11 @@ def child():
 
     import jax
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax"))
+    # fingerprinted cache dir (utils/jaxconfig): a raw ~/.cache/jax here
+    # wrote host-specific XLA:CPU AOT entries that a migrated VM then
+    # loaded with mismatched target features (the r2 SIGILL class)
+    from graphchainer_tpu.utils.jaxconfig import cache_dir
+    jax.config.update("jax_compilation_cache_dir", cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     ndev = len(jax.devices())
