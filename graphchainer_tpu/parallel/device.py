@@ -62,17 +62,35 @@ def _rows_per_chunk(arr: np.ndarray) -> int:
     return max(1, MAX_TRANSFER // row_bytes)
 
 
+# bound on dispatched-but-unfinished chunk uploads: chr-scale tables
+# (~400 chunks at 40Mbp) dispatched all-async wedged the dev tunnel
+# deterministically (three 40Mbp runs froze mid-upload while 20Mbp's
+# ~200 chunks survived); blocking every K-th chunk keeps the tunnel's
+# in-flight RPC queue shallow at negligible cost on real hardware
+MAX_INFLIGHT_CHUNKS = 16
+
+
 def device_put_chunked(arr: np.ndarray) -> jax.Array:
-    """Upload a numpy array in <=MAX_TRANSFER pieces along axis 0.  On a
-    multi-device mesh the array is replicated with a plain device_put (the
-    transfer cap is a tunneled-single-chip artifact)."""
+    """Upload a numpy array in <=MAX_TRANSFER pieces along axis 0, at
+    most MAX_INFLIGHT_CHUNKS dispatched ahead of the last completion.
+    On a multi-device mesh the array is replicated with a plain
+    device_put (the transfer cap is a tunneled-single-chip artifact)."""
     repl = replicated_sharding()
     if repl is not None:
         return jax.device_put(arr, repl)
     if arr.nbytes <= MAX_TRANSFER:
         return _identity(arr)
     step = _rows_per_chunk(arr)
-    parts = [_identity(arr[i:i + step]) for i in range(0, arr.shape[0], step)]
+    parts = []
+    for i in range(0, arr.shape[0], step):
+        parts.append(_identity(arr[i:i + step]))
+        if len(parts) % MAX_INFLIGHT_CHUNKS == 0:
+            parts[-1].block_until_ready()
+    # tree concatenate: bounded operand counts (a chr-scale table is
+    # ~400 chunks; one flat 400-operand concat is a single giant HLO)
+    while len(parts) > 64:
+        parts = [jnp.concatenate(parts[j:j + 64], axis=0)
+                 for j in range(0, len(parts), 64)]
     return jnp.concatenate(parts, axis=0)
 
 
