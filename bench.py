@@ -235,7 +235,10 @@ def main():
     idx = build_index(g, k=15, w=10)
     t_index = time.time() - t0
 
-    model = ChainerModel(g, mpc, idx, ChainerConfig())
+    cfg = ChainerConfig()
+    if os.environ.get("BENCH_POLISH_BW"):
+        cfg.polish_band_words = int(os.environ["BENCH_POLISH_BW"])
+    model = ChainerModel(g, mpc, idx, cfg)
     path_seq, _ = generate_path(g, seed=3)
     # modest length spread keeps the padded kernel shapes in one bucket
     reads = simulate_reads(path_seq, n_reads, read_len, seed=11,

@@ -250,10 +250,17 @@ def _polish_once(reads: Sequence[str], paths: Sequence[str],
         Rp += (-Rp) % ndev
 
     # 4-bit packed wire arrays (the tunnel is bandwidth-bound; decode is
-    # fused on device — ops/linear_align.py packed front-ends)
+    # fused on device — ops/linear_align.py packed front-ends).  One
+    # scatter over the concatenated paths (per-path match_masks calls
+    # serialized on the GIL under concurrent pipeline workers)
     path_mm = np.zeros((Rp, pmax), dtype=np.uint8)
-    for i, pt in enumerate(paths):
-        path_mm[i, :len(pt)] = match_masks(pt)
+    if R:
+        cat = match_masks("".join(paths))
+        rows_idx = np.repeat(np.arange(R), path_len[:R])
+        cols_idx = (np.arange(len(cat))
+                    - np.repeat(np.cumsum(path_len[:R])
+                                - path_len[:R], path_len[:R]))
+        path_mm[rows_idx, cols_idx] = cat
     def _pure(mm, lens):
         in_range = np.arange(mm.shape[1])[None, :] < lens[:R, None]
         bad = in_range & ((mm[:R] == 0) | ((mm[:R] & (mm[:R] - 1)) != 0))
@@ -269,8 +276,13 @@ def _polish_once(reads: Sequence[str], paths: Sequence[str],
         rmax = dev_tbl.shape[1] * 16
     else:
         read_mm = np.zeros((Rp, rmax), dtype=np.uint8)
-        for i, rd in enumerate(reads):
-            read_mm[i, :len(rd)] = match_masks(rd)
+        if R:
+            rcat = match_masks("".join(reads))
+            ridx = np.repeat(np.arange(R), read_len[:R])
+            cidx = (np.arange(len(rcat))
+                    - np.repeat(np.cumsum(read_len[:R])
+                                - read_len[:R], read_len[:R]))
+            read_mm[ridx, cidx] = rcat
         # pure-ACGT batches ride the 2-bit code format (half the
         # upload); IUPAC-ambiguous chars (multi-bit masks) fall back to
         # 4-bit nibbles
