@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--workdir", default="/tmp/sustained_r05")
     ap.add_argument("--steps", default="1,2,3")
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--platform", default=None,
+                    help="JAX_PLATFORMS for the CLI children (e.g. cpu; "
+                         "default: unset = real TPU)")
     args = ap.parse_args()
     bp = int(os.environ.get("SUSTAINED_BP", 40_000_000))
     os.makedirs(args.workdir, exist_ok=True)
@@ -80,7 +83,10 @@ def main():
 
     results = {"prep": prep, "sweep": []}
     env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)        # the CLI runs on the real TPU
+    env.pop("JAX_PLATFORMS", None)        # default: the real TPU
+    if args.platform:
+        env["JAX_PLATFORMS"] = args.platform
+    results["platform"] = args.platform or "tpu"
     env["PYTHONPATH"] = REPO
     mpc_npz = os.path.join(args.workdir, "mpc.npz")
     min_npz = os.path.join(args.workdir, "minimizer.npz")
